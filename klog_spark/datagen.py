@@ -1,0 +1,450 @@
+"""Deterministic synthetic fixture generator.
+
+Renders ``kafka-dump-log.sh``-style dump lines following the grammars in
+``klog_spark.grammar`` (reference: segment/reader/SegmentDumpReader.java:66-104,
+snapshot/reader/SnapshotDumpReader.java:36-45) and the scenario coverage of
+the reference's golden tests (SegmentDumpReaderTest.java:36-274): committed /
+aborted / empty / open transactions, multi-batch transactions, offset gaps,
+interleaved + hot-skewed producer sessions, CRC-invalid batches, corrupt
+lines, Kafka 2.x vs 3.x format variants, ``__transaction_state`` segments
+with state-machine sequences and tombstones, and producer-snapshot dumps.
+
+Outputs (all seeded, content-addressed by (sf, seed)):
+  sequences.parquet       (doc_id, tokens:array<int32>, n_tok, source)   -- engine input
+  sequences_text.parquet  (doc_id, line, source)                          -- DuckDB-oracle only
+  topic_meta.parquet, producer_meta.parquet                               -- broadcast dims
+
+``tokens`` is the codepoint encoding of the line, so token-array equality is
+routed-line equality.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .tokens import texts_to_token_arrays
+
+T0_MS = 1_700_000_000_000
+TOPIC = "payments"
+N_PARTITIONS = 4
+TXN_STATE_PART = 17
+LINES_PER_SF = 6_000_000  # sf0.01 -> 60k lines, sf0.1 -> 600k
+
+# NB: "LZ4" does NOT match the reference grammar (none|[A-Z]+ rejects the
+# digit, SegmentDumpReader.java:81) — emitted rarely as a corrupt-case.
+COMPRESS = ["none", "none", "none", "ZSTD", "GZIP", "SNAPPY", "ZSTD", "GZIP", "SNAPPY", "LZ4"]
+STATE_NEXT = {  # valid transitions (TransactionStateChange.java:82-127), prev -> allowed next
+    None: ["Empty", "Ongoing"],
+    "Empty": ["Ongoing", "Empty", "Dead"],
+    "Ongoing": ["Ongoing", "PrepareCommit", "PrepareAbort"],
+    "PrepareCommit": ["CompleteCommit"],
+    "PrepareAbort": ["CompleteAbort"],
+    "CompleteCommit": ["Ongoing", "Empty", "Dead"],
+    "CompleteAbort": ["Ongoing", "Empty", "Dead"],
+    "Dead": [],
+}
+ALL_STATES = ["Ongoing", "PrepareCommit", "PrepareAbort", "CompleteCommit", "CompleteAbort", "Empty", "Dead"]
+
+
+def _render_batch(rng: random.Random, *, base_offset: int, count: int, pid: int, epoch: int,
+                  leader_epoch: int, transactional: bool, control: bool, position: int,
+                  t_ms: int, size: int, variant3x: bool, valid: bool = True) -> str:
+    base_seq = -1 if pid == -1 else rng.randrange(0, 100000)
+    last_seq = base_seq if base_seq == -1 else base_seq + count - 1
+    crc = rng.getrandbits(32)
+    dh = ""
+    if variant3x:
+        dhv = "OptionalLong.empty" if rng.random() < 0.8 else str(t_ms + 86_400_000)
+        dh = f" deleteHorizonMs: {dhv}"
+    return (
+        f"baseOffset: {base_offset} lastOffset: {base_offset + count - 1} count: {count} "
+        f"baseSequence: {base_seq} lastSequence: {last_seq} producerId: {pid} "
+        f"producerEpoch: {epoch} partitionLeaderEpoch: {leader_epoch} "
+        f"isTransactional: {str(transactional).lower()} isControl: {str(control).lower()}{dh} "
+        f"position: {position} CreateTime: {t_ms} size: {size} magic: 2 "
+        f"compresscodec: {rng.choice(COMPRESS)} crc: {crc} isvalid: {str(valid).lower()}"
+    )
+
+
+def _render_data_msg(rng: random.Random, *, offset: int, t_ms: int, seq: int) -> str:
+    ks = rng.choice([-1, 8, 16, 36])
+    vs = rng.choice([64, 128, 512, 1024])
+    casing = rng.random() < 0.5
+    key_kw, hdr_kw = ("keySize", "headerKeys") if casing else ("keysize", "headerkeys")
+    hdrs = rng.choice(["", "trace-id", "trace-id,span-id"])
+    payload = " payload: " + "x" * rng.randrange(4, 12) if rng.random() < 0.25 else ""
+    ct_kw = "CreateTime" if rng.random() < 0.85 else "createTime"
+    return (
+        f"| offset: {offset} {ct_kw}: {t_ms} {key_kw}: {ks} valueSize: {vs} "
+        f"sequence: {seq} {hdr_kw}: [{hdrs}]{payload}"
+    )
+
+
+def _render_control_msg(rng: random.Random, *, offset: int, t_ms: int, commit: bool) -> str:
+    marker = "COMMIT" if commit else "ABORT"
+    return (
+        f"| offset: {offset} CreateTime: {t_ms} keySize: 4 valueSize: 6 "
+        f"sequence: -1 headerKeys: [] endTxnMarker: {marker} coordinatorEpoch: {rng.randrange(0, 5)}"
+    )
+
+
+def _render_txn_state_msg(rng: random.Random, *, offset: int, t_ms: int, txn_id: str,
+                          pid: int, epoch: int, state: str | None, parts: str) -> str:
+    if state is None:
+        payload = "<DELETE>"
+    else:
+        payload = (
+            f"producerId:{pid},producerEpoch:{epoch},state={state},partitions=[{parts}],"
+            f"txnLastUpdateTimestamp={t_ms},txnTimeoutMs=60000"
+        )
+    return (
+        f"| offset: {offset} CreateTime: {t_ms} keySize: 30 valueSize: 50 sequence: -1 "
+        f"headerKeys: [] key: transaction_metadata::transactionalId={txn_id} payload: {payload}"
+    )
+
+
+def _render_snapshot_line(rng: random.Random, *, pid: int, epoch: int, variant3x: bool) -> str:
+    coord = rng.randrange(0, 5)
+    cur = "None" if rng.random() < 0.5 else f"Some({rng.randrange(0, 100000)})"
+    last_ts = f" lastTimestamp: {T0_MS + rng.randrange(0, 10 ** 6)}" if variant3x else ""
+    fs = rng.randrange(0, 1000)
+    ls = fs + rng.randrange(0, 50)
+    lo = rng.randrange(0, 100000)
+    return (
+        f"producerId: {pid} producerEpoch: {epoch} coordinatorEpoch: {coord} "
+        f"currentTxnFirstOffset: {cur}{last_ts} firstSequence: {fs} lastSequence: {ls} "
+        f"lastOffset: {lo} offsetDelta: {ls - fs} timestamp: {T0_MS + rng.randrange(0, 10 ** 6)}"
+    )
+
+
+CORRUPT_LINES = [
+    "baseOffset: 1331 lastOffset: 1331 count: 1 baseSequence: -1",  # truncated 2.8-style header
+    "| offset: 99 CreateTime: oops keySize: 4",                     # malformed record
+    "$$$ GARBAGE LINE NOT A RECORD $$$",
+    "| offset: not-a-number CreateTime: 1 keySize: 1 valueSize: 1 sequence: 1 headerKeys: []",
+]
+
+
+def _gen_data_partition(seed: int, part: int, n_lines_budget: int):
+    """One topic-partition's stream of dump lines, split into segment files.
+
+    Yields (dump_file_name, source_path, [lines]) in offset order. Producer
+    sessions are partition-local; one hot session gets ~35% of traffic
+    (skew scenario per the north rule).
+    """
+    rng = random.Random(f"{seed}-data-{part}")
+    pids = [part * 1000 + i for i in range(1, 9)]
+    hot = pids[0]
+    epochs = {p: rng.randrange(0, 3) for p in pids}
+    open_txn: set[tuple[int, int]] = set()
+    offset = 0
+    leader_epoch = part
+    files: list[tuple[str, str, list[str]]] = []
+    lines_emitted = 0
+    file_lines: list[str] = []
+    file_base = 0
+    position = 0
+    t_ms = T0_MS
+    variant3x = rng.random() < 0.5
+
+    def flush_file():
+        nonlocal file_lines, file_base, position, variant3x
+        if not file_lines:
+            return
+        seg = f"{file_base:020d}.log"
+        src = f"/tmp/kafka-logs/{TOPIC}-{part}/{seg}"
+        name = f"{TOPIC}-{part}-{file_base:020d}.log.dump.txt"
+        head = "Log starting offset" if rng.random() < 0.5 else "Starting offset"
+        header = [f"Dumping {src}", f"{head}: {file_base}"]
+        files.append((name, src, header + file_lines))
+        file_lines = []
+        file_base = offset
+        position = 0
+        variant3x = rng.random() < 0.5
+
+    target_file_lines = max(200, min(1500, n_lines_budget // 4))
+    while lines_emitted < n_lines_budget:
+        r = rng.random()
+        t_ms += rng.randrange(1, 800)
+        if r < 0.04 and lines_emitted > 10:
+            # corrupt garbage injected mid-file (2.8-style breakage,
+            # SegmentDumpReaderTest.java:262-274) -> must route to corrupt
+            file_lines.append(rng.choice(CORRUPT_LINES))
+            lines_emitted += 1
+        elif r < 0.07:
+            offset += rng.randrange(2, 7)  # offset gap (W8)
+        elif r < 0.22 and open_txn:
+            # control batch closing an open txn (commit 70%)
+            pid, ep = rng.choice(sorted(open_txn))
+            open_txn.discard((pid, ep))
+            commit = rng.random() < 0.7
+            size = rng.randrange(60, 120)
+            file_lines.append(_render_batch(rng, base_offset=offset, count=1, pid=pid, epoch=ep,
+                                            leader_epoch=leader_epoch, transactional=True, control=True,
+                                            position=position, t_ms=t_ms, size=size, variant3x=variant3x))
+            file_lines.append(_render_control_msg(rng, offset=offset, t_ms=t_ms, commit=commit))
+            offset += 1
+            position += size
+            lines_emitted += 2
+        elif r < 0.26:
+            # empty txn: control for a session with nothing open
+            # (EmptyTransaction.java:24-35)
+            pid = rng.choice(pids)
+            ep = epochs[pid]
+            if (pid, ep) in open_txn:
+                open_txn.discard((pid, ep))  # still a legal close; keep stream consistent
+            size = rng.randrange(60, 120)
+            file_lines.append(_render_batch(rng, base_offset=offset, count=1, pid=pid, epoch=ep,
+                                            leader_epoch=leader_epoch, transactional=True, control=True,
+                                            position=position, t_ms=t_ms, size=size, variant3x=variant3x))
+            file_lines.append(_render_control_msg(rng, offset=offset, t_ms=t_ms, commit=rng.random() < 0.3))
+            offset += 1
+            position += size
+            lines_emitted += 2
+        elif r < 0.34:
+            # non-transactional batch
+            count = rng.randrange(1, 4)
+            size = rng.randrange(100, 400)
+            valid = rng.random() > 0.04  # some CRC-invalid (W1 -> corrupt route)
+            file_lines.append(_render_batch(rng, base_offset=offset, count=count, pid=-1, epoch=-1,
+                                            leader_epoch=leader_epoch, transactional=False, control=False,
+                                            position=position, t_ms=t_ms, size=size, variant3x=variant3x,
+                                            valid=valid))
+            for i in range(count):
+                file_lines.append(_render_data_msg(rng, offset=offset + i, t_ms=t_ms + i, seq=-1))
+            offset += count
+            position += size
+            lines_emitted += 1 + count
+        else:
+            # transactional data batch (hot-session skew)
+            pid = hot if rng.random() < 0.35 else rng.choice(pids)
+            ep = epochs[pid]
+            count = rng.randrange(1, 4)
+            size = rng.randrange(100, 400)
+            valid = rng.random() > 0.03
+            file_lines.append(_render_batch(rng, base_offset=offset, count=count, pid=pid, epoch=ep,
+                                            leader_epoch=leader_epoch, transactional=True, control=False,
+                                            position=position, t_ms=t_ms, size=size, variant3x=variant3x,
+                                            valid=valid))
+            seq0 = rng.randrange(0, 100000)
+            for i in range(count):
+                file_lines.append(_render_data_msg(rng, offset=offset + i, t_ms=t_ms + i, seq=seq0 + i))
+            if valid:
+                open_txn.add((pid, ep))
+            offset += count
+            position += size
+            lines_emitted += 1 + count
+            # occasionally bump a session epoch (fencing), leaving old epoch's txn open
+            if rng.random() < 0.01:
+                epochs[pid] += 1
+        if len(file_lines) >= target_file_lines:
+            flush_file()
+    flush_file()
+    return files
+
+
+def _gen_txn_state_partition(seed: int, n_lines_budget: int):
+    """__transaction_state-<N> segment dumps (state changes + tombstones)."""
+    rng = random.Random(f"{seed}-txnstate")
+    txn_ids = [f"txn-app-{i}" for i in range(12)]
+    state: dict[str, str | None] = {}
+    pid_of = {t: 9000 + i for i, t in enumerate(txn_ids)}
+    epoch_of = {t: rng.randrange(0, 3) for t in txn_ids}
+    offset = 0
+    position = 0
+    t_ms = T0_MS
+    lines: list[str] = []
+    emitted = 0
+    files = []
+    file_base = 0
+
+    def flush(last=False):
+        nonlocal lines, file_base, position
+        if not lines:
+            return
+        seg = f"{file_base:020d}.log"
+        src = f"/tmp/kafka-logs/__transaction_state-{TXN_STATE_PART}/{seg}"
+        name = f"__transaction_state-{TXN_STATE_PART}-{file_base:020d}.log.dump.txt"
+        files.append((name, src, [f"Dumping {src}", f"Log starting offset: {file_base}"] + lines))
+        lines = []
+        file_base = offset
+        position = 0
+
+    while emitted < n_lines_budget:
+        t_ms += rng.randrange(1, 500)
+        tid = rng.choice(txn_ids)
+        cur = state.get(tid)
+        if cur == "Dead":
+            state.pop(tid, None)
+            cur = None
+        r = rng.random()
+        if r < 0.04:
+            nxt = None  # tombstone <DELETE>
+        elif r < 0.08 and cur is not None:
+            # deliberately invalid transition (exercises W4 flagging)
+            bad = [s for s in ALL_STATES if not _valid_prev(s, cur)]
+            nxt = rng.choice(bad) if bad else rng.choice(STATE_NEXT[cur])
+        else:
+            choices = STATE_NEXT.get(cur) or STATE_NEXT[None]
+            nxt = rng.choice(choices)
+        size = rng.randrange(80, 200)
+        # batches in __transaction_state have pid/epoch = -1 and are
+        # non-transactional (SegmentDumpReader.java:317,322-338)
+        lines.append(_render_batch(rng, base_offset=offset, count=1, pid=-1, epoch=-1,
+                                   leader_epoch=0, transactional=False, control=False,
+                                   position=position, t_ms=t_ms, size=size, variant3x=False))
+        if rng.random() < 0.02:
+            epoch_of[tid] += 1
+        lines.append(_render_txn_state_msg(rng, offset=offset, t_ms=t_ms, txn_id=tid,
+                                           pid=pid_of[tid], epoch=epoch_of[tid], state=nxt,
+                                           parts=f"{TOPIC}-{rng.randrange(0, N_PARTITIONS)}"))
+        if nxt is not None:
+            state[tid] = nxt
+        else:
+            state.pop(tid, None)
+        offset += 1
+        position += size
+        emitted += 2
+        if len(lines) >= 1000:
+            flush()
+    flush(last=True)
+    return files
+
+
+def _valid_prev(nxt: str, prev: str) -> bool:
+    table = {
+        "Ongoing": {"Ongoing", "CompleteAbort", "CompleteCommit", "Empty"},
+        "PrepareCommit": {"Ongoing"},
+        "PrepareAbort": {"Ongoing"},
+        "CompleteCommit": {"PrepareCommit"},
+        "CompleteAbort": {"PrepareAbort"},
+        "Empty": {"CompleteAbort", "CompleteCommit", "Empty"},
+        "Dead": {"Empty", "CompleteAbort", "CompleteCommit"},
+    }
+    return prev in table[nxt]
+
+
+def _gen_snapshots(seed: int, n_lines_budget: int):
+    rng = random.Random(f"{seed}-snapshot")
+    files = []
+    emitted = 0
+    idx = 0
+    while emitted < n_lines_budget:
+        part = idx % N_PARTITIONS
+        base = (idx + 1) * 1_000_000
+        seg = f"{base:020d}.snapshot"
+        src = f"/tmp/kafka-logs/{TOPIC}-{part}/{seg}"
+        name = f"{TOPIC}-{part}-{base:020d}.snapshot.dump.txt"
+        variant3x = idx % 2 == 0
+        k = min(rng.randrange(20, 60), n_lines_budget - emitted)
+        lines = [f"Dumping {src}"]
+        for _ in range(k):
+            pid = part * 1000 + rng.randrange(1, 9)
+            lines.append(_render_snapshot_line(rng, pid=pid, epoch=rng.randrange(0, 3), variant3x=variant3x))
+        files.append((name, src, lines))
+        emitted += k + 1
+        idx += 1
+    return files
+
+
+def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool = False) -> Path:
+    """Generate the fixture at scale factor ``sf`` into ``out_dir`` (cached)."""
+    out = Path(out_dir)
+    marker = out / "_GENERATED.json"
+    spec = {"sf": sf, "seed": seed, "version": 5}
+    if marker.exists() and not force:
+        try:
+            if json.loads(marker.read_text()) == spec:
+                return out
+        except (ValueError, OSError):
+            pass
+    out.mkdir(parents=True, exist_ok=True)
+
+    total = max(2000, int(LINES_PER_SF * sf))
+    data_budget = int(total * 0.80)
+    txn_budget = int(total * 0.14)
+    snap_budget = int(total * 0.06)
+
+    all_files: list[tuple[str, str, list[str]]] = []
+    per_part = data_budget // N_PARTITIONS
+    for p in range(N_PARTITIONS):
+        all_files.extend(_gen_data_partition(seed, p, per_part))
+    all_files.extend(_gen_txn_state_partition(seed, txn_budget))
+    all_files.extend(_gen_snapshots(seed, snap_budget))
+
+    doc_ids: list[str] = []
+    sources: list[str] = []
+    texts: list[str] = []
+    for name, src, lines in all_files:
+        for i, line in enumerate(lines, start=1):
+            doc_ids.append(f"{name}:{i}")
+            sources.append(src)
+            texts.append(line)
+
+    values, offsets = texts_to_token_arrays(texts)
+    tokens_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32()))
+    n_tok = (offsets[1:] - offsets[:-1]).astype(np.int32)
+
+    seq = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "tokens": tokens_arr,
+            "n_tok": pa.array(n_tok, type=pa.int32()),
+            "source": pa.array(sources, type=pa.string()),
+        }
+    )
+    pq.write_table(seq, out / "sequences.parquet", row_group_size=200_000)
+
+    txt = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "line": pa.array(texts, type=pa.string()),
+            "source": pa.array(sources, type=pa.string()),
+        }
+    )
+    pq.write_table(txt, out / "sequences_text.parquet", row_group_size=200_000)
+
+    # broadcast dimensions (FIXTURES.md §2)
+    topics = []
+    for p in range(N_PARTITIONS):
+        topics.append((TOPIC, p, "delete", False))
+    topics.append(("__transaction_state", TXN_STATE_PART, "compact", True))
+    pq.write_table(
+        pa.table(
+            {
+                "topic": pa.array([t[0] for t in topics]),
+                "partition": pa.array([t[1] for t in topics], type=pa.int32()),
+                "cleanup_policy": pa.array([t[2] for t in topics]),
+                "is_internal": pa.array([t[3] for t in topics]),
+            }
+        ),
+        out / "topic_meta.parquet",
+    )
+    pids = sorted({part * 1000 + i for part in range(N_PARTITIONS) for i in range(1, 9)} | {9000 + i for i in range(12)})
+    pq.write_table(
+        pa.table(
+            {
+                "producer_id": pa.array(pids, type=pa.int64()),
+                "client_name": pa.array([f"client-{p % 7}" for p in pids]),
+                "team": pa.array([f"team-{p % 3}" for p in pids]),
+            }
+        ),
+        out / "producer_meta.parquet",
+    )
+
+    marker.write_text(json.dumps(spec))
+    return out
+
+
+def fixture_dir_for_sf(sf: float, root: str | Path = "/root/repo/data/klog") -> Path:
+    return Path(root) / f"sf{sf:g}"
+
+
+def ensure_fixture(sf: float, root: str | Path = "/root/repo/data/klog", seed: int = 42) -> Path:
+    return generate_fixture(sf, fixture_dir_for_sf(sf, root), seed=seed)

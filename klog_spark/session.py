@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Configured for correctness-at-scale even though the sandbox runs local[N]:
+AQE (runtime re-planning + skew-join splitting), Arrow for every
+JVM<->Python crossing, UTC session timezone (klog renders epoch-millis as
+``Instant``, i.e. UTC — reference: segment/model/Batch.java:113), and a
+shuffle-partition count sized for the local box (on a real cluster leave
+``spark.sql.shuffle.partitions`` to AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "klog-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
+    real cluster pass ``None`` and let spark-submit provide it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER_SET"):
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf = {
+        # Runtime re-planning: partition coalescing + skew-join splitting.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow on every Python boundary; batch size tuned for wide parse rows.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+        # klog renders timestamps as java.time.Instant (UTC).
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or int(cpus)),
+        # Parquet scans: vectorized reader + aggressive pushdown are defaults,
+        # keep them explicit so a misconfigured cluster can't regress them.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.enableVectorizedReader": "true",
+        # Broadcast threshold: dimension tables (topic/producer meta) are tiny.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.driver.memory": os.environ.get("KLOG_SPARK_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
