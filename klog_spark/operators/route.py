@@ -1,0 +1,99 @@
+"""Fan-out routing: klog's visitor double-dispatch as ONE partitioned write.
+
+klog dispatches each record to a per-class visitor method
+(segment/model/SegmentVisitor.java:19-29, Batch.accept at
+Batch.java:238-243). The scalable Spark form is not N filtered jobs over a
+cached DataFrame — at 100 TB a cache doesn't fit and N passes re-run the
+parse N times. Instead the parsed stream is written once, partitioned by
+``record_class``: every sink becomes a partition directory, the parse UDF
+runs exactly once, and downstream readers get partition pruning for free
+(``WHERE record_class = 'batch'`` never touches other sinks' files).
+
+Validity routing folded in before the write (the reference *throws*; we
+re-route):
+  * CRC-invalid batches (AssertBatchesValid.java:27-37)          -> corrupt
+  * txn-state segment invariant violations
+    (SegmentDumpReader.checkBatch:322-338, W5/W6)                -> corrupt
+  * snapshot pid/epoch == -1 (AssertTransactionalProducer:25-35) -> corrupt
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import (
+    BATCH_COLS,
+    CONTROL_MSG_COLS,
+    CORRUPT_COLS,
+    DATA_MSG_COLS,
+    PRODUCER_STATE_COLS,
+    TXN_STATE_COLS,
+)
+
+SINKS = ("batch", "data_msg", "control_msg", "txn_state", "txn_deletion", "producer_state", "header", "corrupt")
+
+SINK_PROJECTIONS = {
+    "batch": BATCH_COLS,
+    "data_msg": DATA_MSG_COLS,
+    "control_msg": CONTROL_MSG_COLS,
+    "txn_state": TXN_STATE_COLS,
+    "txn_deletion": DATA_MSG_COLS + ["transactional_id", "is_deletion"],
+    "producer_state": PRODUCER_STATE_COLS,
+    "corrupt": CORRUPT_COLS,
+}
+
+
+def apply_validity_routing(parsed: DataFrame) -> DataFrame:
+    """Re-route reference-fatal rows to the corrupt class with a reason."""
+    is_batch = F.col("record_class") == "batch"
+    txn_seg = F.col("segment_type") == "txn_state"
+    data_seg = F.col("segment_type") == "data"
+
+    crc_invalid = is_batch & ~F.col("is_valid")
+    # __transaction_state batches must have pid == epoch == -1 and be
+    # non-transactional (checkBatch + AssertBatchesTransactional)
+    txn_seg_invariant = is_batch & txn_seg & (
+        (F.col("producer_id") != -1) | (F.col("producer_epoch") != -1) | F.col("is_transactional")
+    )
+    # DATA transactional batches must carry a real session (checkBatch)
+    data_invariant = is_batch & data_seg & F.col("is_transactional") & (
+        (F.col("producer_id") == -1) | (F.col("producer_epoch") == -1)
+    )
+    snap_invariant = (F.col("record_class") == "producer_state") & (
+        (F.col("producer_id") == -1) & (F.col("producer_epoch") == -1)
+    )
+
+    reason = (
+        F.when(crc_invalid, F.lit("crc_invalid"))
+        .when(txn_seg_invariant, F.lit("txn_state_segment_invariant"))
+        .when(data_invariant, F.lit("transactional_batch_without_session"))
+        .when(snap_invariant, F.lit("non_transactional_producer_state"))
+    )
+    # materialize the reason before record_class is overwritten — both
+    # replacement columns must see the ORIGINAL record_class
+    tagged = parsed.withColumn("_route_reason", reason)
+    return (
+        tagged.withColumn(
+            "record_class",
+            F.when(F.col("_route_reason").isNotNull(), F.lit("corrupt")).otherwise(F.col("record_class")),
+        )
+        .withColumn("corrupt_reason", F.coalesce(F.col("corrupt_reason"), F.col("_route_reason")))
+        .drop("_route_reason")
+    )
+
+
+def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """Single-pass fan-out write, one partition directory per sink class."""
+    parsed.write.mode(mode).partitionBy("record_class").parquet(out_dir)
+
+
+def read_sink(spark, out_dir: str, record_class: str) -> DataFrame:
+    """Read one sink with partition pruning + the klog per-class projection."""
+    df = spark.read.parquet(out_dir).filter(F.col("record_class") == record_class)
+    cols = SINK_PROJECTIONS.get(record_class)
+    return df.select(*cols) if cols else df
+
+
+def sink_counts(parsed: DataFrame) -> DataFrame:
+    return parsed.groupBy("record_class").agg(F.count("*").alias("n_rows")).orderBy("record_class")

@@ -1,0 +1,76 @@
+"""End-to-end parse -> enrich -> route -> aggregate orchestration.
+
+One ``Pipeline`` run is the distributed equivalent of every klog CLI
+invocation at once (segment cat / txn-stat / snapshot cat / abort-cmd —
+segment/cli/Cat.java:71-90, TxnStat.java:64-104, snapshot/cli/*):
+the input table is parsed once, routed once, and every aggregate/report is
+a query over the routed result.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import Checkpoint, run_incremental
+from .operators import aggregates, checks, enrich, filters
+from .operators.parse import parse_sequences
+from .operators.route import apply_validity_routing, sink_counts
+
+
+@dataclass
+class Pipeline:
+    spark: SparkSession
+    fixture_dir: str
+
+    def input_df(self) -> DataFrame:
+        return self.spark.read.parquet(str(Path(self.fixture_dir) / "sequences.parquet"))
+
+    def topic_meta(self) -> DataFrame:
+        return self.spark.read.parquet(str(Path(self.fixture_dir) / "topic_meta.parquet"))
+
+    def producer_meta(self) -> DataFrame:
+        return self.spark.read.parquet(str(Path(self.fixture_dir) / "producer_meta.parquet"))
+
+    def parsed(self) -> DataFrame:
+        """Parse + validity routing (no materialization — callers compose)."""
+        return apply_validity_routing(parse_sequences(self.input_df()))
+
+    def run_routed(self, out_dir: str) -> dict:
+        """Checkpointed incremental route-write (resumable, idempotent)."""
+        ckpt = Checkpoint(Path(out_dir) / "_checkpoint")
+        return run_incremental(self.spark, str(Path(self.fixture_dir) / "sequences.parquet"), out_dir, ckpt)
+
+    # --- the reference's query surface -------------------------------------
+    def txn_stats(self, **flt) -> DataFrame:
+        return aggregates.txn_stats(self.parsed(), **flt)
+
+    def cat_batches(self, **flt) -> DataFrame:
+        return filters.cat_batches(self.parsed(), **flt)
+
+    def cat_producer_states(self, **flt) -> DataFrame:
+        return filters.cat_producer_states(self.parsed(), **flt)
+
+    def abort_commands(self, pid: int, producer_epoch: int) -> DataFrame:
+        return enrich.abort_commands_for(self.parsed(), pid, producer_epoch)
+
+    def sink_counts(self) -> DataFrame:
+        return sink_counts(self.parsed())
+
+    def enriched_batches(self) -> DataFrame:
+        df = self.parsed().filter(F.col("record_class") == "batch")
+        df = enrich.enrich_with_topic_meta(df, self.topic_meta())
+        return enrich.enrich_with_producer_meta(df, self.producer_meta())
+
+    def all_checks(self) -> dict[str, DataFrame]:
+        p = self.parsed()
+        return {
+            "offset_gaps": aggregates.offset_gaps(p),
+            "position_monotonic": checks.position_monotonic_violations(p),
+            "leader_epoch_monotonic": checks.leader_epoch_monotonic_violations(p),
+            "state_machine": checks.state_machine_violations(p),
+            "batch_message_count": checks.batch_message_count_check(p),
+        }
