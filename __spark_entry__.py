@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship parse→route→aggregate query; ``queries`` /
+``oracle_sql`` pair every implemented operator from SURVEY.md §2 with an
+independent DuckDB recomputation (see klog_spark/entry_queries.py — the
+Spark side consumes only the tokenized input, the oracle only the text
+rendition of the same seeded fixture).
 """
 
 from __future__ import annotations
@@ -13,26 +13,60 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from klog_spark import entry_queries as eq
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full txn-stat aggregate over the sf0.001 fixture."""
+    return eq.q_txn_stats(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # klog parse -> route -> aggregate surface (SURVEY.md §2)
+        "klog_route_counts": eq.q_route_counts,            # S1-S6, X1-X5 routing
+        "klog_sink_batches": eq.q_sink_batches,            # S9 batch sink + token equality
+        "klog_sink_control": eq.q_sink_control,            # X3 control sink
+        "klog_sink_txn_state": eq.q_sink_txn_state,        # X4 txn-state sink
+        "klog_sink_producer_state": eq.q_sink_producer_state,  # S7/X5 snapshot sink
+        "klog_sink_corrupt": eq.q_sink_corrupt,            # W1/W5-W7 corrupt routing
+        "klog_txn_stats": eq.q_txn_stats,                  # A1-A7 + W8 (txn-stat CLI)
+        "klog_batches_per_epoch": eq.q_batches_per_epoch,  # A9
+        "klog_open_txns": eq.q_open_txns,                  # A5
+        "klog_empty_txns": eq.q_empty_txns,                # A6
+        "klog_offset_gaps": eq.q_offset_gaps,              # W8 detail
+        "klog_cat_pid": eq.q_cat_pid,                      # P1/P8/F1 (segment cat --pid)
+        "klog_filter_txn_id": eq.q_filter_txn_id,          # P5
+        "klog_state_machine_violations": eq.q_state_machine_violations,  # W4
+        "klog_enrich_producer_team": eq.q_enrich_producer_team,  # broadcast enrich
+        "klog_enrich_topic": eq.q_enrich_topic,            # broadcast enrich
+        "klog_abort_cmds": eq.q_abort_cmds,                # S10 (snapshot abort-cmd)
+        "klog_coordinating_partition": eq.q_coordinating_partition,  # F5
+        "klog_first_last_batch": eq.q_first_last_batch,    # A4
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "klog_route_counts": eq.SQL_ROUTE_COUNTS,
+        "klog_sink_batches": eq.SQL_SINK_BATCHES,
+        "klog_sink_control": eq.SQL_SINK_CONTROL,
+        "klog_sink_txn_state": eq.SQL_SINK_TXN_STATE,
+        "klog_sink_producer_state": eq.SQL_SINK_PRODUCER_STATE,
+        "klog_sink_corrupt": eq.SQL_SINK_CORRUPT,
+        "klog_txn_stats": eq.SQL_TXN_STATS,
+        "klog_batches_per_epoch": eq.SQL_BATCHES_PER_EPOCH,
+        "klog_open_txns": eq.SQL_OPEN_TXNS,
+        "klog_empty_txns": eq.SQL_EMPTY_TXNS,
+        "klog_offset_gaps": eq.SQL_OFFSET_GAPS,
+        "klog_cat_pid": eq.SQL_CAT_PID,
+        "klog_filter_txn_id": eq.SQL_FILTER_TXN_ID,
+        "klog_state_machine_violations": eq.SQL_STATE_MACHINE.replace(
+            "{VALID_PREV}", eq._sql_valid_prev_case()
+        ),
+        "klog_enrich_producer_team": eq.SQL_ENRICH_PRODUCER_TEAM,
+        "klog_enrich_topic": eq.SQL_ENRICH_TOPIC,
+        "klog_abort_cmds": eq.SQL_ABORT_CMDS,
+        "klog_coordinating_partition": eq.SQL_COORDINATING_PARTITION,
+        "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
+    }

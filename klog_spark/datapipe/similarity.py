@@ -1,0 +1,142 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+* brute-force cosine top-k — the exactness baseline. The query set is tiny
+  and broadcast as a numpy matrix; each Arrow batch of the corpus does ONE
+  matmul (vectorized pandas UDF), followed by a per-query top-k window.
+  Per-partition pre-top-k keeps the shuffle at O(k * queries * partitions).
+* LSH (random-hyperplane) bucketing — the 100 TB path: corpus and queries
+  hash to sign-bit buckets; search joins only matching buckets (equi-join,
+  broadcast on the query side), then exact-scores within candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType, StructField, StructType
+
+
+def _normalize_np(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query: (qid, vec_id, rank, cosine).
+
+    ``queries`` is a small driver-side list [(qid, vector), ...] — broadcast
+    to every task; scoring is one float64 GEMM per Arrow batch.
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize_np(np.array([q[1] for q in queries], dtype=np.float64))
+    spark = emb.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    n_queries = len(queries)
+
+    def score(it):
+        q_ids, q_mat = bq.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            corpus = _normalize_np(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            sims = corpus @ q_mat.T  # (batch, nq)
+            vec_ids = pdf[id_col].to_numpy()
+            # per-batch pre-top-k per query bounds the shuffle
+            kk = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rows = {
+                "qid": np.repeat(q_ids, kk),
+                "vec_id": vec_ids[idx].T.ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def hyperplane_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 7,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign-bit signature).
+
+    Deterministic planes from a seeded RNG; one pandas-UDF matmul per batch.
+    """
+    first = emb.select(vec_col).first()
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    spark = emb.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+
+    schema = StructType([StructField("vec_id", LongType()), StructField("bucket", LongType())])
+
+    def bucketize(it):
+        pl = bp.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (mat @ pl) > 0
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(pl.shape[1]):
+                bucket |= bits[:, i].astype(np.int64) << i
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(bucketize, schema)
+
+
+def lsh_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
+             n_planes: int = 8, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k searching only the query's LSH bucket (plus exact scoring
+    within candidates). Recall < 1 by construction; tested against the
+    brute-force baseline."""
+    buckets = hyperplane_buckets(emb, n_planes, seed, id_col, vec_col)
+    corpus = emb.join(buckets, emb[id_col] == buckets["vec_id"], "inner").select(
+        emb[id_col].alias("cid"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+
+    rng = np.random.default_rng(seed)
+    dim = len(queries[0][1])
+    planes = rng.standard_normal((dim, n_planes))
+    qrows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        bits = (v @ planes) > 0
+        bucket = 0
+        for i in range(n_planes):
+            bucket |= int(bits[i]) << i
+        qrows.append((qid, [float(x) for x in v], bucket))
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(qrows, "qid: long, qvec: array<double>, bucket: long")
+
+    cand = corpus.join(F.broadcast(qdf), "bucket")
+    qn = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    dot = F.aggregate(F.zip_with("qvec", "cvec", lambda x, y: x * y.cast("double")), F.lit(0.0), lambda a, z: a + z)
+    scored = cand.withColumn("cosine", dot / (qn * cn))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("vec_id"), "rank", F.round("cosine", 4).alias("cosine"))
+    )

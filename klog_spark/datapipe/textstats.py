@@ -1,0 +1,89 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting — all JVM-side expressions (zero
+Python in the hot path) except the fingerprint, which reuses the
+numpy-vectorized polynomial hash from klog_spark.javahash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword sets (n-gram/stopword-vote heuristic)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+}
+
+_WORDS = lambda c: F.split(F.lower(F.trim(F.col(c))), r"\s+")  # noqa: E731
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy (runs of letters /
+    digits / single punctuation, the common pre-tokenizer regex)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_WORDS(text_col)).alias("n_ws_tokens"),
+        F.cast("int", F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))).alias(
+            "n_subword_tokens"
+        ),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword heuristics (the classic pre-training
+    quality filters), rounded for cross-engine comparability."""
+    words = _WORDS(text_col)
+    n_words = F.size(words)
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stops])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    avg_word_len = (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_words)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        F.round(n_punct / F.length(text_col), 4).alias("punct_ratio"),
+        ((n_words >= 5) & (n_stop / n_words >= 0.01) & (n_punct / F.length(text_col) < 0.3)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stopword-vote language guess: count distinct stopword
+    hits per language, argmax with lexicographic tiebreak."""
+    words = F.array_distinct(_WORDS(text_col))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(F.size(F.array_intersect(words, arr)).alias(f"score_{lang}"))
+    df = docs.select(F.col(id_col).alias("doc_id"), *scores)
+    # argmax by (score desc, lang asc): fold over languages
+    langs = sorted(STOPWORDS)
+    best_lang = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return df.select(
+        "doc_id", *[F.col(f"score_{lg}") for lg in langs],
+        F.when(best_score > 0, best_lang).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit polynomial rolling-hash fingerprint of the full text (the Java
+    String.hashCode recurrence — deterministic, replicable in any engine)."""
+    from ..javahash import java_string_hash
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        java_string_hash(F.col(text_col)).alias("fingerprint"),
+    )

@@ -1,0 +1,682 @@
+"""Driver-contract query registry: Spark queries + independent DuckDB oracles.
+
+Each entry pairs a PySpark query (operating on the tokenized input through
+the real engine: detokenize -> vectorized parse -> route -> aggregate) with
+an ANSI-SQL oracle that DuckDB evaluates over the *text* rendition of the
+same fixture (``sequences_text.parquet``) — a genuinely independent
+recomputation: the oracle never sees the token arrays the engine decodes,
+and the engine never sees the text column the oracle reads.
+
+Column names are aligned on both sides (the driver compares sorted-by-name
+value hashes); doubles are explicitly rounded on both sides.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import grammar as g
+from .datagen import ensure_fixture
+
+FIXTURE_ROOT = "/root/repo/data/klog"
+ORACLE_SF = 0.01  # the driver's correctness scale
+FX = f"{FIXTURE_ROOT}/sf{ORACLE_SF:g}"
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    return float(m.group(1)) if m else ORACLE_SF
+
+
+def klog_fixture(sf_dir: str) -> str:
+    return str(ensure_fixture(sf_of(sf_dir), FIXTURE_ROOT))
+
+
+def load_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import parse_sequences
+    from .operators.route import apply_validity_routing
+
+    fx = klog_fixture(sf_dir)
+    return apply_validity_routing(parse_sequences(spark.read.parquet(f"{fx}/sequences.parquet")))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL construction (RE2 regexes = the same grammar strings)
+# ---------------------------------------------------------------------------
+
+_BATCH_RE = "^(?:" + g.BATCH_PATTERN.pattern + ")$"
+_DATA_RE = "^(?:" + g.DATA_RECORD_PATTERN.pattern + ")$"
+_CONTROL_RE = "^(?:" + g.CONTROL_RECORD_PATTERN.pattern + ")$"
+_TXN_RE = "^(?:" + g.TXN_RECORD_PATTERN.pattern + ")$"
+_PAYLOAD_RE = "^(?:" + g.TXN_PAYLOAD_PATTERN.pattern + ")$"
+_SNAPSHOT_RE = "^(?:" + g.SNAPSHOT_PATTERN.pattern + ")$"
+
+
+def _sqlq(pattern: str) -> str:
+    """Quote a regex for embedding in a single-quoted SQL literal."""
+    return pattern.replace("'", "''")
+
+
+def klog_base_cte(fx: str = FX) -> str:
+    """Shared CTEs: classify every line exactly as the engine's parser +
+    validity routing do (classifier order mirrors
+    SegmentDumpReader.java:167-311; validity re-routes mirror
+    AssertBatchesValid + checkBatch + AssertTransactionalProducer)."""
+    return f"""
+raw AS (
+  SELECT t.doc_id, t.line, t.source,
+         regexp_extract(t.doc_id, '^(.*):([0-9]+)$', 1) AS file,
+         TRY_CAST(regexp_extract(t.doc_id, '^(.*):([0-9]+)$', 2) AS INT) AS line_no,
+         CASE WHEN regexp_matches(t.source, '/__transaction_state-[0-9]+/[^/]+$') THEN 'txn_state'
+              WHEN regexp_matches(t.source, '/__consumer_offsets-[0-9]+/[^/]+$') THEN 'consumer_offsets'
+              ELSE 'data' END AS segment_type,
+         regexp_extract(t.source, '.*/([a-zA-Z0-9_.-]+)-([0-9]+)/[^/]+$', 1) AS topic,
+         TRY_CAST(regexp_extract(t.source, '.*/([a-zA-Z0-9_.-]+)-([0-9]+)/[^/]+$', 2) AS INT) AS partition
+  FROM read_parquet('{fx}/sequences_text.parquet') t
+),
+cls0 AS (
+  SELECT *,
+    CASE
+      WHEN line LIKE 'Dumping %' THEN 'header'
+      WHEN line_no = 2 AND regexp_matches(line, '(?i)^.*starting offset: [0-9]+$') THEN 'header'
+      WHEN line LIKE 'baseOffset: %' THEN
+        CASE WHEN regexp_matches(line, '{_sqlq(_BATCH_RE)}') THEN 'batch' ELSE 'corrupt' END
+      WHEN line LIKE '| %' THEN
+        CASE
+          WHEN contains(line, ' key: transaction_metadata::transactionalId=') THEN
+            CASE
+              WHEN NOT regexp_matches(line, '{_sqlq(_TXN_RE)}') THEN 'corrupt'
+              WHEN regexp_extract(line, ' payload: (.*)$', 1) = '<DELETE>' THEN 'txn_deletion'
+              WHEN regexp_matches(regexp_extract(line, ' payload: (.*)$', 1), '{_sqlq(_PAYLOAD_RE)}')
+                THEN 'txn_state'
+              ELSE 'corrupt'
+            END
+          WHEN contains(line, ' endTxnMarker: ') THEN
+            CASE WHEN regexp_matches(line, '{_sqlq(_CONTROL_RE)}') THEN 'control_msg' ELSE 'corrupt' END
+          WHEN regexp_matches(line, '{_sqlq(_DATA_RE)}') THEN 'data_msg'
+          ELSE 'corrupt'
+        END
+      WHEN line LIKE 'producerId: %' THEN
+        CASE WHEN regexp_matches(line, '{_sqlq(_SNAPSHOT_RE)}') THEN 'producer_state' ELSE 'corrupt' END
+      ELSE 'corrupt'
+    END AS cls0
+  FROM raw
+),
+classified AS (
+  SELECT *,
+    CASE
+      WHEN cls0 = 'batch' AND regexp_extract(line, 'isvalid: (true|false)', 1) = 'false' THEN 'corrupt'
+      WHEN cls0 = 'batch' AND segment_type = 'txn_state'
+           AND (regexp_extract(line, ' producerId: (-?[0-9]+)', 1) <> '-1'
+                OR regexp_extract(line, ' producerEpoch: (-?[0-9]+)', 1) <> '-1'
+                OR regexp_extract(line, 'isTransactional: (true|false)', 1) = 'true') THEN 'corrupt'
+      WHEN cls0 = 'batch' AND segment_type = 'data'
+           AND regexp_extract(line, 'isTransactional: (true|false)', 1) = 'true'
+           AND (regexp_extract(line, ' producerId: (-?[0-9]+)', 1) = '-1'
+                OR regexp_extract(line, ' producerEpoch: (-?[0-9]+)', 1) = '-1') THEN 'corrupt'
+      WHEN cls0 = 'producer_state'
+           AND regexp_extract(line, '^producerId: ([0-9]+)', 1) = '-1'
+           AND regexp_extract(line, ' producerEpoch: ([0-9]+)', 1) = '-1' THEN 'corrupt'
+      ELSE cls0
+    END AS record_class
+  FROM cls0
+),
+batches_raw AS (
+  -- extracted from the PRE-routing batch class: klog's currentBatch cursor
+  -- points at invalid batches too (their messages are then dropped)
+  SELECT doc_id, file, line_no, source, segment_type, topic, partition, record_class,
+    TRY_CAST(regexp_extract(line, '^baseOffset: ([0-9]+)', 1) AS BIGINT) AS base_offset,
+    TRY_CAST(regexp_extract(line, ' lastOffset: ([0-9]+)', 1) AS BIGINT) AS last_offset,
+    TRY_CAST(regexp_extract(line, ' count: ([0-9]+)', 1) AS INT) AS count,
+    TRY_CAST(regexp_extract(line, ' baseSequence: (-?[0-9]+)', 1) AS INT) AS base_sequence,
+    TRY_CAST(regexp_extract(line, ' lastSequence: (-?[0-9]+)', 1) AS INT) AS last_sequence,
+    TRY_CAST(regexp_extract(line, ' producerId: (-?[0-9]+)', 1) AS BIGINT) AS producer_id,
+    TRY_CAST(regexp_extract(line, ' producerEpoch: (-?[0-9]+)', 1) AS SMALLINT) AS producer_epoch,
+    TRY_CAST(regexp_extract(line, ' partitionLeaderEpoch: ([0-9]+)', 1) AS INT) AS partition_leader_epoch,
+    regexp_extract(line, 'isTransactional: (true|false)', 1) = 'true' AS is_transactional,
+    regexp_extract(line, 'isControl: (true|false)', 1) = 'true' AS is_control,
+    TRY_CAST(regexp_extract(line, ' position: ([0-9]+)', 1) AS BIGINT) AS position,
+    TRY_CAST(regexp_extract(line, ' CreateTime: ([0-9]+)', 1) AS BIGINT) AS create_time_ms,
+    TRY_CAST(regexp_extract(line, ' size: ([0-9]+)', 1) AS INT) AS size,
+    TRY_CAST(regexp_extract(line, ' magic: ([0-9]+)', 1) AS TINYINT) AS magic,
+    regexp_extract(line, ' compresscodec: (none|[A-Z]+)', 1) AS compress_codec,
+    TRY_CAST(regexp_extract(line, ' crc: ([0-9]+)', 1) AS BIGINT) AS crc,
+    regexp_extract(line, 'isvalid: (true|false)', 1) = 'true' AS is_valid
+  FROM classified WHERE cls0 = 'batch'
+),
+batches AS (
+  SELECT * EXCLUDE (record_class) FROM batches_raw WHERE record_class = 'batch'
+),
+ctl_msgs AS (
+  SELECT doc_id, file, line_no,
+    TRY_CAST(regexp_extract(line, '\\| offset: ([0-9]+)', 1) AS BIGINT) AS "offset",
+    TRY_CAST(regexp_extract(line, ' [Cc]reateTime: ([0-9]+)', 1) AS BIGINT) AS msg_create_time_ms,
+    TRY_CAST(regexp_extract(line, ' key[Ss]ize: (-?[0-9]+)', 1) AS INT) AS key_size,
+    TRY_CAST(regexp_extract(line, ' value[Ss]ize: (-?[0-9]+)', 1) AS INT) AS value_size,
+    TRY_CAST(regexp_extract(line, ' sequence: (-?[0-9]+)', 1) AS INT) AS sequence,
+    regexp_extract(line, ' endTxnMarker: (COMMIT|ABORT)', 1) = 'COMMIT' AS commit,
+    TRY_CAST(regexp_extract(line, ' coordinatorEpoch: ([0-9]+)', 1) AS INT) AS coordinator_epoch
+  FROM classified WHERE record_class = 'control_msg'
+),
+txn_msgs AS (
+  SELECT doc_id, file, line_no, source, segment_type,
+    TRY_CAST(regexp_extract(line, '\\| offset: ([0-9]+)', 1) AS BIGINT) AS "offset",
+    TRY_CAST(regexp_extract(line, ' [Cc]reateTime: ([0-9]+)', 1) AS BIGINT) AS msg_create_time_ms,
+    regexp_extract(line, 'transactionalId=(.*) payload: ', 1) AS transactional_id,
+    TRY_CAST(regexp_extract(line, ' payload: producerId:([0-9]+),', 1) AS BIGINT) AS txn_producer_id,
+    TRY_CAST(regexp_extract(line, ',producerEpoch:([0-9]+),', 1) AS SMALLINT) AS txn_producer_epoch,
+    regexp_extract(line, ',state=([A-Za-z]+),', 1) AS state,
+    regexp_extract(line, ',partitions=\\[(.*)\\],txnLastUpdateTimestamp', 1) AS partitions,
+    TRY_CAST(regexp_extract(line, ',txnLastUpdateTimestamp=([0-9]+),', 1) AS BIGINT) AS txn_last_update_ms,
+    TRY_CAST(regexp_extract(line, ',txnTimeoutMs=([0-9]+)$', 1) AS BIGINT) AS txn_timeout_ms
+  FROM classified WHERE record_class = 'txn_state'
+),
+snapshots AS (
+  SELECT doc_id, file, line_no,
+    TRY_CAST(regexp_extract(line, '^producerId: ([0-9]+)', 1) AS BIGINT) AS producer_id,
+    TRY_CAST(regexp_extract(line, ' producerEpoch: ([0-9]+)', 1) AS SMALLINT) AS producer_epoch,
+    TRY_CAST(regexp_extract(line, ' coordinatorEpoch: ([0-9]+)', 1) AS INT) AS coordinator_epoch,
+    TRY_CAST(CASE WHEN contains(line, 'currentTxnFirstOffset: None') THEN '0'
+         ELSE regexp_extract(line, 'currentTxnFirstOffset: Some\\(([0-9]+)\\)', 1) END AS BIGINT)
+      AS current_txn_first_offset,
+    TRY_CAST(COALESCE(NULLIF(regexp_extract(line, ' lastTimestamp: ([0-9]+)', 1), ''), '0') AS BIGINT)
+      AS last_timestamp_ms,
+    TRY_CAST(regexp_extract(line, ' firstSequence: ([0-9]+)', 1) AS INT) AS first_sequence,
+    TRY_CAST(regexp_extract(line, ' lastSequence: ([0-9]+)', 1) AS INT) AS last_sequence,
+    TRY_CAST(regexp_extract(line, ' lastOffset: ([0-9]+)', 1) AS BIGINT) AS last_offset,
+    TRY_CAST(regexp_extract(line, ' offsetDelta: ([0-9]+)', 1) AS INT) AS offset_delta,
+    TRY_CAST(regexp_extract(line, ' timestamp: ([0-9]+)', 1) AS BIGINT) AS timestamp_ms
+  FROM classified WHERE record_class = 'producer_state'
+)"""
+
+
+def klog_txn_cte(fx: str = FX) -> str:
+    """CTEs for the sessionized transactional fold (valid data-segment
+    batches + their control messages; see aggregates.txn_groups)."""
+    return klog_base_cte(fx) + """,
+dbatches AS (
+  SELECT * FROM batches WHERE segment_type = 'data'
+),
+pstream AS (
+  -- klog's currentBatch cursor as a last-non-null window: parent = nearest
+  -- preceding batch LINE (valid or not) within the file; controls with an
+  -- invalid parent are then dropped (oracle: cur_batch=None on invalid).
+  -- (An ASOF JOIN would be natural here, but DuckDB pushes the validity
+  -- predicate into the ASOF build side, changing which row matches.)
+  SELECT file, line_no, doc_id, NULL::BOOLEAN AS commit, 'b' AS kind,
+         producer_id, producer_epoch, create_time_ms, is_valid
+  FROM batches_raw WHERE segment_type = 'data'
+  UNION ALL
+  SELECT file, line_no, doc_id, commit, 'c' AS kind, NULL, NULL, NULL, NULL
+  FROM ctl_msgs
+),
+pstream2 AS (
+  SELECT *,
+    last_value(CASE WHEN kind = 'b' THEN struct_pack(
+        doc_id := doc_id, producer_id := producer_id, producer_epoch := producer_epoch,
+        create_time_ms := create_time_ms, is_valid := is_valid) END IGNORE NULLS)
+      OVER (PARTITION BY file ORDER BY line_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS parent
+  FROM pstream
+),
+ctl_with_parent AS (
+  SELECT doc_id, file, line_no, commit,
+         parent.producer_id AS pid, parent.producer_epoch AS epoch,
+         parent.create_time_ms AS batch_ct, parent.doc_id AS batch_doc
+  FROM pstream2
+  WHERE kind = 'c' AND parent IS NOT NULL AND parent.is_valid
+),
+events AS (
+  SELECT producer_id AS pid, producer_epoch AS epoch, file, line_no,
+         create_time_ms AS ct, doc_id, FALSE AS is_ctl, NULL::BOOLEAN AS commit
+  FROM dbatches WHERE is_transactional AND NOT is_control
+  UNION ALL
+  SELECT pid, epoch, file, line_no, batch_ct AS ct, batch_doc AS doc_id, TRUE, commit
+  FROM ctl_with_parent
+),
+ev AS (
+  SELECT *, COALESCE(SUM(CASE WHEN is_ctl THEN 1 ELSE 0 END) OVER (
+      PARTITION BY pid, epoch ORDER BY file, line_no
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS txn_grp
+  FROM events
+),
+grp AS (
+  SELECT pid, epoch, txn_grp,
+    SUM(CASE WHEN NOT is_ctl THEN 1 ELSE 0 END) AS n_data,
+    bool_or(is_ctl) AS has_ctl,
+    arg_min(ct, file || '#' || lpad(CAST(line_no AS VARCHAR), 12, '0'))
+      FILTER (WHERE NOT is_ctl) AS first_ct,
+    arg_min(doc_id, file || '#' || lpad(CAST(line_no AS VARCHAR), 12, '0'))
+      FILTER (WHERE NOT is_ctl) AS first_doc,
+    max(ct) FILTER (WHERE is_ctl) AS ctl_ct,
+    max(doc_id) FILTER (WHERE is_ctl) AS ctl_doc,
+    bool_or(commit) FILTER (WHERE is_ctl) AS ctl_commit,
+    SUM(CASE WHEN is_ctl AND commit THEN 1 ELSE 0 END) AS n_commit,
+    SUM(CASE WHEN is_ctl AND NOT commit THEN 1 ELSE 0 END) AS n_abort
+  FROM ev GROUP BY pid, epoch, txn_grp
+),
+gaps AS (
+  SELECT base_offset, LAG(last_offset) OVER (PARTITION BY file ORDER BY line_no) AS prev_last
+  FROM dbatches
+)"""
+
+
+def load_parsed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse WITHOUT validity re-routing: the transactional aggregates need
+    invalid batches still classified as batches (klog's cursor points at
+    them; their messages are dropped, not re-attached)."""
+    from .operators.parse import parse_sequences
+
+    fx = klog_fixture(sf_dir)
+    return parse_sequences(spark.read.parquet(f"{fx}/sequences.parquet"))
+
+
+def _with_token_sum(df: DataFrame) -> DataFrame:
+    """token_sum proves the token array survived the trip (invertible
+    encoding => equality of sums over matched doc_ids == routed-row
+    token-array equality when paired with n_tok)."""
+    return df  # token columns are added at selection sites
+
+
+# ---------------------------------------------------------------------------
+# klog query registry
+# ---------------------------------------------------------------------------
+
+def q_route_counts(spark, sf_dir):
+    return (
+        load_parsed(spark, sf_dir)
+        .groupBy("record_class")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+SQL_ROUTE_COUNTS = f"""
+WITH {klog_base_cte()}
+SELECT record_class, COUNT(*) AS n_rows FROM classified GROUP BY record_class
+"""
+
+
+def q_sink_batches(spark, sf_dir):
+    fx = klog_fixture(sf_dir)
+    parsed = load_parsed(spark, sf_dir)
+    toks = spark.read.parquet(f"{fx}/sequences.parquet").select(
+        "doc_id",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("token_sum"),
+    )
+    return (
+        parsed.filter(F.col("record_class") == "batch")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id", "file", "line_no", "topic", "partition",
+            "base_offset", "last_offset", "count", "base_sequence", "last_sequence",
+            "producer_id", "producer_epoch", "partition_leader_epoch",
+            "is_transactional", "is_control", "position", "create_time_ms",
+            "size", "magic", "compress_codec", "crc", "n_tok", "token_sum",
+        )
+    )
+
+
+SQL_SINK_BATCHES = f"""
+WITH {klog_base_cte()},
+tok AS (
+  SELECT doc_id, CAST(len(tokens) AS INT) AS n_tok,
+         CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS token_sum
+  FROM read_parquet('{FX}/sequences.parquet')
+)
+SELECT b.doc_id, b.file, b.line_no, b.topic, b.partition,
+       b.base_offset, b.last_offset, b.count, b.base_sequence, b.last_sequence,
+       b.producer_id, b.producer_epoch, b.partition_leader_epoch,
+       b.is_transactional, b.is_control, b.position, b.create_time_ms,
+       b.size, b.magic, b.compress_codec, b.crc, t.n_tok, t.token_sum
+FROM batches b JOIN tok t USING (doc_id)
+"""
+
+
+def q_sink_control(spark, sf_dir):
+    return load_parsed(spark, sf_dir).filter(F.col("record_class") == "control_msg").select(
+        "doc_id", "file", "line_no", "offset", "msg_create_time_ms",
+        "key_size", "value_size", "sequence", "commit", "coordinator_epoch",
+    )
+
+
+SQL_SINK_CONTROL = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, file, line_no, "offset", msg_create_time_ms,
+       key_size, value_size, sequence, commit, coordinator_epoch
+FROM ctl_msgs
+"""
+
+
+def q_sink_txn_state(spark, sf_dir):
+    return load_parsed(spark, sf_dir).filter(F.col("record_class") == "txn_state").select(
+        "doc_id", "file", "line_no", "offset", "transactional_id",
+        "txn_producer_id", "txn_producer_epoch", "state", "partitions",
+        "txn_last_update_ms", "txn_timeout_ms",
+    )
+
+
+SQL_SINK_TXN_STATE = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, file, line_no, "offset", transactional_id,
+       txn_producer_id, txn_producer_epoch, state, partitions,
+       txn_last_update_ms, txn_timeout_ms
+FROM txn_msgs
+"""
+
+
+def q_sink_producer_state(spark, sf_dir):
+    return load_parsed(spark, sf_dir).filter(F.col("record_class") == "producer_state").select(
+        "doc_id", "file", "line_no", "producer_id", "producer_epoch",
+        "coordinator_epoch", "current_txn_first_offset", "last_timestamp_ms",
+        "first_sequence", "last_sequence", "last_offset", "offset_delta", "timestamp_ms",
+    )
+
+
+SQL_SINK_PRODUCER_STATE = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, file, line_no, producer_id, producer_epoch,
+       coordinator_epoch, current_txn_first_offset, last_timestamp_ms,
+       first_sequence, last_sequence, last_offset, offset_delta, timestamp_ms
+FROM snapshots
+"""
+
+
+def q_sink_corrupt(spark, sf_dir):
+    return load_parsed(spark, sf_dir).filter(F.col("record_class") == "corrupt").select(
+        "doc_id", "file", "line_no", "source",
+    )
+
+
+SQL_SINK_CORRUPT = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, file, line_no, source FROM classified WHERE record_class = 'corrupt'
+"""
+
+
+def q_txn_stats(spark, sf_dir):
+    from .operators.aggregates import txn_stats
+
+    df = txn_stats(load_parsed_raw(spark, sf_dir))
+    return df.select(
+        F.col("num_committed").cast("long"),
+        F.col("num_aborted").cast("long"),
+        F.col("txn_size_count").cast("long"),
+        F.col("txn_size_sum").cast("long"),
+        F.col("txn_size_min").cast("long"),
+        F.col("txn_size_max").cast("long"),
+        F.round("txn_size_avg", 6).alias("txn_size_avg"),
+        F.col("txn_dur_count").cast("long"),
+        F.col("txn_dur_sum").cast("long"),
+        F.col("txn_dur_min").cast("long"),
+        F.col("txn_dur_max").cast("long"),
+        F.round("txn_dur_avg", 6).alias("txn_dur_avg"),
+        F.col("num_empty_txn").cast("long"),
+        F.col("num_open_txn").cast("long"),
+        F.col("num_offset_gaps").cast("long"),
+    )
+
+
+SQL_TXN_STATS = f"""
+WITH {klog_txn_cte()}
+SELECT
+  CAST((SELECT COALESCE(SUM(CASE WHEN commit THEN 1 ELSE 0 END), 0) FROM ctl_with_parent) AS BIGINT) AS num_committed,
+  CAST((SELECT COALESCE(SUM(CASE WHEN NOT commit THEN 1 ELSE 0 END), 0) FROM ctl_with_parent) AS BIGINT) AS num_aborted,
+  CAST(SUM(CASE WHEN has_ctl AND n_data > 0 THEN 1 ELSE 0 END) AS BIGINT) AS txn_size_count,
+  CAST(SUM(CASE WHEN has_ctl AND n_data > 0 THEN n_data END) AS BIGINT) AS txn_size_sum,
+  CAST(MIN(CASE WHEN has_ctl AND n_data > 0 THEN n_data END) AS BIGINT) AS txn_size_min,
+  CAST(MAX(CASE WHEN has_ctl AND n_data > 0 THEN n_data END) AS BIGINT) AS txn_size_max,
+  ROUND(AVG(CASE WHEN has_ctl AND n_data > 0 THEN n_data END), 6) AS txn_size_avg,
+  CAST(SUM(CASE WHEN has_ctl AND n_data > 0 THEN 1 ELSE 0 END) AS BIGINT) AS txn_dur_count,
+  CAST(SUM(CASE WHEN has_ctl AND n_data > 0 THEN CAST(ctl_ct - first_ct AS INT) END) AS BIGINT) AS txn_dur_sum,
+  CAST(MIN(CASE WHEN has_ctl AND n_data > 0 THEN CAST(ctl_ct - first_ct AS INT) END) AS BIGINT) AS txn_dur_min,
+  CAST(MAX(CASE WHEN has_ctl AND n_data > 0 THEN CAST(ctl_ct - first_ct AS INT) END) AS BIGINT) AS txn_dur_max,
+  ROUND(AVG(CASE WHEN has_ctl AND n_data > 0 THEN CAST(ctl_ct - first_ct AS INT) END), 6) AS txn_dur_avg,
+  CAST(SUM(CASE WHEN has_ctl AND n_data = 0 THEN 1 ELSE 0 END) AS BIGINT) AS num_empty_txn,
+  CAST(SUM(CASE WHEN NOT has_ctl THEN 1 ELSE 0 END) AS BIGINT) AS num_open_txn,
+  CAST((SELECT COUNT(*) FROM gaps WHERE prev_last IS NOT NULL AND base_offset <> prev_last + 1) AS BIGINT) AS num_offset_gaps
+FROM grp
+"""
+
+
+def q_batches_per_epoch(spark, sf_dir):
+    from .operators.aggregates import batches_per_epoch
+
+    return batches_per_epoch(load_parsed_raw(spark, sf_dir))
+
+
+SQL_BATCHES_PER_EPOCH = f"""
+WITH {klog_base_cte()}
+SELECT producer_id, producer_epoch, COUNT(*) AS n_batches
+FROM batches WHERE segment_type = 'data' AND producer_id <> -1
+GROUP BY producer_id, producer_epoch
+"""
+
+
+def q_open_txns(spark, sf_dir):
+    from .operators.aggregates import open_txns
+
+    return open_txns(load_parsed_raw(spark, sf_dir)).select(
+        "producer_id", "producer_epoch", "first_batch_doc_id",
+        F.col("n_data_batches").cast("long").alias("n_data_batches"),
+    )
+
+
+SQL_OPEN_TXNS = f"""
+WITH {klog_txn_cte()}
+SELECT pid AS producer_id, epoch AS producer_epoch,
+       first_doc AS first_batch_doc_id, CAST(n_data AS BIGINT) AS n_data_batches
+FROM grp WHERE NOT has_ctl
+"""
+
+
+def q_empty_txns(spark, sf_dir):
+    from .operators.aggregates import empty_txns
+
+    return empty_txns(load_parsed_raw(spark, sf_dir))
+
+
+SQL_EMPTY_TXNS = f"""
+WITH {klog_txn_cte()}
+SELECT pid AS producer_id, epoch AS producer_epoch,
+       ctl_doc AS closing_batch_doc_id, ctl_commit AS commit
+FROM grp WHERE has_ctl AND n_data = 0
+"""
+
+
+def q_offset_gaps(spark, sf_dir):
+    from .operators.aggregates import offset_gaps
+
+    return offset_gaps(load_parsed_raw(spark, sf_dir)).select(
+        "doc_id", "file", "line_no", "base_offset", "prev_last_offset"
+    )
+
+
+SQL_OFFSET_GAPS = f"""
+WITH {klog_base_cte()},
+g AS (
+  SELECT doc_id, file, line_no, base_offset,
+         LAG(last_offset) OVER (PARTITION BY file ORDER BY line_no) AS prev_last_offset
+  FROM batches WHERE segment_type = 'data'
+)
+SELECT doc_id, file, line_no, base_offset, prev_last_offset
+FROM g WHERE prev_last_offset IS NOT NULL AND base_offset <> prev_last_offset + 1
+"""
+
+
+def q_cat_pid(spark, sf_dir):
+    from .operators.filters import cat_batches
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cat_batches(load_parsed_raw(spark, sf_dir), pid=1).filter(F.col("is_valid")).select(
+        "doc_id", "base_offset", "last_offset", "count", "producer_id",
+        "producer_epoch", "is_transactional", "is_control", "create_time",
+    )
+
+
+SQL_CAT_PID = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, base_offset, last_offset, count, producer_id, producer_epoch,
+       is_transactional, is_control,
+       strftime(epoch_ms(create_time_ms), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS create_time
+FROM batches WHERE segment_type = 'data' AND producer_id = 1
+"""
+
+
+def q_filter_txn_id(spark, sf_dir):
+    from .operators.filters import filter_txn_state
+
+    return filter_txn_state(load_parsed_raw(spark, sf_dir), transactional_id="txn-app-3").filter(
+        ~F.col("is_deletion")
+    ).select("doc_id", "transactional_id", "txn_producer_id", "txn_producer_epoch", "state")
+
+
+SQL_FILTER_TXN_ID = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, transactional_id, txn_producer_id, txn_producer_epoch, state
+FROM txn_msgs WHERE transactional_id = 'txn-app-3'
+"""
+
+
+def q_state_machine_violations(spark, sf_dir):
+    from .operators.checks import state_machine_violations
+
+    return state_machine_violations(load_parsed_raw(spark, sf_dir)).select(
+        "doc_id", "transactional_id", "producer_id", "producer_epoch", "prev_state", "state"
+    )
+
+
+def _sql_valid_prev_case() -> str:
+    from .operators.checks import VALID_PREVIOUS
+
+    whens = []
+    for state, preds in VALID_PREVIOUS.items():
+        lst = ", ".join(f"'{p}'" for p in preds)
+        whens.append(f"WHEN state = '{state}' AND prev_state NOT IN ({lst}) THEN TRUE")
+    return "CASE " + " ".join(whens) + " ELSE FALSE END"
+
+
+SQL_STATE_MACHINE = f"""
+WITH {klog_base_cte()},
+seq AS (
+  SELECT doc_id, transactional_id, txn_producer_id AS producer_id,
+         txn_producer_epoch AS producer_epoch, state,
+         LAG(state) OVER (PARTITION BY txn_producer_id, txn_producer_epoch
+                          ORDER BY file, line_no) AS prev_state
+  FROM txn_msgs
+)
+SELECT doc_id, transactional_id, producer_id, producer_epoch, prev_state, state
+FROM seq WHERE prev_state IS NOT NULL AND {{VALID_PREV}}
+"""
+
+
+def q_enrich_producer_team(spark, sf_dir):
+    from .operators.enrich import enrich_with_producer_meta
+
+    fx = klog_fixture(sf_dir)
+    meta = spark.read.parquet(f"{fx}/producer_meta.parquet")
+    b = load_parsed(spark, sf_dir).filter(
+        (F.col("record_class") == "batch") & (F.col("segment_type") == "data") & (F.col("producer_id") != -1)
+    )
+    return (
+        enrich_with_producer_meta(b, meta)
+        .groupBy("team")
+        .agg(F.count("*").alias("n_batches"), F.countDistinct("producer_id").alias("n_producers"))
+    )
+
+
+SQL_ENRICH_PRODUCER_TEAM = f"""
+WITH {klog_base_cte()}
+SELECT m.team, COUNT(*) AS n_batches, COUNT(DISTINCT b.producer_id) AS n_producers
+FROM batches b LEFT JOIN read_parquet('{FX}/producer_meta.parquet') m USING (producer_id)
+WHERE b.segment_type = 'data' AND b.producer_id <> -1
+GROUP BY m.team
+"""
+
+
+def q_enrich_topic(spark, sf_dir):
+    from .operators.enrich import enrich_with_topic_meta
+
+    fx = klog_fixture(sf_dir)
+    meta = spark.read.parquet(f"{fx}/topic_meta.parquet")
+    b = load_parsed(spark, sf_dir).filter(F.col("record_class") == "batch")
+    return enrich_with_topic_meta(b, meta).groupBy("cleanup_policy", "is_internal").agg(
+        F.count("*").alias("n_batches")
+    )
+
+
+SQL_ENRICH_TOPIC = f"""
+WITH {klog_base_cte()}
+SELECT m.cleanup_policy, m.is_internal, COUNT(*) AS n_batches
+FROM batches b LEFT JOIN read_parquet('{FX}/topic_meta.parquet') m USING (topic, partition)
+GROUP BY m.cleanup_policy, m.is_internal
+"""
+
+
+def q_abort_cmds(spark, sf_dir):
+    from .operators.enrich import abort_commands_for
+
+    return abort_commands_for(load_parsed_raw(spark, sf_dir), pid=1, producer_epoch=0).select(
+        "doc_id", "producer_id", "producer_epoch", "coordinator_epoch", "abort_command"
+    )
+
+
+SQL_ABORT_CMDS = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, producer_id, producer_epoch, coordinator_epoch,
+       printf('$KAFKA_HOME/bin/kafka-transactions.sh --bootstrap-server $BOOTSTRAP_URL abort --topic $TOPIC_NAME --partition $PART_NUM --producer-id %d --producer-epoch %d --coordinator-epoch %d',
+              producer_id, CAST(producer_epoch AS BIGINT), CAST(coordinator_epoch AS BIGINT)) AS abort_command
+FROM snapshots WHERE producer_id = 1 AND producer_epoch = 0
+"""
+
+
+def q_coordinating_partition(spark, sf_dir):
+    from .javahash import with_coordinating_partition
+
+    ids = load_parsed_raw(spark, sf_dir).filter(
+        F.col("transactional_id").isNotNull()
+    ).select("transactional_id").distinct()
+    return with_coordinating_partition(ids, "transactional_id", 50)
+
+
+SQL_COORDINATING_PARTITION = f"""
+WITH {klog_base_cte()},
+ids AS (
+  SELECT DISTINCT transactional_id FROM (
+    SELECT transactional_id FROM txn_msgs
+    UNION ALL
+    SELECT regexp_extract(line, 'transactionalId=(.*) payload: ', 1) AS transactional_id
+    FROM classified WHERE record_class = 'txn_deletion'
+  )
+),
+hashed AS (
+  SELECT transactional_id,
+    list_reduce(
+      list_prepend(0::BIGINT, [unicode(c)::BIGINT for c in split(transactional_id, '')]),
+      (acc, c) -> (acc * 31 + c) % 4294967296
+    ) AS h_u32
+  FROM ids
+)
+SELECT transactional_id,
+  CAST(CASE WHEN h_s32 = -2147483648 THEN 0 ELSE abs(h_s32) END % 50 AS INT) AS coordinating_partition
+FROM (SELECT transactional_id,
+             CASE WHEN h_u32 >= 2147483648 THEN h_u32 - 4294967296 ELSE h_u32 END AS h_s32
+      FROM hashed)
+"""
+
+
+def q_first_last_batch(spark, sf_dir):
+    from .operators.aggregates import first_last_batch
+
+    return first_last_batch(load_parsed_raw(spark, sf_dir))
+
+
+SQL_FIRST_LAST_BATCH = f"""
+WITH {klog_base_cte()},
+k AS (SELECT doc_id, file || '#' || lpad(CAST(line_no AS VARCHAR), 12, '0') AS ord
+      FROM batches WHERE segment_type = 'data')
+SELECT arg_min(doc_id, ord) AS first_batch_doc_id, arg_max(doc_id, ord) AS last_batch_doc_id FROM k
+"""

@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 on Spark, runs the
+matching ``oracle_sql()`` through DuckDB (with the driver's pre-registered
+views emulated), and compares row count, column names and an
+order-insensitive value hash. Usage: python tools/check_queries.py [name...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main(names=None):
+    import __spark_entry__ as entry
+    from klog_spark.session import get_spark
+
+    spark = get_spark(app_name="check-queries", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entry.queries()
+    oss = entry.oracle_sql()
+    selected = names or list(qs)
+    failures = []
+    for name in selected:
+        t0 = time.time()
+        sdf = qs[name](spark, SF_DIR)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        status = []
+        if name not in oss:
+            print(f"  {name:36s} rows={len(srows):7d}  (no oracle: rows-only) {time.time()-t0:5.1f}s")
+            continue
+        try:
+            res = con.execute(oss[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name:36s} ORACLE SQL ERROR: {e}")
+            failures.append(name)
+            continue
+        ok_count = len(srows) == len(orows)
+        ok_schema = sorted(c.lower() for c in scols) == sorted(c.lower() for c in ocols)
+        ok_hash = ok_schema and value_hash(srows, [c.lower() for c in scols]) == value_hash(
+            orows, [c.lower() for c in ocols]
+        )
+        flag = "OK " if (ok_count and ok_schema and ok_hash) else "FAIL"
+        if flag == "FAIL":
+            failures.append(name)
+        print(
+            f"  {name:36s} {flag} rows={len(srows)}/{len(orows)} schema={ok_schema} hash={ok_hash} {time.time()-t0:5.1f}s"
+        )
+        if not ok_schema:
+            print(f"      spark cols: {sorted(scols)}\n      duck cols:  {sorted(ocols)}")
+        elif not ok_hash and ok_count:
+            order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+            sset = sorted("|".join(_norm(r[i]) for i in order) for r in srows)
+            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i].lower())
+            oset = sorted("|".join(_norm(r[i]) for i in oorder) for r in orows)
+            diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
+            for a, b in diffs:
+                print(f"      spark: {a[:160]}\n      duck:  {b[:160]}")
+    print(("FAILURES: " + ", ".join(failures)) if failures else "ALL OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
