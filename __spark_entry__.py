@@ -43,6 +43,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_abort_cmds": eq.q_abort_cmds,                # S10 (snapshot abort-cmd)
         "klog_coordinating_partition": eq.q_coordinating_partition,  # F5
         "klog_first_last_batch": eq.q_first_last_batch,    # A4
+        # training-data pipeline (dedup / similarity / text / multimodal)
+        "dedup_exact": eq.q_dedup_exact,
+        "dedup_ngram_jaccard": eq.q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": eq.q_dedup_minhash,           # rows-only (xxhash64)
+        "dedup_simhash": eq.q_dedup_simhash,               # rows-only (xxhash64)
+        "dedup_embedding": eq.q_dedup_embedding,
+        "ann_cosine_topk": eq.q_ann_topk,
+        "ann_lsh_topk": eq.q_ann_lsh,                      # rows-only (recall in pytest)
+        "text_token_counts": eq.q_text_token_counts,
+        "text_quality": eq.q_text_quality,
+        "text_lang_id": eq.q_text_lang_id,
+        "doc_fingerprint": eq.q_doc_fingerprint,
+        "events_daily": eq.q_events_daily,
+        "multimodal_features": eq.q_multimodal_features,
+        "tpch_pricing_summary": eq.q_tpch_pricing_summary,
+        "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,
     }
 
 
@@ -69,4 +85,16 @@ def oracle_sql() -> dict[str, str]:
         "klog_abort_cmds": eq.SQL_ABORT_CMDS,
         "klog_coordinating_partition": eq.SQL_COORDINATING_PARTITION,
         "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
+        "dedup_exact": eq.SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_embedding": eq.SQL_DEDUP_EMBEDDING,
+        "ann_cosine_topk": eq.SQL_ANN_TOPK,
+        "text_token_counts": eq.SQL_TEXT_TOKEN_COUNTS,
+        "text_quality": eq.SQL_TEXT_QUALITY,
+        "text_lang_id": eq.SQL_TEXT_LANG_ID,
+        "doc_fingerprint": eq.SQL_DOC_FINGERPRINT,
+        "events_daily": eq.SQL_EVENTS_DAILY,
+        "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
+        "tpch_pricing_summary": eq.SQL_TPCH_PRICING_SUMMARY,
+        "tpch_revenue_by_nation": eq.SQL_TPCH_REVENUE_BY_NATION,
     }

@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-MERSENNE_PRIME = (1 << 61) - 1
+# 31-bit Mersenne prime universe: with a,b,h < 2^31, a*h + b < 2^62 stays
+# inside int64 even under ANSI overflow checking
+MERSENNE_PRIME = (1 << 31) - 1
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -86,7 +88,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3
     rng = random.Random("minhash-seeds")
     coeffs = [(rng.randrange(1, MERSENNE_PRIME), rng.randrange(0, MERSENNE_PRIME)) for _ in range(num_hashes)]
     sh = _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, shingle_n)
-    sh = sh.withColumn("h", F.abs(F.xxhash64("shingle")))
+    sh = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_PRIME)))
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)).alias(f"mh_{i}")

@@ -680,3 +680,368 @@ k AS (SELECT doc_id, file || '#' || lpad(CAST(line_no AS VARCHAR), 12, '0') AS o
       FROM batches WHERE segment_type = 'data')
 SELECT arg_min(doc_id, ord) AS first_batch_doc_id, arg_max(doc_id, ord) AS last_batch_doc_id FROM k
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (documents / embeddings / events / lineitem)
+#
+# The driver tables contain no duplicates, so dedup queries derive a
+# deterministic dup-corpus from `documents` with identical expressions on
+# both sides: every doc_id % 10 == 0 gets an exact copy (+1000000), every
+# doc_id % 10 == 1 gets a near-dup with one appended token (+2000000).
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dup_corpus(spark, sf_dir) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+SQL_DUP_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zq' AS text FROM documents WHERE doc_id % 10 = 1
+)"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from .datapipe.dedup import exact_duplicates
+
+    return exact_duplicates(_dup_corpus(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {SQL_DUP_CORPUS},
+g AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_doc_id,
+         COUNT(*) OVER (PARTITION BY text) AS group_size
+  FROM corpus
+)
+SELECT doc_id, keep_doc_id, group_size FROM g WHERE group_size > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from .datapipe.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), n=3, threshold=0.5)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {SQL_DUP_CORPUS},
+w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM corpus
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([
+           array_to_string(list_slice(words, i + 1, i + 3), ' ')
+           for i in range(0, greatest(len(words) - 3, 0) + 1)
+         ])) AS shingle
+  FROM w
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2,
+       ROUND(n_common / (s1.n_shingles + s2.n_shingles - n_common), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE n_common / (s1.n_shingles + s2.n_shingles - n_common) >= 0.5
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH candidates verified by signature agreement (no SQL oracle:
+    xxhash64 is Spark-specific; recall vs exact Jaccard asserted in pytest)."""
+    from .datapipe.dedup import minhash_dedup
+
+    return minhash_dedup(_dup_corpus(spark, sf_dir), num_hashes=64, bands=16, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-pairs (rows-only check; recall asserted in pytest)."""
+    from .datapipe.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_dup_corpus(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from .datapipe.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return embedding_near_dups(corpus, threshold=0.95).select("id1", "id2")
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    from .datapipe.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.filter(F.col("vec_id") < 5).collect()]
+    return brute_force_topk(emb, queries, k=10).select("qid", "vec_id", "rank")
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; recall vs brute force asserted in pytest)."""
+    from .datapipe.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.filter(F.col("vec_id") < 5).collect()]
+    return lsh_topk(emb, queries, k=10, n_planes=6).select("qid", "vec_id", "rank")
+
+
+def q_text_token_counts(spark, sf_dir):
+    from .datapipe.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+SQL_TEXT_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subword_tokens,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    from .datapipe.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _sql_stoplist_all() -> str:
+    from .datapipe.textstats import STOPWORDS
+
+    words = sorted({w for ws in STOPWORDS.values() for w in ws})
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+SQL_TEXT_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents
+),
+m AS (
+  SELECT doc_id, text, len(words) AS n_words,
+         len(list_filter(words, x -> list_contains({{STOPS}}, x))) AS n_stop,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) AS n_punct,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+  FROM w
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       ROUND(n_nonspace / n_words, 4) AS avg_word_len,
+       ROUND(n_stop / n_words, 4) AS stopword_ratio,
+       ROUND(n_punct / length(text), 4) AS punct_ratio,
+       (n_words >= 5 AND n_stop / n_words >= 0.01 AND n_punct / length(text) < 0.3) AS passes_quality
+FROM m
+""".replace("{STOPS}", _sql_stoplist_all())
+
+
+def q_text_lang_id(spark, sf_dir):
+    from .datapipe.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _sql_lang_id() -> str:
+    from .datapipe.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        score_cols.append(
+            f"CAST(len(list_intersect(list_distinct(words), {lst})) AS INT) AS score_{lang}"
+        )
+    best = f"score_{langs[0]}"
+    lang_expr = f"'{langs[0]}'"
+    for lang in langs[1:]:
+        lang_expr = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {lang_expr} END"
+        best = f"greatest(score_{lang}, {best})"
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents
+),
+s AS (SELECT doc_id, {', '.join(score_cols)} FROM w)
+SELECT doc_id, {', '.join('score_' + lg for lg in langs)},
+       CASE WHEN {best} > 0 THEN {lang_expr} ELSE 'unknown' END AS lang_guess
+FROM s
+"""
+
+
+SQL_TEXT_LANG_ID = _sql_lang_id()
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from .datapipe.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0::BIGINT, [unicode(c)::BIGINT for c in regexp_extract_all(text, '.')]),
+      (acc, c) -> (acc * 31 + c) % 4294967296
+    ) AS h_u32
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN h_u32 >= 2147483648 THEN h_u32 - 4294967296 ELSE h_u32 END AS INT) AS fingerprint
+FROM h
+"""
+
+
+def q_events_daily(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact decimal sums -> deterministic division (float sums are
+            # summation-order-dependent at the rounding boundary)
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double") / F.count("value"), 4).alias("avg_value"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
+       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+             / COUNT(json_extract_string(props, '$.k')), 4) AS avg_k,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    from .datapipe.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id", "byte_len", "n_frames",
+        F.aggregate("frame_digests", F.lit(0).cast("long"), lambda a, x: a + x).alias("total_digest"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       CAST(greatest(1, CAST(ceil(octet_length(encode(text)) / 1024.0) AS INT)) AS INT) AS n_frames,
+       CAST(list_aggregate([unicode(c)::BIGINT for c in regexp_extract_all(text, '.')], 'sum') AS BIGINT)
+         AS total_digest
+FROM documents
+"""
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_revenue_by_nation(spark, sf_dir):
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_TPCH_REVENUE_BY_NATION = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -1,0 +1,57 @@
+"""Driver-contract smoke tests: entry() runs, queries()/oracle_sql() keys
+line up, and a representative subset passes the DuckDB comparison (the full
+gate is tools/check_queries.py, run separately — it covers all queries)."""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as entry
+
+    return entry
+
+
+def test_entry_returns_rows(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["num_committed"] > 0
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    qs = set(entry_mod.queries())
+    os_ = set(entry_mod.oracle_sql())
+    assert os_ <= qs
+    # rows-only exceptions are documented hash-free ops
+    assert qs - os_ == {"dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"}
+
+
+def test_sample_query_matches_oracle(spark, entry_mod, fixture_dir):
+    sys.path.insert(0, "/root/repo/tools")
+    from check_queries import value_hash
+
+    # klog_batches_per_epoch at the pytest fixture scale (sf0.001): rebuild
+    # the oracle SQL against the sf0.001 fixture paths
+    from klog_spark import entry_queries as eq
+
+    sdf = entry_mod.queries()["klog_batches_per_epoch"](spark, "/root/testdata/sf0.001")
+    srows = [tuple(r) for r in sdf.collect()]
+    sql = f"""
+WITH {eq.klog_base_cte(fixture_dir)}
+SELECT producer_id, producer_epoch, COUNT(*) AS n_batches
+FROM batches WHERE segment_type = 'data' AND producer_id <> -1
+GROUP BY producer_id, producer_epoch
+"""
+    res = duckdb.sql(sql)
+    orows = res.fetchall()
+    assert len(srows) == len(orows)
+    assert value_hash(srows, [c.lower() for c in sdf.columns]) == value_hash(
+        orows, [c[0].lower() for c in res.description]
+    )
