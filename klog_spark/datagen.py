@@ -357,7 +357,7 @@ def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool
     """Generate the fixture at scale factor ``sf`` into ``out_dir`` (cached)."""
     out = Path(out_dir)
     marker = out / "_GENERATED.json"
-    spec = {"sf": sf, "seed": seed, "version": 5}
+    spec = {"sf": sf, "seed": seed, "version": 6}
     if marker.exists() and not force:
         try:
             if json.loads(marker.read_text()) == spec:
@@ -399,7 +399,7 @@ def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool
             "source": pa.array(sources, type=pa.string()),
         }
     )
-    pq.write_table(seq, out / "sequences.parquet", row_group_size=200_000)
+    pq.write_table(seq, out / "sequences.parquet", row_group_size=20_000)
 
     txt = pa.table(
         {
@@ -408,7 +408,7 @@ def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool
             "source": pa.array(sources, type=pa.string()),
         }
     )
-    pq.write_table(txt, out / "sequences_text.parquet", row_group_size=200_000)
+    pq.write_table(txt, out / "sequences_text.parquet", row_group_size=20_000)
 
     # broadcast dimensions (FIXTURES.md §2)
     topics = []

@@ -54,6 +54,7 @@ def attach_parent_batch(parsed: DataFrame) -> DataFrame:
                 F.col("producer_id").alias("producer_id"),
                 F.col("producer_epoch").alias("producer_epoch"),
                 F.col("create_time_ms").alias("create_time_ms"),
+                F.col("partition_leader_epoch").alias("partition_leader_epoch"),
                 F.col("is_transactional").alias("is_transactional"),
                 F.col("is_control").alias("is_control"),
                 F.col("is_valid").alias("is_valid"),
@@ -64,74 +65,75 @@ def attach_parent_batch(parsed: DataFrame) -> DataFrame:
     return parsed.withColumn("parent", parent)
 
 
+def _txn_base(parsed: DataFrame) -> DataFrame:
+    """ONE windowed pass feeding every transactional aggregate.
+
+    Scale shape: the parse output is filtered to batch-header + control
+    lines only (the other ~2/3 of lines never enter the shuffle), then a
+    single Exchange on `file` serves THREE window expressions (parent
+    cursor, previous-valid-batch last_offset for gap detection) — branches
+    downstream reuse that exchange, so the Arrow parse runs once.
+    """
+    rows = parsed.filter(
+        (F.col("segment_type") == "data") & F.col("record_class").isin("batch", "control_msg")
+    )
+    rows = attach_parent_batch(rows)
+    w_prev = Window.partitionBy("file").orderBy("line_no").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_valid_last = F.last(
+        F.when((F.col("record_class") == "batch") & F.col("is_valid"), F.col("last_offset")),
+        ignorenulls=True,
+    ).over(w_prev)
+    return rows.withColumn("prev_last_offset", prev_valid_last)
+
+
+def _batch_selected(prefix: str, pid, producer_epoch, leader_epoch):
+    """BatchPredicate conjunction (segment/cli/BatchPredicate.java:29-62)."""
+    p = lambda c: F.col(prefix + c)  # noqa: E731
+    cond = F.lit(True)
+    if pid is not None:
+        cond = cond & (p("producer_id") == F.lit(pid))
+    if producer_epoch is not None:
+        cond = cond & (p("producer_epoch") == F.lit(producer_epoch))
+    if leader_epoch is not None:
+        cond = cond & (p("partition_leader_epoch") == F.lit(leader_epoch))
+    return cond
+
+
 def txn_events(parsed: DataFrame, pid: int | None = None, producer_epoch: int | None = None,
-               leader_epoch: int | None = None) -> DataFrame:
+               leader_epoch: int | None = None, base: DataFrame | None = None) -> DataFrame:
     """The per-session event stream feeding the transactional fold.
 
     One row per *valid, selected* transactional data batch (opens/extends a
-    txn) or control message (closes one). Filters mirror BatchPredicate
-    (segment/cli/BatchPredicate.java:29-62) and are plain pushdown-able
-    conjunctions.
+    txn) or control message attributed to its enclosing batch (klog's
+    currentBatch cursor, TransactionalInfoCollector.java:61).
     """
-    data_seg = parsed.filter(F.col("segment_type") == "data")
-
-    def batch_pred(col_prefix=""):
-        cond = F.lit(True)
-        p = lambda c: F.col(col_prefix + c)  # noqa: E731
-        if pid is not None:
-            cond = cond & (p("producer_id") == F.lit(pid))
-        if producer_epoch is not None:
-            cond = cond & (p("producer_epoch") == F.lit(producer_epoch))
-        return cond
-
-    batches = data_seg.filter(
-        (F.col("record_class") == "batch") & F.col("is_valid")
+    rows = base if base is not None else _txn_base(parsed)
+    is_b = F.col("record_class") == "batch"
+    data_keep = (
+        is_b & F.col("is_valid") & F.col("is_transactional") & ~F.col("is_control")
+        & _batch_selected("", pid, producer_epoch, leader_epoch)
     )
-    if leader_epoch is not None:
-        batches = batches.filter(F.col("partition_leader_epoch") == F.lit(leader_epoch))
-    batches = batches.filter(batch_pred())
-
-    data_ev = batches.filter(F.col("is_transactional") & ~F.col("is_control")).select(
-        "producer_id", "producer_epoch", "file", "line_no",
-        "create_time_ms", "doc_id",
-        F.lit(False).alias("is_ctl"), F.lit(None).cast("boolean").alias("commit"),
+    ctl_keep = (
+        ~is_b & F.col("parent").isNotNull() & F.col("parent.is_valid")
+        & _batch_selected("parent.", pid, producer_epoch, leader_epoch)
     )
-
-    # control messages, attributed to their enclosing batch; parent must be
-    # a valid + selected batch (an excluded parent means klog never saw it)
-    with_parent = attach_parent_batch(
-        data_seg.filter(F.col("record_class").isin("batch", "control_msg", "data_msg"))
-    )
-    ctl = with_parent.filter(
-        (F.col("record_class") == "control_msg")
-        & F.col("parent").isNotNull()
-        & F.col("parent.is_valid")
-    )
-    if leader_epoch is not None:
-        # leader epoch is a batch-level field; re-join not needed since the
-        # parent struct carries the session — filter via parent-selected flag
-        pass
-    ctl = ctl.filter(batch_pred("parent."))
-    if leader_epoch is not None:
-        sel = parsed.filter(
-            (F.col("record_class") == "batch") & (F.col("partition_leader_epoch") == F.lit(leader_epoch))
-        ).select(F.col("doc_id").alias("_sel_doc"))
-        ctl = ctl.join(F.broadcast(sel), ctl["parent.doc_id"] == sel["_sel_doc"], "left_semi")
-
-    ctl_ev = ctl.select(
-        F.col("parent.producer_id").alias("producer_id"),
-        F.col("parent.producer_epoch").alias("producer_epoch"),
+    return rows.filter(data_keep | ctl_keep).select(
+        F.when(is_b, F.col("producer_id")).otherwise(F.col("parent.producer_id")).alias("producer_id"),
+        F.when(is_b, F.col("producer_epoch")).otherwise(F.col("parent.producer_epoch")).alias("producer_epoch"),
         "file", "line_no",
-        F.col("parent.create_time_ms").alias("create_time_ms"),  # duration uses the batch's CreateTime
-        F.col("parent.doc_id").alias("doc_id"),                   # empty-txn reports the closing batch
-        F.lit(True).alias("is_ctl"), F.col("commit").alias("commit"),
+        # duration uses the enclosing BATCH CreateTime on both sides
+        F.when(is_b, F.col("create_time_ms")).otherwise(F.col("parent.create_time_ms")).alias("create_time_ms"),
+        F.when(is_b, F.col("doc_id")).otherwise(F.col("parent.doc_id")).alias("doc_id"),
+        (~is_b).alias("is_ctl"),
+        F.col("commit"),
     )
-    return data_ev.unionByName(ctl_ev)
 
 
-def txn_groups(parsed: DataFrame, **filters) -> DataFrame:
+def txn_groups(parsed: DataFrame, base: DataFrame | None = None, **filters) -> DataFrame:
     """Per-(session, txn-group) rollup. Group id = #controls strictly before."""
-    ev = txn_events(parsed, **filters)
+    ev = txn_events(parsed, base=base, **filters)
     w = Window.partitionBy("producer_id", "producer_epoch").orderBy(*_stream_window_cols())
     grp = F.coalesce(
         F.sum(F.when(F.col("is_ctl"), 1).otherwise(0)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -155,7 +157,8 @@ def txn_groups(parsed: DataFrame, **filters) -> DataFrame:
 def txn_stats(parsed: DataFrame, **filters) -> DataFrame:
     """Single-row TransactionalInfo summary (TxnStat output,
     segment/cli/TxnStat.java:94-103) + offset-gap count (W8)."""
-    groups = txn_groups(parsed, **filters)
+    base = _txn_base(parsed)
+    groups = txn_groups(parsed, base=base, **filters)
     closed = F.col("has_control") & (F.col("n_data_batches") > 0)
     empty = F.col("has_control") & (F.col("n_data_batches") == 0)
     opened = ~F.col("has_control")
@@ -177,7 +180,11 @@ def txn_stats(parsed: DataFrame, **filters) -> DataFrame:
         F.sum(F.when(empty, 1).otherwise(0)).alias("num_empty_txn"),
         F.sum(F.when(opened, 1).otherwise(0)).alias("num_open_txn"),
     )
-    gaps = offset_gaps(parsed).agg(F.count("*").alias("num_offset_gaps"))
+    gaps = base.filter(
+        (F.col("record_class") == "batch") & F.col("is_valid")
+        & F.col("prev_last_offset").isNotNull()
+        & (F.col("base_offset") != F.col("prev_last_offset") + 1)
+    ).agg(F.count("*").alias("num_offset_gaps"))
     return agg.crossJoin(gaps)
 
 

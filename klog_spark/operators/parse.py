@@ -1,18 +1,22 @@
 """Vectorized detokenize + classify + regex-extract parse stage.
 
 The Spark-first equivalent of klog's line-at-a-time regex dispatch
-(segment/reader/SegmentDumpReader.java:167-311): one ``mapInPandas`` pass
+(segment/reader/SegmentDumpReader.java:167-311): one ``mapInArrow`` pass
 per Arrow batch —
 
-1. decode ``tokens:array<int32>`` to text through a single contiguous
-   UTF-32 buffer (no per-character Python),
+1. decode ``tokens:array<int32>`` to text straight off the Arrow list
+   buffer (flat values + offsets -> one UTF-32 decode; zero per-character
+   Python and no pandas materialization of the token arrays),
 2. classify lines with vectorized prefix/substring tests (the klog
    dispatch: batch header / record / control / txn-state / snapshot /
    headers / corrupt),
 3. extract fields per class with ``pd.Series.str.extract`` on the same
    tolerant named-group grammars klog compiles
    (SegmentDumpReader.java:66-104, SnapshotDumpReader.java:36-45),
-4. lines the reference would *throw* on (SegmentDumpReader.java:246,266,...)
+4. build output columns as numpy data+mask pairs handed directly to Arrow
+   (pandas nullable-array construction was the profile's hot spot at ~70%
+   of parse time),
+5. lines the reference would *throw* on (SegmentDumpReader.java:246,266,...)
    become ``record_class='corrupt'`` rows with a reason — the north rule's
    corrupt sink instead of a crash.
 
@@ -28,13 +32,13 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .. import grammar as g
 from ..schemas import PARSED_FIELDS, PARSED_SCHEMA
-from ..tokens import token_series_to_texts
 
 # Columns produced JVM-side after the UDF (pure regexp_extract on `source`).
 _JVM_COLS = ("segment_type", "topic", "partition")
@@ -50,170 +54,221 @@ _ANCHORED = {
     "hdr2": re.compile(r"^.*starting offset: (?P<starting_offset>[0-9]+)$", re.IGNORECASE),
 }
 
-_INT_DTYPES = {
-    "line_no": "Int32", "n_tok": "Int32",
-    "base_offset": "Int64", "last_offset": "Int64", "count": "Int32",
-    "base_sequence": "Int32", "last_sequence": "Int32", "producer_id": "Int64",
-    "producer_epoch": "Int16", "partition_leader_epoch": "Int32",
-    "delete_horizon_ms": "Int64", "position": "Int64", "create_time_ms": "Int64",
-    "size": "Int32", "magic": "Int8", "crc": "Int64",
-    "offset": "Int64", "msg_create_time_ms": "Int64", "key_size": "Int32",
-    "value_size": "Int32", "sequence": "Int32",
-    "coordinator_epoch": "Int32", "txn_producer_id": "Int64", "txn_producer_epoch": "Int16",
-    "txn_last_update_ms": "Int64", "txn_timeout_ms": "Int64",
-    "current_txn_first_offset": "Int64", "last_timestamp_ms": "Int64",
-    "first_sequence": "Int32", "offset_delta": "Int32", "timestamp_ms": "Int64",
+_INT_TYPES: dict[str, tuple] = {
+    "base_offset": (np.int64, pa.int64()), "last_offset": (np.int64, pa.int64()),
+    "count": (np.int32, pa.int32()), "base_sequence": (np.int32, pa.int32()),
+    "last_sequence": (np.int32, pa.int32()), "producer_id": (np.int64, pa.int64()),
+    "producer_epoch": (np.int16, pa.int16()), "partition_leader_epoch": (np.int32, pa.int32()),
+    "delete_horizon_ms": (np.int64, pa.int64()), "position": (np.int64, pa.int64()),
+    "create_time_ms": (np.int64, pa.int64()), "size": (np.int32, pa.int32()),
+    "magic": (np.int8, pa.int8()), "crc": (np.int64, pa.int64()),
+    "offset": (np.int64, pa.int64()), "msg_create_time_ms": (np.int64, pa.int64()),
+    "key_size": (np.int32, pa.int32()), "value_size": (np.int32, pa.int32()),
+    "sequence": (np.int32, pa.int32()), "coordinator_epoch": (np.int32, pa.int32()),
+    "txn_producer_id": (np.int64, pa.int64()), "txn_producer_epoch": (np.int16, pa.int16()),
+    "txn_last_update_ms": (np.int64, pa.int64()), "txn_timeout_ms": (np.int64, pa.int64()),
+    "current_txn_first_offset": (np.int64, pa.int64()), "last_timestamp_ms": (np.int64, pa.int64()),
+    "first_sequence": (np.int32, pa.int32()), "offset_delta": (np.int32, pa.int32()),
+    "timestamp_ms": (np.int64, pa.int64()),
 }
 _BOOL_COLS = ("is_transactional", "is_control", "is_valid", "commit", "is_deletion")
 _STR_COLS = ("compress_codec", "header_keys", "transactional_id", "state", "partitions", "corrupt_reason")
 _UDF_COL_ORDER = [f.name for f in UDF_SCHEMA.fields]
 
 
-def _parse_batch_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    n = len(pdf)
-    lines = token_series_to_texts(pdf["tokens"]).reset_index(drop=True)
-    out: dict[str, pd.Series] = {}
-    out["doc_id"] = pdf["doc_id"].reset_index(drop=True)
-    out["source"] = pdf["source"].reset_index(drop=True)
-    out["n_tok"] = pdf["n_tok"].reset_index(drop=True).astype("Int32")
-    loc = out["doc_id"].str.extract(r"^(?P<file>.*):(?P<line_no>[0-9]+)$")
-    out["file"] = loc["file"]
-    out["line_no"] = pd.to_numeric(loc["line_no"]).astype("Int32")
+class _Cols:
+    """numpy data+mask column store -> Arrow arrays without pandas boxing."""
 
-    cls = pd.Series(np.full(n, "corrupt", dtype=object))
-    reason = pd.Series(np.full(n, None, dtype=object))
+    def __init__(self, n: int):
+        self.n = n
+        self.int_data = {c: np.zeros(n, dtype=t[0]) for c, t in _INT_TYPES.items()}
+        self.int_mask = {c: np.ones(n, dtype=bool) for c in self.int_data}  # True = null
+        self.bool_data = {c: np.zeros(n, dtype=bool) for c in _BOOL_COLS}
+        self.bool_mask = {c: np.ones(n, dtype=bool) for c in _BOOL_COLS}
+        self.str_data = {c: np.full(n, None, dtype=object) for c in _STR_COLS}
 
-    is_hdr1 = lines.str.startswith("Dumping ")
-    is_hdr2 = (out["line_no"] == 2).fillna(False).to_numpy(dtype=bool) & lines.str.match(
-        _ANCHORED["hdr2"].pattern, case=False
+    def set_int(self, col: str, rows: np.ndarray, values: pd.Series) -> None:
+        """rows: bool row-mask; values: extracted strings (positionally aligned)."""
+        vals = pd.to_numeric(values, errors="coerce").to_numpy(dtype=np.float64, na_value=np.nan)
+        nan = np.isnan(vals)
+        self.int_data[col][rows] = np.where(nan, 0, vals).astype(self.int_data[col].dtype)
+        self.int_mask[col][rows] = nan
+
+    def set_bool(self, col: str, rows: np.ndarray, values: np.ndarray) -> None:
+        self.bool_data[col][rows] = values
+        self.bool_mask[col][rows] = False
+
+    def set_str(self, col: str, rows: np.ndarray, values: np.ndarray) -> None:
+        self.str_data[col][rows] = values
+
+
+def _decode_tokens(col) -> tuple:
+    """ListArray<int32> -> (lines, n_tok) via one UTF-32 decode of the flat
+    value buffer (zero-copy token access)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    la = col
+    offsets = la.offsets.to_numpy()
+    values = la.values.to_numpy(zero_copy_only=False).astype(np.uint32, copy=False)
+    start = offsets[0]
+    text = values[start:offsets[-1]].tobytes().decode("utf-32-le")
+    rel = offsets - start
+    lines = [text[rel[i]:rel[i + 1]] for i in range(len(rel) - 1)]
+    n_tok = (offsets[1:] - offsets[:-1]).astype(np.int32)
+    return lines, n_tok
+
+
+def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    n = batch.num_rows
+    doc_id = batch.column(batch.schema.get_field_index("doc_id"))
+    source = batch.column(batch.schema.get_field_index("source"))
+    lines_list, n_tok = _decode_tokens(batch.column(batch.schema.get_field_index("tokens")))
+    lines = pd.Series(lines_list, dtype=object)
+
+    doc_s = pd.Series(doc_id.to_pandas(), dtype=object)
+    loc = doc_s.str.extract(r"^(?P<file>.*):(?P<line_no>[0-9]+)$")
+    file_arr = loc["file"].to_numpy(dtype=object)
+    line_no = pd.to_numeric(loc["line_no"], errors="coerce").fillna(0).to_numpy(dtype=np.int32)
+
+    cls = np.full(n, "corrupt", dtype=object)
+    reason = np.full(n, None, dtype=object)
+    cols = _Cols(n)
+
+    is_hdr1 = lines.str.startswith("Dumping ").to_numpy(dtype=bool)
+    is_hdr2 = (line_no == 2) & lines.str.match(_ANCHORED["hdr2"].pattern, case=False).to_numpy(dtype=bool)
+    is_batch = lines.str.startswith("baseOffset: ").to_numpy(dtype=bool)
+    is_msg = lines.str.startswith("| ").to_numpy(dtype=bool)
+    is_snap = lines.str.startswith("producerId: ").to_numpy(dtype=bool)
+    is_txn_msg = is_msg & lines.str.contains(
+        " key: transaction_metadata::transactionalId=", regex=False
     ).to_numpy(dtype=bool)
-    is_batch = lines.str.startswith("baseOffset: ")
-    is_msg = lines.str.startswith("| ")
-    is_snap = lines.str.startswith("producerId: ")
-    is_txn_msg = is_msg & lines.str.contains(" key: transaction_metadata::transactionalId=", regex=False)
-    is_ctl_msg = is_msg & ~is_txn_msg & lines.str.contains(" endTxnMarker: ", regex=False)
+    is_ctl_msg = is_msg & ~is_txn_msg & lines.str.contains(" endTxnMarker: ", regex=False).to_numpy(dtype=bool)
     is_data_msg = is_msg & ~is_txn_msg & ~is_ctl_msg
 
     cls[is_hdr1 | is_hdr2] = "header"
 
-    for name in _INT_DTYPES:
-        if name not in out:
-            out[name] = pd.Series([pd.NA] * n, dtype=_INT_DTYPES[name])
-    for name in _BOOL_COLS:
-        out[name] = pd.Series([pd.NA] * n, dtype="boolean")
-    for name in _STR_COLS:
-        out[name] = pd.Series([None] * n, dtype=object)
-
-    def assign(mask: pd.Series, col: str, values: pd.Series) -> None:
-        dtype = _INT_DTYPES.get(col)
-        if dtype:
-            values = pd.to_numeric(values, errors="coerce").astype(dtype)
-        out[col].loc[mask.to_numpy(dtype=bool)] = values.to_numpy()
+    def extract(mask: np.ndarray, key: str, required: str):
+        """Run the anchored extract over masked rows; returns (good_mask,
+        extracted-DataFrame-of-good-rows)."""
+        sub = lines[mask]
+        ext = sub.str.extract(_ANCHORED[key])
+        ok = ext[required].notna().to_numpy(dtype=bool)
+        good = mask.copy()
+        good[mask] = ok
+        return good, ext[ok]
 
     # --- batch headers -----------------------------------------------------
     if is_batch.any():
-        sub = lines[is_batch]
-        ext = sub.str.extract(_ANCHORED["batch"])
-        ok = ext["base_offset"].notna()
-        good = is_batch.copy()
-        good[is_batch.to_numpy(dtype=bool)] = ok.to_numpy(dtype=bool)
+        good, ge = extract(is_batch, "batch", "base_offset")
         bad = is_batch & ~good
         cls[good] = "batch"
         reason[bad] = "batch_regex_mismatch"
-        ge = ext[ok]
         for c in ("base_offset", "last_offset", "count", "base_sequence", "last_sequence",
                   "producer_id", "producer_epoch", "partition_leader_epoch", "position",
                   "create_time_ms", "size", "magic", "crc"):
-            assign(good, c, ge[c])
-        assign(good, "delete_horizon_ms", ge["delete_horizon_ms"].where(ge["delete_horizon_ms"] != "OptionalLong.empty"))
-        out["compress_codec"].loc[good.to_numpy(dtype=bool)] = ge["compress_codec"].to_numpy()
+            cols.set_int(c, good, ge[c])
+        cols.set_int("delete_horizon_ms", good, ge["delete_horizon_ms"].where(
+            ge["delete_horizon_ms"] != "OptionalLong.empty"))
+        cols.set_str("compress_codec", good, ge["compress_codec"].to_numpy(dtype=object))
         for c in ("is_transactional", "is_control", "is_valid"):
-            out[c].loc[good.to_numpy(dtype=bool)] = (ge[c] == "true").to_numpy()
+            cols.set_bool(c, good, (ge[c] == "true").to_numpy(dtype=bool))
 
-    # --- record lines (data / control / txn-state) -------------------------
-    def parse_msgs(mask: pd.Series, pattern_key: str, klass: str, fail_reason: str, extra) -> None:
-        if not mask.any():
-            return
-        sub = lines[mask]
-        ext = sub.str.extract(_ANCHORED[pattern_key])
-        ok = ext["offset"].notna()
-        good = mask.copy()
-        good[mask.to_numpy(dtype=bool)] = ok.to_numpy(dtype=bool)
-        bad = mask & ~good
-        reason[bad] = fail_reason
-        ge = ext[ok]
+    # --- record lines ------------------------------------------------------
+    def base_msg_fields(good: np.ndarray, ge: pd.DataFrame) -> None:
         for c in ("offset", "msg_create_time_ms", "key_size", "value_size", "sequence"):
-            assign(good, c, ge[c])
-        out["header_keys"].loc[good.to_numpy(dtype=bool)] = ge["header_keys"].to_numpy()
-        extra(good, ge)
+            cols.set_int(c, good, ge[c])
+        cols.set_str("header_keys", good, ge["header_keys"].to_numpy(dtype=object))
 
-    def data_extra(good, ge):
+    if is_data_msg.any():
+        good, ge = extract(is_data_msg, "data", "offset")
+        reason[is_data_msg & ~good] = "data_regex_mismatch"
         cls[good] = "data_msg"
+        base_msg_fields(good, ge)
 
-    def ctl_extra(good, ge):
+    if is_ctl_msg.any():
+        good, ge = extract(is_ctl_msg, "control", "offset")
+        reason[is_ctl_msg & ~good] = "control_regex_mismatch"
         cls[good] = "control_msg"
-        out["commit"].loc[good.to_numpy(dtype=bool)] = (ge["end_txn_marker"] == "COMMIT").to_numpy()
-        assign(good, "coordinator_epoch", ge["coordinator_epoch"])
+        base_msg_fields(good, ge)
+        cols.set_bool("commit", good, (ge["end_txn_marker"] == "COMMIT").to_numpy(dtype=bool))
+        cols.set_int("coordinator_epoch", good, ge["coordinator_epoch"])
 
-    def txn_extra(good, ge):
-        gmask = good.to_numpy(dtype=bool)
-        out["transactional_id"].loc[gmask] = ge["transactional_id"].to_numpy()
+    if is_txn_msg.any():
+        good, ge = extract(is_txn_msg, "txn", "offset")
+        reason[is_txn_msg & ~good] = "txn_record_regex_mismatch"
+        base_msg_fields(good, ge)
+        cols.set_str("transactional_id", good, ge["transactional_id"].to_numpy(dtype=object))
         payload = ge["payload"]
-        is_del = payload == "<DELETE>"
-        pext = payload[~is_del].str.extract(_ANCHORED["payload"])
-        pok = pext["state"].notna() if len(pext) else pd.Series([], dtype=bool)
-        # three-way split of `good`: deletion / state-change / payload-corrupt
+        is_del = (payload == "<DELETE>").to_numpy(dtype=bool)
         del_mask = good.copy()
-        del_mask[good.to_numpy(dtype=bool)] = is_del.to_numpy(dtype=bool)
+        del_mask[good] = is_del
         chg_mask = good.copy()
-        chg_mask[good.to_numpy(dtype=bool)] = (~is_del).to_numpy(dtype=bool)
-        chg_ok = chg_mask.copy()
-        chg_ok[chg_mask.to_numpy(dtype=bool)] = pok.to_numpy(dtype=bool)
-        chg_bad = chg_mask & ~chg_ok
+        chg_mask[good] = ~is_del
+        if (~is_del).any():
+            pext = payload[~is_del].str.extract(_ANCHORED["payload"])
+            pok = pext["state"].notna().to_numpy(dtype=bool)
+            chg_ok = chg_mask.copy()
+            chg_ok[chg_mask] = pok
+            chg_bad = chg_mask & ~chg_ok
+            pe = pext[pok]
+        else:
+            chg_ok = np.zeros(n, dtype=bool)
+            chg_bad = np.zeros(n, dtype=bool)
+            pe = None
         cls[del_mask] = "txn_deletion"
         cls[chg_ok] = "txn_state"
         cls[chg_bad] = "corrupt"
         reason[chg_bad] = "txn_payload_mismatch"
-        out["is_deletion"].loc[del_mask.to_numpy(dtype=bool)] = True
-        out["is_deletion"].loc[chg_ok.to_numpy(dtype=bool)] = False
-        pe = pext[pok] if len(pext) else pext
-        for c in ("txn_producer_id", "txn_producer_epoch", "txn_last_update_ms", "txn_timeout_ms"):
-            assign(chg_ok, c, pe[c])
-        out["state"].loc[chg_ok.to_numpy(dtype=bool)] = pe["state"].to_numpy()
-        out["partitions"].loc[chg_ok.to_numpy(dtype=bool)] = pe["partitions"].to_numpy()
+        cols.set_bool("is_deletion", del_mask, np.ones(int(del_mask.sum()), dtype=bool))
+        if pe is not None and len(pe):
+            cols.set_bool("is_deletion", chg_ok, np.zeros(int(chg_ok.sum()), dtype=bool))
+            for c in ("txn_producer_id", "txn_producer_epoch", "txn_last_update_ms", "txn_timeout_ms"):
+                cols.set_int(c, chg_ok, pe[c])
+            cols.set_str("state", chg_ok, pe["state"].to_numpy(dtype=object))
+            cols.set_str("partitions", chg_ok, pe["partitions"].to_numpy(dtype=object))
 
-    parse_msgs(is_data_msg, "data", "data_msg", "data_regex_mismatch", data_extra)
-    parse_msgs(is_ctl_msg, "control", "control_msg", "control_regex_mismatch", ctl_extra)
-    parse_msgs(is_txn_msg, "txn", "txn_state", "txn_record_regex_mismatch", txn_extra)
-
-    # --- producer-snapshot lines -------------------------------------------
+    # --- producer-snapshot lines --------------------------------------------
     if is_snap.any():
-        sub = lines[is_snap]
-        ext = sub.str.extract(_ANCHORED["snapshot"])
-        ok = ext["producer_id"].notna()
-        good = is_snap.copy()
-        good[is_snap.to_numpy(dtype=bool)] = ok.to_numpy(dtype=bool)
-        bad = is_snap & ~good
+        good, ge = extract(is_snap, "snapshot", "producer_id")
+        reason[is_snap & ~good] = "snapshot_regex_mismatch"
         cls[good] = "producer_state"
-        reason[bad] = "snapshot_regex_mismatch"
-        ge = ext[ok]
         for c in ("producer_id", "producer_epoch", "coordinator_epoch", "first_sequence",
                   "last_sequence", "last_offset", "offset_delta", "timestamp_ms"):
-            assign(good, c, ge[c])
+            cols.set_int(c, good, ge[c])
         # None -> 0, Some(n) -> n (SnapshotDumpReader.java:102-104)
         cur = ge["current_txn_first_offset"].str.replace("None", "0", regex=False).str.replace(
             r"[^\d]", "", regex=True
         )
-        assign(good, "current_txn_first_offset", cur)
+        cols.set_int("current_txn_first_offset", good, cur)
         # missing lastTimestamp -> 0 (SnapshotDumpReader.java:105-106)
-        assign(good, "last_timestamp_ms", ge["last_timestamp_ms"].fillna("0"))
+        cols.set_int("last_timestamp_ms", good, ge["last_timestamp_ms"].fillna("0"))
 
-    unmatched = (cls == "corrupt") & reason.isna()
+    unmatched = (cls == "corrupt") & (reason == None)  # noqa: E711
     reason[unmatched] = "unrecognised_line"
-    out["record_class"] = cls
-    out["corrupt_reason"] = reason
 
-    return pd.DataFrame({c: out[c] for c in _UDF_COL_ORDER})
+    arrays = {
+        "doc_id": doc_id,
+        "file": pa.array(file_arr, type=pa.string()),
+        "line_no": pa.array(line_no, type=pa.int32()),
+        "source": source,
+        "n_tok": pa.array(n_tok, type=pa.int32()),
+        "record_class": pa.array(cls, type=pa.string()),
+        "corrupt_reason": pa.array(reason, type=pa.string()),
+    }
+    for c, data in cols.int_data.items():
+        arrays[c] = pa.array(data, type=_INT_TYPES[c][1], mask=cols.int_mask[c])
+    for c in _BOOL_COLS:
+        arrays[c] = pa.array(cols.bool_data[c], type=pa.bool_(), mask=cols.bool_mask[c])
+    for c in _STR_COLS:
+        if c != "corrupt_reason":
+            arrays[c] = pa.array(cols.str_data[c], type=pa.string())
+    return pa.RecordBatch.from_arrays([arrays[c] for c in _UDF_COL_ORDER], names=_UDF_COL_ORDER)
+
+
+def _parse_batch_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """pandas-frontend wrapper (kept for tests/profiling)."""
+    batch = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+    return _parse_arrow_batch(batch).to_pandas()
 
 
 def parse_sequences(df: DataFrame) -> DataFrame:
@@ -223,12 +278,12 @@ def parse_sequences(df: DataFrame) -> DataFrame:
     codegen.
     """
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf):
-                yield _parse_batch_pdf(pdf)
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            if batch.num_rows:
+                yield _parse_arrow_batch(batch)
 
-    parsed = df.mapInPandas(gen, schema=UDF_SCHEMA)
+    parsed = df.mapInArrow(gen, schema=UDF_SCHEMA)
     parsed = (
         parsed.withColumn(
             "segment_type",

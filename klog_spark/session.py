@@ -50,6 +50,10 @@ def get_spark(
         "spark.sql.parquet.enableVectorizedReader": "true",
         # Broadcast threshold: dimension tables (topic/producer meta) are tiny.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Local-mode split sizing: fixture files are tens of MB; the default
+        # 4 MB open-cost floor would cap scan parallelism below core count.
+        # (On a real cluster with >128 MB files the default heuristics win.)
+        "spark.sql.files.openCostInBytes": str(512 * 1024),
         "spark.driver.memory": os.environ.get("KLOG_SPARK_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
     }
