@@ -1,0 +1,93 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is strictly batch (files in, stdout out — SURVEY.md §2.8);
+this module is the engine's forward-looking streaming surface: the same
+tokenized-sequence schema consumed as a file stream, the same vectorized
+parse (mapInArrow is stateless, so it composes with streaming), routed to
+per-class parquet sinks with exactly-once file-source checkpointing, plus a
+watermarked event-time aggregate (committed/aborted markers per time
+window) — the streaming analogue of txn-stat's A1 tallies.
+
+Window-based sessionization (A5-A7) is NOT offered on streams: klog's
+open/empty-transaction semantics are inherently order-of-arrival and the
+batch pipeline (checkpoint.run_incremental) is the correct way to get them
+incrementally; pretending otherwise would silently change results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.parse import parse_sequences
+from .operators.route import apply_validity_routing
+from .schemas import INPUT_SCHEMA
+
+
+def read_sequence_stream(spark: SparkSession, input_dir: str,
+                         max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def routed_stream(stream: DataFrame) -> DataFrame:
+    """Vectorized parse + validity routing on a stream (stateless)."""
+    return apply_validity_routing(parse_sequences(stream))
+
+
+def start_routed_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str,
+                      trigger_available_now: bool = True):
+    """Write the routed stream to per-class partition directories with
+    exactly-once checkpointing (the streaming face of route.write_routed)."""
+    writer = (
+        routed_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("record_class")
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def marker_counts_stream(stream: DataFrame, window: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked event-time tally of COMMIT/ABORT markers (A1 as a
+    streaming aggregate): control-message rows, event time = the message
+    CreateTime, late data bounded by the watermark."""
+    parsed = routed_stream(stream)
+    ctl = parsed.filter(F.col("record_class") == "control_msg").withColumn(
+        "event_time", F.timestamp_millis(F.col("msg_create_time_ms"))
+    )
+    return (
+        ctl.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"))
+        .agg(
+            F.sum(F.when(F.col("commit"), 1).otherwise(0)).alias("num_committed"),
+            F.sum(F.when(~F.col("commit"), 1).otherwise(0)).alias("num_aborted"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "num_committed", "num_aborted",
+        )
+    )
+
+
+def start_marker_counts_sink(stream: DataFrame, checkpoint_dir: str,
+                             query_name: str = "klog_marker_counts"):
+    """Run the marker tally into an in-memory sink (tests / dashboards)."""
+    return (
+        marker_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

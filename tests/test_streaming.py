@@ -1,0 +1,56 @@
+"""Structured Streaming surface: routed sink parity with batch, watermark agg."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, fixture_dir, tmp_path_factory):
+    # stream source dir: split the fixture into several files so
+    # maxFilesPerTrigger exercises multiple micro-batches
+    src = tmp_path_factory.mktemp("stream_src")
+    df = spark.read.parquet(f"{fixture_dir}/sequences.parquet")
+    df.repartition(6).write.mode("overwrite").parquet(str(src))
+    return str(src)
+
+
+def test_streaming_routed_sink_matches_batch(spark, fixture_dir, stream_input, tmp_path):
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.operators.route import apply_validity_routing
+    from klog_spark.streaming import read_sequence_stream, start_routed_sink
+
+    out = tmp_path / "routed"
+    ckpt = tmp_path / "ckpt"
+    q = start_routed_sink(read_sequence_stream(spark, stream_input), str(out), str(ckpt))
+    q.awaitTermination(300)
+
+    routed = spark.read.parquet(str(out))
+    batch = apply_validity_routing(
+        parse_sequences(spark.read.parquet(f"{fixture_dir}/sequences.parquet"))
+    )
+    got = {r["record_class"]: r["n"] for r in routed.groupBy("record_class").agg(F.count("*").alias("n")).collect()}
+    want = {r["record_class"]: r["n"] for r in batch.groupBy("record_class").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+    # restart with no new files -> no duplicates (exactly-once resume)
+    q2 = start_routed_sink(read_sequence_stream(spark, stream_input), str(out), str(ckpt))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == sum(want.values())
+
+
+def test_streaming_marker_counts(spark, fixture_dir, stream_input, tmp_path):
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.streaming import read_sequence_stream, start_marker_counts_sink
+
+    q = start_marker_counts_sink(
+        read_sequence_stream(spark, stream_input), str(tmp_path / "ckpt2"), query_name="mc_test"
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select sum(num_committed) c, sum(num_aborted) a from mc_test").collect()[0]
+    batch = parse_sequences(spark.read.parquet(f"{fixture_dir}/sequences.parquet"))
+    want = batch.filter(F.col("record_class") == "control_msg").agg(
+        F.sum(F.when(F.col("commit"), 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~F.col("commit"), 1).otherwise(0)).alias("a"),
+    ).collect()[0]
+    assert rows["c"] == want["c"]
+    assert rows["a"] == want["a"]

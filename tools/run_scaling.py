@@ -1,0 +1,104 @@
+"""Two-parallelism scaling measurement (BASELINE.md protocol).
+
+Packages klog_spark, runs tools/scaling_job.py via spark-submit at
+local[N] and local[4N] on the same input, computes throughput at both and
+efficiency = (R_4N / R_N) / 4, and writes BENCH/BASELINE.md.
+
+Usage: python tools/run_scaling.py [sf] [N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def build_zip() -> Path:
+    dist = REPO / "dist"
+    dist.mkdir(exist_ok=True)
+    zpath = dist / "klog_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted((REPO / "klog_spark").rglob("*.py")):
+            z.write(p, p.relative_to(REPO))
+    return zpath
+
+
+def run_once(cores: int, sf: float, zpath: Path) -> dict:
+    env = dict(os.environ, SPARK_SCALING_CORES=str(cores))
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", "24g",
+        "--py-files", str(zpath),
+        str(REPO / "tools" / "scaling_job.py"), str(sf),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from spark-submit (rc={out.returncode}):\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    zpath = build_zip()
+    results = {}
+    for cores in (n, 4 * n):
+        best = None
+        for _ in range(2):  # two runs, keep the faster (page cache warm)
+            r = run_once(cores, sf, zpath)
+            if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
+                best = r
+        results[cores] = best
+        print(f"local[{cores}]: {best['rows_per_sec']:,} rows/s ({best['wall_s']}s, rows={best['rows']})")
+
+    r_n, r_4n = results[n]["rows_per_sec"], results[4 * n]["rows_per_sec"]
+    eff = (r_4n / r_n) / 4
+    print(f"efficiency (N={n} -> 4N={4*n}): {eff:.3f} (target >= 0.8)")
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — scaling measurement
+
+Protocol (BASELINE.md): same job, same input, two parallelism levels via
+`spark-submit --py-files dist/klog_spark.zip tools/scaling_job.py` — the
+sandbox stand-in for the N -> 4N executor criterion. Job = full pipeline:
+parquet scan -> Arrow-vectorized parse -> validity routing -> broadcast
+producer-meta enrich -> partitioned routed write -> transactional aggregate
++ per-session counts. Timed first action -> last action (session startup
+excluded). Input: seeded klog fixture sf={sf} ({results[n]['rows']:,} tokenized lines);
+best of 2 runs per level.
+
+| parallelism | wall (s) | throughput (sequences/s) |
+|---|---|---|
+| local[{n}]  | {results[n]['wall_s']} | {r_n:,.0f} |
+| local[{4*n}] | {results[4*n]['wall_s']} | {r_4n:,.0f} |
+
+**Scaling efficiency (R_{{4N}} / R_N) / 4 = {eff:.3f}** (target >= 0.8).
+
+Aggregate sanity at both levels: num_committed={results[n]['num_committed']},
+num_aborted={results[n]['num_aborted']}, sessions={results[n]['n_sessions']}
+(identical across parallelism levels: {results[n]['num_committed'] == results[4*n]['num_committed']
+ and results[n]['num_aborted'] == results[4*n]['num_aborted']}).
+
+Measured {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())} on local[{4*n}]-max hardware
+({os.cpu_count()} cores). Spark confs: AQE on, shuffle.partitions=cores,
+maxPartitionBytes=8MB (local split sizing), Arrow batches.
+""")
+    print(f"wrote {bench_dir / 'BASELINE.md'}")
+    if eff < 0.8:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

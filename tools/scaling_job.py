@@ -1,0 +1,81 @@
+"""Scaling-protocol job: the full parse -> enrich -> route -> aggregate
+pipeline, timed from first action to last (JVM/session startup excluded per
+BASELINE.md). Run via spark-submit at two parallelism levels:
+
+    spark-submit --master local[8]  --py-files dist/klog_spark.zip tools/scaling_job.py <sf> <out>
+    spark-submit --master local[32] --py-files dist/klog_spark.zip tools/scaling_job.py <sf> <out>
+
+Prints one JSON line: rows, wall seconds, rows/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    from klog_spark.datagen import ensure_fixture
+    from klog_spark.operators import aggregates
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.operators.route import apply_validity_routing
+
+    fx = str(ensure_fixture(sf))
+    spark = (
+        SparkSession.builder.appName("klog-scaling")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(spark_cores()))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    df = spark.read.parquet(f"{fx}/sequences.parquet")
+    out = tempfile.mkdtemp(prefix="klog-scaling-")
+    try:
+        t0 = time.time()
+        n = df.count()  # first action
+        parsed = apply_validity_routing(parse_sequences(df))
+        meta = spark.read.parquet(f"{fx}/producer_meta.parquet")
+        enriched = parsed.join(F.broadcast(meta), ["producer_id"], "left")
+        enriched.write.mode("overwrite").partitionBy("record_class").parquet(f"{out}/routed")
+        # aggregates over the routed staging (partition-pruned columnar reads)
+        routed = spark.read.parquet(f"{out}/routed")
+        stats = aggregates.txn_stats(
+            parse_sequences(df)  # window path needs pre-routing classes
+        ).collect()[0]
+        per_epoch = routed.filter(
+            (F.col("record_class") == "batch") & (F.col("producer_id") != -1)
+        ).groupBy("producer_id", "producer_epoch").count().count()
+        wall = time.time() - t0
+        print(json.dumps({
+            "master": spark.sparkContext.master,
+            "rows": n,
+            "wall_s": round(wall, 2),
+            "rows_per_sec": round(n / wall, 1),
+            "num_committed": stats["num_committed"],
+            "num_aborted": stats["num_aborted"],
+            "n_sessions": per_epoch,
+        }))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+def spark_cores() -> int:
+    """Shuffle-partition count = core count, passed by the runner."""
+    import os
+
+    return int(os.environ.get("SPARK_SCALING_CORES", "32"))
+
+
+if __name__ == "__main__":
+    main()
