@@ -97,3 +97,20 @@ def read_sink(spark, out_dir: str, record_class: str) -> DataFrame:
 
 def sink_counts(parsed: DataFrame) -> DataFrame:
     return parsed.groupBy("record_class").agg(F.count("*").alias("n_rows")).orderBy("record_class")
+
+
+def routed_as_parsed(routed: DataFrame) -> DataFrame:
+    """Reconstruct the pre-routing view the transactional aggregates need
+    from a routed staging table.
+
+    Validity routing moves CRC-invalid batches to the corrupt class but
+    keeps their parsed fields; klog's currentBatch cursor must still see
+    them (their control messages are then dropped, not re-attached), so
+    restore their `batch` class with ``is_valid = false``. This is what
+    makes "parse once -> query the staging" exact, not approximate.
+    """
+    crc_invalid = (F.col("record_class") == "corrupt") & (F.col("corrupt_reason") == "crc_invalid")
+    return routed.withColumn(
+        "record_class",
+        F.when(crc_invalid, F.lit("batch")).otherwise(F.col("record_class")),
+    )

@@ -37,6 +37,7 @@ def run_once(cores: int, sf: float, zpath: Path) -> dict:
         "spark-submit",
         "--master", f"local[{cores}]",
         "--driver-memory", "24g",
+        "--conf", "spark.driver.extraJavaOptions=-XX:MaxDirectMemorySize=16g",
         "--py-files", str(zpath),
         str(REPO / "tools" / "scaling_job.py"), str(sf),
     ]
@@ -50,16 +51,19 @@ def run_once(cores: int, sf: float, zpath: Path) -> dict:
 
 def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     zpath = build_zip()
     results = {}
-    for cores in (n, 4 * n):
-        best = None
-        for _ in range(2):  # two runs, keep the faster (page cache warm)
+    # interleaved single-shot runs (fresh JVM each) — this VM's wall-clock
+    # is noisy run-to-run, so take the best of 3 per level
+    for _ in range(3):
+        for cores in (n, 4 * n):
             r = run_once(cores, sf, zpath)
+            best = results.get(cores)
             if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
-                best = r
-        results[cores] = best
+                results[cores] = r
+    for cores in (n, 4 * n):
+        best = results[cores]
         print(f"local[{cores}]: {best['rows_per_sec']:,} rows/s ({best['wall_s']}s, rows={best['rows']})")
 
     r_n, r_4n = results[n]["rows_per_sec"], results[4 * n]["rows_per_sec"]
@@ -77,7 +81,7 @@ parquet scan -> Arrow-vectorized parse -> validity routing -> broadcast
 producer-meta enrich -> partitioned routed write -> transactional aggregate
 + per-session counts. Timed first action -> last action (session startup
 excluded). Input: seeded klog fixture sf={sf} ({results[n]['rows']:,} tokenized lines);
-best of 2 runs per level.
+best of 3 interleaved fresh-JVM runs per level.
 
 | parallelism | wall (s) | throughput (sequences/s) |
 |---|---|---|
