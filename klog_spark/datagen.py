@@ -387,28 +387,36 @@ def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool
             sources.append(src)
             texts.append(line)
 
-    values, offsets = texts_to_token_arrays(texts)
-    tokens_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32()))
-    n_tok = (offsets[1:] - offsets[:-1]).astype(np.int32)
-
-    seq = pa.table(
-        {
-            "doc_id": pa.array(doc_ids, type=pa.string()),
-            "tokens": tokens_arr,
-            "n_tok": pa.array(n_tok, type=pa.int32()),
-            "source": pa.array(sources, type=pa.string()),
-        }
-    )
-    pq.write_table(seq, out / "sequences.parquet", row_group_size=20_000)
-
-    txt = pa.table(
-        {
-            "doc_id": pa.array(doc_ids, type=pa.string()),
-            "line": pa.array(texts, type=pa.string()),
-            "source": pa.array(sources, type=pa.string()),
-        }
-    )
-    pq.write_table(txt, out / "sequences_text.parquet", row_group_size=20_000)
+    # chunked writes: token-offset buffers must stay under the 32-bit Arrow
+    # offset limit, so large scale factors stream out in slices
+    seq_schema = pa.schema([
+        ("doc_id", pa.string()), ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()), ("source", pa.string()),
+    ])
+    txt_schema = pa.schema([
+        ("doc_id", pa.string()), ("line", pa.string()), ("source", pa.string()),
+    ])
+    chunk = 2_000_000
+    with pq.ParquetWriter(out / "sequences.parquet", seq_schema) as sw, \
+         pq.ParquetWriter(out / "sequences_text.parquet", txt_schema) as tw:
+        for lo in range(0, len(texts), chunk):
+            hi = min(lo + chunk, len(texts))
+            values, offsets = texts_to_token_arrays(texts[lo:hi])
+            tokens_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int32())
+            )
+            n_tok = (offsets[1:] - offsets[:-1]).astype(np.int32)
+            sw.write_table(pa.table({
+                "doc_id": pa.array(doc_ids[lo:hi], type=pa.string()),
+                "tokens": tokens_arr,
+                "n_tok": pa.array(n_tok, type=pa.int32()),
+                "source": pa.array(sources[lo:hi], type=pa.string()),
+            }, schema=seq_schema), row_group_size=20_000)
+            tw.write_table(pa.table({
+                "doc_id": pa.array(doc_ids[lo:hi], type=pa.string()),
+                "line": pa.array(texts[lo:hi], type=pa.string()),
+                "source": pa.array(sources[lo:hi], type=pa.string()),
+            }, schema=txt_schema), row_group_size=20_000)
 
     # broadcast dimensions (FIXTURES.md §2)
     topics = []

@@ -1,0 +1,62 @@
+"""X6/S4: nested Batch.messages materialization + deep-iteration flag."""
+
+from pyspark.sql import functions as F
+
+
+def test_nest_messages_counts_match(parsed_df):
+    from klog_spark.operators.aggregates import nest_messages
+
+    nested = nest_messages(parsed_df).cache()
+    # every valid batch in a deep-iteration file carries exactly `count`
+    # messages unless corrupt lines orphaned some (flagged separately)
+    sample = nested.filter(
+        (F.col("segment_type") == "data") & F.col("is_valid") & (F.size("messages") > 0)
+    ).select("doc_id", "count", F.size("messages").alias("n_msgs"))
+    mismatched = sample.filter(F.col("count") != F.col("n_msgs")).count()
+    total = sample.count()
+    n_corrupt = parsed_df.filter(F.col("record_class") == "corrupt").count()
+    assert total > 0
+    # only corrupt-adjacent batches can differ (a corrupt message line
+    # removes one message; a corrupt header makes messages attach to the
+    # previous batch) — each corrupt line can disturb at most 2 batches
+    assert mismatched <= 2 * n_corrupt
+    assert mismatched / total < 0.15
+
+    # message order inside the array follows line order
+    row = nested.filter(F.size("messages") >= 2).select("messages").first()
+    line_nos = [m["line_no"] for m in row["messages"]]
+    assert line_nos == sorted(line_nos)
+    nested.unpersist()
+
+
+def test_control_batches_have_control_message(parsed_df):
+    from klog_spark.operators.aggregates import nest_messages
+
+    nested = nest_messages(parsed_df)
+    ctl = nested.filter(
+        F.col("is_control") & F.col("is_valid") & (F.col("segment_type") == "data")
+        & (F.size("messages") == 1)
+    ).select(F.col("messages")[0]["record_class"].alias("cls"))
+    classes = {r["cls"] for r in ctl.collect()}
+    assert classes == {"control_msg"}
+
+
+def test_deep_iteration_flag(spark, parsed_df):
+    from klog_spark.operators.aggregates import deep_iteration_files
+
+    flags = deep_iteration_files(parsed_df)
+    # fixture dumps segments with --deep-iteration -> every .log dump deep;
+    # snapshot dumps have no record lines and are correctly flagged shallow
+    log_files = flags.filter(F.col("file").contains(".log.dump"))
+    snap_files = flags.filter(F.col("file").contains(".snapshot.dump"))
+    assert log_files.filter(~F.col("deep_iteration")).count() == 0
+    assert snap_files.filter(F.col("deep_iteration")).count() == 0
+    assert log_files.count() > 0 and snap_files.count() > 0
+
+
+def test_table_io_fallback(spark, fixture_dir):
+    from klog_spark.sources.table_io import iceberg_available, read_table
+
+    assert iceberg_available(spark) is False  # sandbox has no Iceberg jar
+    df = read_table(spark, f"{fixture_dir}/sequences.parquet")
+    assert df.count() > 0
