@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the klog oracle SQL reads the seeded fixture parquet by absolute path;
+    # make sure it exists even if the driver evaluates oracle SQL before
+    # running the Spark queries (generation is cached + deterministic)
+    eq.ensure_fixture(eq.ORACLE_SF, eq.FIXTURE_ROOT)
     return {
         "klog_route_counts": eq.SQL_ROUTE_COUNTS,
         "klog_sink_batches": eq.SQL_SINK_BATCHES,
