@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_sink_corrupt": eq.q_sink_corrupt,            # W1/W5-W7 corrupt routing
         "klog_txn_stats": eq.q_txn_stats,                  # A1-A7 + W8 (txn-stat CLI)
         "klog_batches_per_epoch": eq.q_batches_per_epoch,  # A9
+        "klog_batches_per_epoch_salted": eq.q_batches_per_epoch_salted,  # A9 + salting
         "klog_open_txns": eq.q_open_txns,                  # A5
         "klog_empty_txns": eq.q_empty_txns,                # A6
         "klog_offset_gaps": eq.q_offset_gaps,              # W8 detail
@@ -76,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
         "klog_sink_corrupt": eq.SQL_SINK_CORRUPT,
         "klog_txn_stats": eq.SQL_TXN_STATS,
         "klog_batches_per_epoch": eq.SQL_BATCHES_PER_EPOCH,
+        "klog_batches_per_epoch_salted": eq.SQL_BATCHES_PER_EPOCH,
         "klog_open_txns": eq.SQL_OPEN_TXNS,
         "klog_empty_txns": eq.SQL_EMPTY_TXNS,
         "klog_offset_gaps": eq.SQL_OFFSET_GAPS,

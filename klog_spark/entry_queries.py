@@ -1045,3 +1045,11 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+def q_batches_per_epoch_salted(spark, sf_dir):
+    """A9 via explicit two-phase salting (north rule's skew handling) —
+    identical result to the direct aggregate, same oracle SQL."""
+    from .operators.skew import salted_batches_per_epoch
+
+    return salted_batches_per_epoch(load_parsed_raw(spark, sf_dir), salt_buckets=16)
