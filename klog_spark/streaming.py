@@ -91,3 +91,42 @@ def start_marker_counts_sink(stream: DataFrame, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_marker_totals_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    COMMIT/ABORT totals per dump file, carried across micro-batches.
+
+    Marker tallies are commutative, so incremental streaming state is exact
+    (unlike the order-dependent open/empty-txn fold, which stays batch-only).
+    State per file: two counters; each micro-batch emits the updated totals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ctl = routed_stream(stream).filter(F.col("record_class") == "control_msg").select(
+        "file", "commit"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("num_committed", LongType()),
+            StructField("num_aborted", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("c", LongType()), StructField("a", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        c, a = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            commits = pdf["commit"].fillna(False).astype(bool)
+            c += int(commits.sum())
+            a += int((~commits).sum())
+        state.update((c, a))
+        yield pd.DataFrame({"file": [key[0]], "num_committed": [c], "num_aborted": [a]})
+
+    return ctl.groupBy("file").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -54,3 +54,36 @@ def test_streaming_marker_counts(spark, fixture_dir, stream_input, tmp_path):
     ).collect()[0]
     assert rows["c"] == want["c"]
     assert rows["a"] == want["a"]
+
+
+def test_stateful_session_marker_totals(spark, fixture_dir, stream_input, tmp_path):
+    """applyInPandasWithState operator: final per-file totals must equal the
+    batch groupBy, with state carried across multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.streaming import read_sequence_stream, session_marker_totals_stream
+
+    q = (
+        session_marker_totals_stream(read_sequence_stream(spark, stream_input, max_files_per_trigger=2))
+        .writeStream.format("memory").queryName("smt_test").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # 'update' mode emits one row per state change; the LAST row per file is
+    # the final total
+    got = {
+        r["file"]: (r["num_committed"], r["num_aborted"])
+        for r in spark.sql("select * from smt_test").collect()
+    }  # memory sink appends in order; dict keeps the last per file
+    batch = parse_sequences(spark.read.parquet(f"{fixture_dir}/sequences.parquet"))
+    want = {
+        r["file"]: (r["c"], r["a"])
+        for r in batch.filter(F.col("record_class") == "control_msg")
+        .groupBy("file")
+        .agg(F.sum(F.when(F.col("commit"), 1).otherwise(0)).alias("c"),
+             F.sum(F.when(~F.col("commit"), 1).otherwise(0)).alias("a"))
+        .collect()
+    }
+    assert got == want
