@@ -88,10 +88,20 @@ class _Cols:
         self.str_data = {c: np.full(n, None, dtype=object) for c in _STR_COLS}
 
     def set_int(self, col: str, rows: np.ndarray, values: pd.Series) -> None:
-        """rows: bool row-mask; values: extracted strings (positionally aligned)."""
-        vals = pd.to_numeric(values, errors="coerce").to_numpy(dtype=np.float64, na_value=np.nan)
-        nan = np.isnan(vals)
-        self.int_data[col][rows] = np.where(nan, 0, vals).astype(self.int_data[col].dtype)
+        """rows: bool row-mask; values: extracted strings (positionally aligned).
+
+        Exact int64 path: the reference parses with Long.parseLong, so a
+        float64 round-trip would silently lose precision for values >= 2^53
+        (base_offset, position, timestamps). Nulls are detected with a
+        coercing pass, then the non-null strings parse straight to int64.
+        """
+        coerced = pd.to_numeric(values, errors="coerce")
+        nan = coerced.isna().to_numpy(dtype=bool)
+        out = np.zeros(len(values), dtype=np.int64)
+        good = ~nan
+        if good.any():
+            out[good] = pd.to_numeric(values[good]).to_numpy(dtype=np.int64)
+        self.int_data[col][rows] = out.astype(self.int_data[col].dtype)
         self.int_mask[col][rows] = nan
 
     def set_bool(self, col: str, rows: np.ndarray, values: np.ndarray) -> None:
@@ -136,9 +146,13 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
 
     is_hdr1 = lines.str.startswith("Dumping ").to_numpy(dtype=bool)
     is_hdr2 = (line_no == 2) & lines.str.match(_ANCHORED["hdr2"].pattern, case=False).to_numpy(dtype=bool)
-    is_batch = lines.str.startswith("baseOffset: ").to_numpy(dtype=bool)
-    is_msg = lines.str.startswith("| ").to_numpy(dtype=bool)
-    is_snap = lines.str.startswith("producerId: ").to_numpy(dtype=bool)
+    # Header rule wins first, exactly as the sequential dispatch does
+    # (SegmentDumpReader.java:167-189): a line-2 record line whose text ends
+    # in 'starting offset: <n>' is a header, never a batch/record/snapshot.
+    not_hdr = ~(is_hdr1 | is_hdr2)
+    is_batch = not_hdr & lines.str.startswith("baseOffset: ").to_numpy(dtype=bool)
+    is_msg = not_hdr & lines.str.startswith("| ").to_numpy(dtype=bool)
+    is_snap = not_hdr & lines.str.startswith("producerId: ").to_numpy(dtype=bool)
     is_txn_msg = is_msg & lines.str.contains(
         " key: transaction_metadata::transactionalId=", regex=False
     ).to_numpy(dtype=bool)

@@ -12,7 +12,8 @@ from hypothesis import strategies as st
 from klog_spark import oracle
 from klog_spark.operators.parse import _parse_arrow_batch
 
-nat = st.integers(min_value=0, max_value=2**53)
+# full int64 range: the parser must be exact past 2^53 (no float round-trip)
+nat = st.integers(min_value=0, max_value=2**63 - 1)
 i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
 i16 = st.integers(min_value=-(2**15), max_value=2**15 - 1)
 u32 = st.integers(min_value=0, max_value=2**32 - 1)
@@ -27,7 +28,7 @@ def batch_lines(draw):
     dh = draw(st.sampled_from(["", " deleteHorizonMs: OptionalLong.empty", " deleteHorizonMs: 123456"]))
     return (
         f"baseOffset: {draw(nat)} lastOffset: {draw(nat)} count: {draw(st.integers(0, 10**6))} "
-        f"baseSequence: {draw(i32)} lastSequence: {draw(i32)} producerId: {draw(st.integers(-1, 2**53))} "
+        f"baseSequence: {draw(i32)} lastSequence: {draw(i32)} producerId: {draw(st.integers(-1, 2**63 - 1))} "
         f"producerEpoch: {draw(i16)} partitionLeaderEpoch: {draw(st.integers(0, 2**31 - 1))} "
         f"isTransactional: {draw(boolean)} isControl: {draw(boolean)}{dh} "
         f"position: {draw(nat)} CreateTime: {draw(nat)} size: {draw(st.integers(0, 2**31 - 1))} "

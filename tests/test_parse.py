@@ -183,3 +183,47 @@ def test_field_extraction_matches_oracle_sample(parsed_df, oracle_parsed):
         exp = want[r["doc_id"]]
         for k, v in exp.items():
             assert r[k] == v, (r["doc_id"], k, r[k], v)
+
+
+# --- precedence + precision regressions --------------------------------------
+
+def test_header_rule_beats_record_rule_on_line_2(spark):
+    """A line-2 record line whose payload tail ends in 'starting offset: <n>'
+    must classify as header (dispatch order, SegmentDumpReader.java:167-189),
+    not as data_msg — both in the engine and in the Python oracle."""
+    tricky = (
+        "| offset: 1 CreateTime: 5 keySize: 1 valueSize: 1 sequence: 0 "
+        "headerKeys: [] payload: starting offset: 5"
+    )
+    out = _parse(spark, [
+        "Dumping /tmp/kafka-logs/foo-0/00000000000000000000.log",
+        tricky,
+    ]).select("line_no", "record_class").collect()
+    got = {r["line_no"]: r["record_class"] for r in out}
+    assert got[2] == "header"
+    want = oracle.classify_and_parse(tricky, "f:2", "f", 2, "/tmp/kafka-logs/foo-0/0.log")
+    assert want.record_class == "header"
+    # the same text on any other line number is a data message on both sides
+    out3 = _parse(spark, ["Dumping /x", "starting offset: 0", tricky]).collect()
+    assert {r["line_no"]: r["record_class"] for r in out3}[3] == "data_msg"
+    assert oracle.classify_and_parse(tricky, "f:3", "f", 3, "x").record_class == "data_msg"
+
+
+def test_int64_fields_exact_past_2_53(spark):
+    """Long.parseLong semantics: values above 2^53 must survive exactly
+    (a float64 round-trip would corrupt the low bits)."""
+    big = 2**62 + 12345678901234567  # not representable in float64
+    line = (
+        f"baseOffset: {big} lastOffset: {big + 1} count: 1 baseSequence: 0 lastSequence: 0 "
+        f"producerId: {2**53 + 1} producerEpoch: 1 partitionLeaderEpoch: 679 isTransactional: true "
+        f"isControl: false position: {big} CreateTime: {2**53 + 3} size: 1292 magic: 2 "
+        "compresscodec: GZIP crc: 657418430 isvalid: true"
+    )
+    r = _parse(spark, ["Dumping /x", "starting offset: 0", line]).filter(
+        F.col("record_class") == "batch"
+    ).collect()[0]
+    assert r["base_offset"] == big
+    assert r["last_offset"] == big + 1
+    assert r["producer_id"] == 2**53 + 1
+    assert r["position"] == big
+    assert r["create_time_ms"] == 2**53 + 3
