@@ -35,6 +35,18 @@ def _stream_window_cols():
     return [F.col("file"), F.col("line_no")]
 
 
+def _countable_batch():
+    """A data-segment batch that survives validity routing: CRC-valid and
+    not a sessionless transactional batch (reference-fatal,
+    SegmentDumpReader.checkBatch). Such rows remain *cursor* targets —
+    klog's currentBatch points at every batch line — but never count as
+    events, gaps, or first/last candidates."""
+    fatal = F.col("is_transactional") & (
+        (F.col("producer_id") == -1) | (F.col("producer_epoch") == -1)
+    )
+    return F.col("is_valid") & ~fatal
+
+
 def attach_parent_batch(parsed: DataFrame) -> DataFrame:
     """Attach each record line's enclosing batch header (klog's currentBatch).
 
@@ -82,7 +94,7 @@ def _txn_base(parsed: DataFrame) -> DataFrame:
         Window.unboundedPreceding, -1
     )
     prev_valid_last = F.last(
-        F.when((F.col("record_class") == "batch") & F.col("is_valid"), F.col("last_offset")),
+        F.when((F.col("record_class") == "batch") & _countable_batch(), F.col("last_offset")),
         ignorenulls=True,
     ).over(w_prev)
     return rows.withColumn("prev_last_offset", prev_valid_last)
@@ -111,8 +123,12 @@ def txn_events(parsed: DataFrame, pid: int | None = None, producer_epoch: int | 
     """
     rows = base if base is not None else _txn_base(parsed)
     is_b = F.col("record_class") == "batch"
+    # a transactional data batch without a real session (pid/epoch == -1) is
+    # reference-fatal (SegmentDumpReader.checkBatch) — never an event, though
+    # it remains a currentBatch cursor target like any other batch line
     data_keep = (
         is_b & F.col("is_valid") & F.col("is_transactional") & ~F.col("is_control")
+        & (F.col("producer_id") != -1) & (F.col("producer_epoch") != -1)
         & _batch_selected("", pid, producer_epoch, leader_epoch)
     )
     ctl_keep = (
@@ -156,15 +172,76 @@ def txn_groups(parsed: DataFrame, base: DataFrame | None = None, **filters) -> D
 
 def txn_stats(parsed: DataFrame, **filters) -> DataFrame:
     """Single-row TransactionalInfo summary (TxnStat output,
-    segment/cli/TxnStat.java:94-103) + offset-gap count (W8)."""
+    segment/cli/TxnStat.java:94-103) + offset-gap count (W8).
+
+    ONE plan, ONE parse: transactional events and gap rows flow through the
+    same filter -> window -> group rollup -> final aggregate, so the Arrow
+    parse and the per-file window Exchange each run exactly once (the round-1
+    shape re-executed the parse per branch and cross-joined two singleton
+    aggregates). Gap rows that are not transactional events bypass the
+    session window via a spread partition key (they only contribute a
+    counter), so the ``producer_id = -1`` bulk never forms a hot window
+    partition.
+    """
+    pid = filters.get("pid")
+    producer_epoch = filters.get("producer_epoch")
+    leader_epoch = filters.get("leader_epoch")
     base = _txn_base(parsed)
-    groups = txn_groups(parsed, base=base, **filters)
+    is_b = F.col("record_class") == "batch"
+    # see txn_events: sessionless transactional batches are reference-fatal,
+    # cursor-visible but never events
+    data_keep = (
+        is_b & F.col("is_valid") & F.col("is_transactional") & ~F.col("is_control")
+        & (F.col("producer_id") != -1) & (F.col("producer_epoch") != -1)
+        & _batch_selected("", pid, producer_epoch, leader_epoch)
+    )
+    ctl_keep = (
+        ~is_b & F.col("parent").isNotNull() & F.col("parent.is_valid")
+        & _batch_selected("parent.", pid, producer_epoch, leader_epoch)
+    )
+    is_gap = (
+        is_b & _countable_batch() & F.col("prev_last_offset").isNotNull()
+        & (F.col("base_offset") != F.col("prev_last_offset") + 1)
+    )
+    ev = base.filter(data_keep | ctl_keep | is_gap).select(
+        F.when(is_b, F.col("producer_id")).otherwise(F.col("parent.producer_id")).alias("producer_id"),
+        F.when(is_b, F.col("producer_epoch")).otherwise(F.col("parent.producer_epoch")).alias("producer_epoch"),
+        "file", "line_no",
+        F.when(is_b, F.col("create_time_ms")).otherwise(F.col("parent.create_time_ms")).alias("create_time_ms"),
+        ctl_keep.alias("is_ctl"),
+        (data_keep | ctl_keep).alias("is_event"),
+        is_gap.cast("int").alias("is_gap"),
+        F.col("commit"),
+    )
+    # Session window over transactional events only: non-event (gap-counting)
+    # rows get a per-line partition key so they never enter — or skew — the
+    # (producer_id, producer_epoch) sort.
+    w = Window.partitionBy(
+        "producer_id", "producer_epoch",
+        F.when(F.col("is_event"), F.lit(-1)).otherwise(F.col("line_no")),
+    ).orderBy(*_stream_window_cols())
+    cum_ctl = F.coalesce(
+        F.sum(F.when(F.col("is_ctl"), 1).otherwise(0)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    ev = ev.withColumn("txn_grp", F.when(F.col("is_event"), cum_ctl).otherwise(F.lit(-1)))
+    order_key = F.struct(F.col("file"), F.col("line_no"))
+    is_data_ev = F.col("is_event") & ~F.col("is_ctl")
+    groups = ev.groupBy("producer_id", "producer_epoch", "txn_grp").agg(
+        F.sum(F.when(is_data_ev, 1).otherwise(0)).alias("n_data_batches"),
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("n_events"),
+        F.max(F.col("is_ctl")).alias("has_control"),
+        F.min(F.when(is_data_ev, F.struct(order_key.alias("k"), F.col("create_time_ms").alias("ct")))).alias("first_data"),
+        F.max(F.when(F.col("is_ctl"), F.struct(order_key.alias("k"), F.col("create_time_ms").alias("ct")))).alias("closing_ctl"),
+        F.sum(F.when(F.col("is_ctl") & F.col("commit"), 1).otherwise(0)).alias("n_commit"),
+        F.sum(F.when(F.col("is_ctl") & ~F.col("commit"), 1).otherwise(0)).alias("n_abort"),
+        F.sum("is_gap").alias("n_gaps"),
+    )
     closed = F.col("has_control") & (F.col("n_data_batches") > 0)
     empty = F.col("has_control") & (F.col("n_data_batches") == 0)
-    opened = ~F.col("has_control")
+    opened = ~F.col("has_control") & (F.col("n_events") > 0)
     dur = (F.col("closing_ctl.ct") - F.col("first_data.ct")).cast("int")
-
-    agg = groups.agg(
+    return groups.agg(
         F.sum("n_commit").alias("num_committed"),
         F.sum("n_abort").alias("num_aborted"),
         F.sum(F.when(closed, 1).otherwise(0)).alias("txn_size_count"),
@@ -179,13 +256,8 @@ def txn_stats(parsed: DataFrame, **filters) -> DataFrame:
         F.avg(F.when(closed, dur)).alias("txn_dur_avg"),
         F.sum(F.when(empty, 1).otherwise(0)).alias("num_empty_txn"),
         F.sum(F.when(opened, 1).otherwise(0)).alias("num_open_txn"),
+        F.sum("n_gaps").alias("num_offset_gaps"),
     )
-    gaps = base.filter(
-        (F.col("record_class") == "batch") & F.col("is_valid")
-        & F.col("prev_last_offset").isNotNull()
-        & (F.col("base_offset") != F.col("prev_last_offset") + 1)
-    ).agg(F.count("*").alias("num_offset_gaps"))
-    return agg.crossJoin(gaps)
 
 
 def open_txns(parsed: DataFrame, **filters) -> DataFrame:
@@ -214,7 +286,7 @@ def offset_gaps(parsed: DataFrame) -> DataFrame:
     """Valid data-segment batches whose base offset != previous last+1 within
     the same dump file (W8 — north rule's offset-gap detections)."""
     b = parsed.filter(
-        (F.col("segment_type") == "data") & (F.col("record_class") == "batch") & F.col("is_valid")
+        (F.col("segment_type") == "data") & (F.col("record_class") == "batch") & _countable_batch()
     )
     w = Window.partitionBy("file").orderBy("line_no")
     prev_last = F.lag("last_offset").over(w)
@@ -230,7 +302,7 @@ def batches_per_epoch(parsed: DataFrame) -> DataFrame:
     return (
         parsed.filter(
             (F.col("segment_type") == "data") & (F.col("record_class") == "batch")
-            & F.col("is_valid") & (F.col("producer_id") != -1)
+            & _countable_batch() & (F.col("producer_id") != -1)
         )
         .groupBy("producer_id", "producer_epoch")
         .agg(F.count("*").alias("n_batches"))
@@ -240,7 +312,7 @@ def batches_per_epoch(parsed: DataFrame) -> DataFrame:
 def first_last_batch(parsed: DataFrame) -> DataFrame:
     """A4: first and last valid data batch in stream order."""
     b = parsed.filter(
-        (F.col("segment_type") == "data") & (F.col("record_class") == "batch") & F.col("is_valid")
+        (F.col("segment_type") == "data") & (F.col("record_class") == "batch") & _countable_batch()
     )
     key = F.struct(F.col("file"), F.col("line_no"))
     return b.agg(

@@ -203,15 +203,23 @@ def txn_stat(parsed: list[ParsedLine], pid: int | None = None, producer_epoch: i
             if not f["is_valid"]:
                 cur_batch = None  # routed to corrupt; its messages don't count
                 continue
-            # offset-gap check is per segment file (W8)
-            prev = prev_last_offset.get(p.file)
-            if prev is not None and f["base_offset"] != prev + 1:
-                st.num_offset_gaps += 1
-            prev_last_offset[p.file] = f["last_offset"]
+            # a sessionless transactional batch is reference-fatal
+            # (checkBatch) -> routed to corrupt: cursor target, never counted
+            fatal = f["is_transactional"] and (
+                f["producer_id"] == -1 or f["producer_epoch"] == -1
+            )
+            if not fatal:
+                # offset-gap check is per segment file (W8)
+                prev = prev_last_offset.get(p.file)
+                if prev is not None and f["base_offset"] != prev + 1:
+                    st.num_offset_gaps += 1
+                prev_last_offset[p.file] = f["last_offset"]
             if not batch_selected(p):
                 cur_batch = None
                 continue
             cur_batch = p
+            if fatal:
+                continue
             if st.first_batch_doc is None:
                 st.first_batch_doc = p.doc_id
             st.last_batch_doc = p.doc_id

@@ -103,3 +103,87 @@ def test_batches_per_epoch_totals(parsed_df, oracle_parsed):
 def test_topics_sanity(parsed_df):
     row = agg.topics_sanity(parsed_df).collect()[0]
     assert row["n_topics"] == 1  # fixture has one data topic
+
+
+def test_invalid_control_batch_drops_controls_pre_routing(spark):
+    """The transactional fold must see the PRE-routing view: an invalid
+    (isvalid:false) control batch is still klog's currentBatch cursor target,
+    so its control messages are DROPPED. Feeding the routed view instead
+    (batch reclassified corrupt) silently re-attaches the control to an
+    earlier valid batch and miscounts commits."""
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.operators.route import apply_validity_routing
+    from klog_spark.schemas import INPUT_SCHEMA
+
+    batch = (
+        "baseOffset: 0 lastOffset: 0 count: 1 baseSequence: 0 lastSequence: 0 "
+        "producerId: 5 producerEpoch: 0 partitionLeaderEpoch: 1 isTransactional: true "
+        "isControl: {ctl} position: 0 CreateTime: {ct} size: 100 magic: 2 "
+        "compresscodec: none crc: 1 isvalid: {valid}"
+    )
+    lines = [
+        "Dumping /tmp/kafka-logs/t-0/00000000000000000000.log",
+        "Log starting offset: 0",
+        batch.format(ctl="false", ct=1000, valid="true"),   # opens txn (5,0)
+        batch.format(ctl="true", ct=2000, valid="false"),   # INVALID control batch
+        "| offset: 1 CreateTime: 2000 keySize: 4 valueSize: 6 sequence: -1 headerKeys: [] "
+        "endTxnMarker: COMMIT coordinatorEpoch: 1",          # parent = invalid -> drop
+    ]
+    rows = [(f"t-0.log.dump.txt:{i + 1}", [ord(c) for c in ln], len(ln),
+             "/tmp/kafka-logs/t-0/00000000000000000000.log") for i, ln in enumerate(lines)]
+    raw = parse_sequences(spark.createDataFrame(rows, INPUT_SCHEMA))
+
+    got = agg.txn_stats(raw).collect()[0].asDict()
+    assert got["num_committed"] == 0
+    assert got["num_open_txn"] == 1
+
+    # the routed view gives the WRONG answer here — this asserts the trap is
+    # real and Pipeline must keep feeding the raw view (pipeline.parsed_raw)
+    routed = apply_validity_routing(raw)
+    wrong = agg.txn_stats(routed).collect()[0].asDict()
+    assert wrong["num_committed"] == 1  # control re-attached to line-3 batch
+
+
+def test_pipeline_txn_stats_uses_raw_view(spark, fixture_dir, parsed_df, oracle_parsed):
+    from klog_spark.pipeline import Pipeline
+
+    row = Pipeline(spark, fixture_dir).txn_stats().collect()[0].asDict()
+    exp = _expected(oracle.txn_stat(oracle_parsed))
+    assert row["num_committed"] == exp["num_committed"]
+    assert row["num_aborted"] == exp["num_aborted"]
+    assert row["num_open_txn"] == exp["num_open_txn"]
+
+
+def test_sessionless_transactional_batch_is_cursor_not_event(spark):
+    """A CRC-valid transactional batch with pid/epoch == -1 is
+    reference-fatal (checkBatch) -> routed corrupt: it must not count as a
+    txn event / gap / first-last candidate, but it IS a currentBatch cursor
+    target, so a following control message attaches to session (-1, 0)."""
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.schemas import INPUT_SCHEMA
+
+    lines = [
+        "Dumping /tmp/kafka-logs/t-0/00000000000000000000.log",
+        "Log starting offset: 0",
+        "baseOffset: 0 lastOffset: 0 count: 1 baseSequence: 0 lastSequence: 0 "
+        "producerId: -1 producerEpoch: 0 partitionLeaderEpoch: 1 isTransactional: true "
+        "isControl: false position: 0 CreateTime: 1000 size: 100 magic: 2 "
+        "compresscodec: none crc: 1 isvalid: true",
+        "| offset: 1 CreateTime: 2000 keySize: 4 valueSize: 6 sequence: -1 headerKeys: [] "
+        "endTxnMarker: COMMIT coordinatorEpoch: 1",
+    ]
+    src = "/tmp/kafka-logs/t-0/00000000000000000000.log"
+    docs = [f"t-0.log.dump.txt:{i + 1}" for i in range(len(lines))]
+    rows = [(d, [ord(c) for c in ln], len(ln), src) for d, ln in zip(docs, lines)]
+    raw = parse_sequences(spark.createDataFrame(rows, INPUT_SCHEMA))
+
+    got = agg.txn_stats(raw).collect()[0].asDict()
+    want = _expected(oracle.txn_stat(
+        [oracle.classify_and_parse(ln, d, "t-0.log.dump.txt", i + 1, src)
+         for i, (ln, d) in enumerate(zip(lines, docs))]
+    ))
+    for k in ("num_committed", "num_aborted", "num_empty_txn", "num_open_txn",
+              "txn_size_count", "num_offset_gaps"):
+        assert got[k] == want[k], (k, got[k], want[k])
+    assert got["num_committed"] == 1 and got["num_empty_txn"] == 1
+    assert got["num_open_txn"] == 0 and got["txn_size_count"] == 0

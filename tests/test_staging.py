@@ -42,3 +42,23 @@ def test_read_sink_projections(spark, routed_dir):
         df = read_sink(spark, routed_dir, cls)
         assert df.columns == cols
         assert df.count() > 0, cls
+
+
+def test_pipeline_stage_parse_once(spark, fixture_dir, tmp_path, oracle_parsed):
+    """Pipeline.stage: queries over the staged table match the parse-per-query
+    path (and the oracle), with zero MapInArrow in the staged plan."""
+    from klog_spark import oracle
+    from klog_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, fixture_dir).stage(str(tmp_path / "staged"))
+    row = p.txn_stats().collect()[0].asDict()
+    st = oracle.txn_stat(oracle_parsed)
+    assert row["num_committed"] == st.num_committed
+    assert row["num_aborted"] == st.num_aborted
+    assert row["num_open_txn"] == len(st.open_txns)
+    assert row["num_offset_gaps"] == st.num_offset_gaps
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        p.txn_stats().explain("simple")
+    assert "MapInArrow" not in buf.getvalue()

@@ -15,10 +15,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def plan_of(df) -> str:
+def plan_of(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
+        df.explain(mode)
     return buf.getvalue()
 
 
@@ -83,10 +83,13 @@ def main() -> None:
         out_md.append(f"## {name} — {status}\n\n```\n{plan[:4000]}\n```\n")
 
     # targeted assertions
-    txn_plan = sections[1][1]
-    n_mapinarrow = txn_plan.count("MapInArrow")
+    # simple mode prints each physical node exactly once -> exact parse count
+    txn_tree = plan_of(aggregates.txn_stats(parse_sequences(seq)), "simple")
+    n_mapinarrow = txn_tree.count("MapInArrow")
     print(f"txn_stats MapInArrow occurrences: {n_mapinarrow} (parse branches)")
     out_md.append(f"\ntxn_stats MapInArrow occurrences: {n_mapinarrow}\n")
+    assert n_mapinarrow == 1, f"txn_stats must parse exactly once, got {n_mapinarrow}"
+    assert "CartesianProduct" not in txn_tree and "BroadcastNestedLoopJoin" not in txn_tree
     assert "PushedFilters" in sections[0][1] or "Scan parquet" in sections[0][1]
 
     Path("BENCH").mkdir(exist_ok=True)
