@@ -9,14 +9,18 @@ Located file:line provenance). The checkpoint is a JSON manifest of
 processed files with per-file row metrics; a resumed run anti-joins the
 manifest and processes only new files, making re-runs idempotent.
 
-Writes land in per-sink partition directories keyed by record_class AND a
-``run_id`` subdirectory, so a crashed run's partial output is superseded,
-never double-counted.
+Writes land in per-sink partition directories keyed by ``(record_class,
+run_id)``. Crash idempotency is two-sided: a run that died after its append
+but before ``ckpt.commit`` left orphan ``run_id=<id>`` partitions that are
+(a) deleted at the start of the next run (its files re-enter processing via
+the manifest anti-join) and (b) invisible to :func:`read_routed_committed`,
+which prunes to manifest-committed run_ids.
 """
 
 from __future__ import annotations
 
 import json
+import shutil
 import time
 import uuid
 from pathlib import Path
@@ -39,6 +43,9 @@ class Checkpoint:
     def processed_files(self) -> set[str]:
         return set(self.load()["processed_files"])
 
+    def committed_run_ids(self) -> set[str]:
+        return {r["run_id"] for r in self.load()["runs"]}
+
     def commit(self, run_id: str, file_metrics: dict[str, dict], sink_counts: dict[str, int],
                wall_s: float) -> None:
         state = self.load()
@@ -51,6 +58,29 @@ class Checkpoint:
         tmp = self.state_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(state, indent=1))
         tmp.replace(self.state_path)  # atomic on POSIX
+
+
+def drop_uncommitted_runs(routed_path: Path, ckpt: Checkpoint) -> list[str]:
+    """Delete orphan ``run_id=<id>`` partition dirs not in the manifest.
+    Returns the dropped run_ids. Driver-side filesystem walk over partition
+    directories only (O(sinks x runs), never O(rows))."""
+    committed = ckpt.committed_run_ids()
+    dropped = set()
+    if routed_path.exists():
+        for rid_dir in routed_path.glob("record_class=*/run_id=*"):
+            rid = rid_dir.name.split("=", 1)[1]
+            if rid not in committed:
+                shutil.rmtree(rid_dir)
+                dropped.add(rid)
+    return sorted(dropped)
+
+
+def read_routed_committed(spark: SparkSession, out_dir: str, ckpt: Checkpoint) -> DataFrame:
+    """Read the routed sink pruned to manifest-committed run_ids — safe even
+    while another (possibly doomed) run is appending."""
+    committed = sorted(ckpt.committed_run_ids())
+    df = spark.read.parquet(str(Path(out_dir) / "routed"))
+    return df.filter(F.col("run_id").isin(committed) if committed else F.lit(False))
 
 
 def run_incremental(spark: SparkSession, input_path: str, out_dir: str,
@@ -66,6 +96,11 @@ def run_incremental(spark: SparkSession, input_path: str, out_dir: str,
 
     t0 = time.time()
     run_id = uuid.uuid4().hex[:12]
+    # crash recovery: a previous run that appended but never committed left
+    # orphan run_id partitions — delete them BEFORE reprocessing their files,
+    # or the rerun would double-count (partition dirs are the durable unit;
+    # in Iceberg this is expiring the uncommitted snapshot).
+    drop_uncommitted_runs(Path(out_dir) / "routed", ckpt)
     df = spark.read.parquet(input_path)
     done = ckpt.processed_files()
     if done:
@@ -77,7 +112,7 @@ def run_incremental(spark: SparkSession, input_path: str, out_dir: str,
     parsed = apply_validity_routing(parse_sequences(df))
     out_path = str(Path(out_dir) / "routed")
     parsed.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
-        "record_class"
+        "record_class", "run_id"
     ).parquet(out_path)
 
     routed = spark.read.parquet(out_path).filter(F.col("run_id") == run_id)

@@ -62,3 +62,36 @@ def test_pipeline_stage_parse_once(spark, fixture_dir, tmp_path, oracle_parsed):
     with contextlib.redirect_stdout(buf):
         p.txn_stats().explain("simple")
     assert "MapInArrow" not in buf.getvalue()
+
+
+def test_checkpoint_crash_recovery_no_duplicates(spark, fixture_dir, tmp_path):
+    """A run that appended but crashed before ckpt.commit must not
+    double-count: its orphan run_id partitions are dropped on the next run,
+    its files reprocess, and committed-only reads never see orphans."""
+    from klog_spark.checkpoint import Checkpoint, read_routed_committed, run_incremental
+
+    out = str(tmp_path / "sink")
+    ckpt = Checkpoint(tmp_path / "sink" / "_checkpoint")
+    inp = f"{fixture_dir}/sequences.parquet"
+
+    r1 = run_incremental(spark, inp, out, ckpt)
+    total = spark.read.parquet(f"{out}/routed").count()
+    assert total == sum(r1["sink_counts"].values())
+
+    # simulate a crashed second run: append under a fresh run_id, NO commit
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.operators.route import apply_validity_routing
+
+    orphan = apply_validity_routing(parse_sequences(spark.read.parquet(inp)))
+    orphan.withColumn("run_id", F.lit("deadbeefcafe")).write.mode("append").partitionBy(
+        "record_class", "run_id"
+    ).parquet(f"{out}/routed")
+    assert spark.read.parquet(f"{out}/routed").count() == 2 * total  # orphan visible raw
+
+    # committed-only reader is immune to the orphan even before cleanup
+    assert read_routed_committed(spark, out, ckpt).count() == total
+
+    # resume: orphan dropped, nothing new to process, totals unchanged
+    r2 = run_incremental(spark, inp, out, ckpt)
+    assert r2["n_files"] == 0
+    assert spark.read.parquet(f"{out}/routed").count() == total
