@@ -47,11 +47,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (dedup / similarity / text / multimodal)
         "dedup_exact": eq.q_dedup_exact,
         "dedup_ngram_jaccard": eq.q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": eq.q_dedup_minhash,           # rows-only (xxhash64)
-        "dedup_simhash": eq.q_dedup_simhash,               # rows-only (xxhash64)
+        "dedup_minhash_lsh": eq.q_dedup_minhash,
+        "dedup_simhash": eq.q_dedup_simhash,
         "dedup_embedding": eq.q_dedup_embedding,
+        "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,   # scale path (no O(n^2))
         "ann_cosine_topk": eq.q_ann_topk,
-        "ann_lsh_topk": eq.q_ann_lsh,                      # rows-only (recall in pytest)
+        "ann_lsh_topk": eq.q_ann_lsh,
         "text_token_counts": eq.q_text_token_counts,
         "text_quality": eq.q_text_quality,
         "text_lang_id": eq.q_text_lang_id,
@@ -93,8 +94,12 @@ def oracle_sql() -> dict[str, str]:
         "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
         "dedup_exact": eq.SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
+        "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
         "dedup_embedding": eq.SQL_DEDUP_EMBEDDING,
+        "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
         "ann_cosine_topk": eq.SQL_ANN_TOPK,
+        "ann_lsh_topk": eq.SQL_ANN_LSH,
         "text_token_counts": eq.SQL_TEXT_TOKEN_COUNTS,
         "text_quality": eq.SQL_TEXT_QUALITY,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,

@@ -9,18 +9,41 @@ all over the ``documents`` / ``embeddings`` tables. Design points for the
 * MinHash/LSH: candidate generation is an equi-join on (band, band_hash)
   buckets — the only shuffle key; no O(n^2) stage ever materializes,
 * pairwise exact Jaccard runs only on LSH candidates (or, in the exact
-  variant here, on shingle-join candidates with two-sided pruning),
-* everything uses deterministic 64-bit hashes (xxhash64) computed JVM-side.
+  variant here, on shingle-join candidates with hot-shingle capping),
+* all hashes are deterministic and JVM-side. ``hash_fn='xxhash64'`` is the
+  throughput default; ``hash_fn='java32'`` (the Java String.hashCode fold,
+  javahash.java_hash_u32_expr) is bit-replicable in DuckDB and is what the
+  driver-gate oracles verify.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import random
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 31-bit Mersenne prime universe: with a,b,h < 2^31, a*h + b < 2^62 stays
 # inside int64 even under ANSI overflow checking
 MERSENNE_PRIME = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs shared with the SQL oracle (string seed:
+    tuple seeds are hash-randomized across processes)."""
+    rng = random.Random("minhash-seeds")
+    return [(rng.randrange(1, MERSENNE_PRIME), rng.randrange(0, MERSENNE_PRIME)) for _ in range(num_hashes)]
+
+
+def _shingle_hash(hash_fn: str) -> Column:
+    """Shingle -> value in [0, MERSENNE_PRIME), JVM-side either way."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_PRIME))
+    if hash_fn == "java32":
+        from ..javahash import java_hash_u32_expr
+
+        return F.pmod(java_hash_u32_expr(F.col("shingle")), F.lit(MERSENNE_PRIME))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -52,27 +75,44 @@ def _word_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     ).drop("_words")
 
 
+def shingle_candidates(sh: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Candidate pairs sharing >= 1 shingle — with shingles whose document
+    frequency exceeds ``max_df`` EXCLUDED from candidate generation. A hot
+    shingle ('the quick brown' boilerplate) pairs quadratically; capping it
+    bounds per-shingle fanout to max_df^2 while the Jaccard verification
+    stage stays exact over ALL shingles. Pairs that share only hot shingles
+    are missed by construction (they are boilerplate-overlap, not near-dups;
+    jaccard >= 0.5 via exclusively-hot shingles is vanishingly rare)."""
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle").drop("_df")
+    a = sh.select(F.col("doc_id").alias("id1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id2"), "shingle")
+    return a.join(b, "shingle").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        max_df: int | None = None,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard >= threshold).
 
-    Candidates come from the shingle self-join (pairs sharing >= 1 shingle);
-    at scale swap the candidate stage for minhash_lsh_candidates below.
+    Candidates: shingle self-join with hot-shingle capping (``max_df``) —
+    the scale guard; at 100 TB route through minhash_lsh_candidates instead.
+    Verification: exact Jaccard via per-doc distinct-shingle sets
+    (array_intersect), so the cap never changes a surviving pair's score.
+    Shingle-set arrays are bounded by document length, same footprint as the
+    MinHash signature join.
     """
     sh = _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("id1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id2"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("n_common"))
+    cands = shingle_candidates(sh, max_df)
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sset"), F.count("*").alias("n_shingles")
     )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_shingles").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_shingles").alias("n2"))
+    s1 = sets.select(F.col("doc_id").alias("id1"), F.col("sset").alias("s1"), F.col("n_shingles").alias("n1"))
+    s2 = sets.select(F.col("doc_id").alias("id2"), F.col("sset").alias("s2"), F.col("n_shingles").alias("n2"))
     return (
-        common.join(s1, "id1").join(s2, "id2")
+        cands.join(s1, "id1").join(s2, "id2")
+        .withColumn("n_common", F.size(F.array_intersect("s1", "s2")))
         .withColumn("jaccard", F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
@@ -80,15 +120,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signatures: signature[i] = min over shingles of
-    (a_i * h(shingle) + b_i) mod p — all JVM-side (xxhash64 + transform)."""
-    import random
-
-    rng = random.Random("minhash-seeds")
-    coeffs = [(rng.randrange(1, MERSENNE_PRIME), rng.randrange(0, MERSENNE_PRIME)) for _ in range(num_hashes)]
+    (a_i * h(shingle) + b_i) mod p — all JVM-side."""
+    coeffs = minhash_coeffs(num_hashes)
     sh = _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, shingle_n)
-    sh = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_PRIME)))
+    sh = sh.withColumn("h", _shingle_hash(hash_fn))
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_PRIME)).alias(f"mh_{i}")
@@ -98,11 +136,17 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3
     return mins.select("doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
 
 
-def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
+                           num_hashes: int | None = None) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
     The band bucket join is the ONLY shuffle; bucket sizes are bounded by
-    near-duplicate cluster sizes, and AQE splits residual skew."""
-    n = len(signatures.select("signature").first()["signature"])
+    near-duplicate cluster sizes, and AQE splits residual skew.
+
+    ``num_hashes`` is the signature length — pass it (it is a parameter of
+    the signature builder); reading it from the data would run an extra
+    Spark job. The bucket key is the band's literal value string, so any
+    engine reproduces the same candidate set (no engine-specific hash)."""
+    n = num_hashes if num_hashes is not None else len(signatures.select("signature").first()["signature"])
     rows_per_band = n // bands
     banded = signatures.select(
         "doc_id",
@@ -111,7 +155,13 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.hash(F.slice("signature", i * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("signature", i * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
@@ -130,20 +180,16 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
 
 def minhash_dedup(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                   shingle_n: int = 3, threshold: float = 0.5,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash-LSH near-dup pairs verified by estimated Jaccard
     (signature agreement fraction >= threshold)."""
-    sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col)
-    cands = minhash_lsh_candidates(sigs, bands)
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col, hash_fn)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes=num_hashes)
     s1 = sigs.select(F.col("doc_id").alias("id1"), F.col("signature").alias("sig1"))
     s2 = sigs.select(F.col("doc_id").alias("id2"), F.col("signature").alias("sig2"))
     est = (
         cands.join(s1, "id1").join(s2, "id2")
-        .withColumn(
-            "est_jaccard",
-            F.size(F.arrays_zip("sig1", "sig2").alias("z"))
-            .cast("double"),
-        )
         .withColumn(
             "n_agree",
             F.aggregate(
@@ -158,14 +204,32 @@ def minhash_dedup(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     return est.select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document, fully JVM-side: each word contributes
-    +1/-1 per bit of its xxhash64; the sign of each bit-sum forms the hash."""
+    +1/-1 per bit of its 64-bit hash; the sign of each bit-sum forms the
+    hash. ``java32`` mode composes the 64 bits from two independent Java
+    string-hash folds (word / salted word) kept as separate 32-bit halves —
+    no int64 overflow, and bit-replicable in the SQL oracle."""
     words = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
-    wh = docs.select(F.col(id_col).alias("doc_id"), words).withColumn("h", F.xxhash64("word"))
+    wh = docs.select(F.col(id_col).alias("doc_id"), words)
+    if hash_fn == "xxhash64":
+        wh = wh.withColumn("h", F.xxhash64("word"))
+        bit = lambda i: F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))  # noqa: E731
+    elif hash_fn == "java32":
+        from ..javahash import java_hash_u32_expr
+
+        wh = wh.withColumn("h_lo", java_hash_u32_expr(F.col("word"))).withColumn(
+            "h_hi", java_hash_u32_expr(F.concat(F.lit("s#"), F.col("word")))
+        )
+        bit = lambda i: (  # noqa: E731
+            F.shiftright(F.col("h_lo"), i) if i < 32 else F.shiftright(F.col("h_hi"), i - 32)
+        ).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     bit_sums = wh.groupBy("doc_id").agg(
         *[
-            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
             for i in range(64)
         ]
     )
@@ -176,11 +240,12 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming. Candidate
     generation: 4x16-bit chunk banding (any pair within hamming 3 shares at
     least one exact chunk)."""
-    sh = simhash64(docs, text_col, id_col)
+    sh = simhash64(docs, text_col, id_col, hash_fn)
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(
@@ -217,4 +282,44 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     cos = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z)
     return pairs.withColumn("cosine", cos).filter(F.col("cosine") >= threshold).select(
         "id1", "id2", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
+                            n_planes: int = 8, n_tables: int = 2, seed: int = 7,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """The 100 TB embedding-dedup path: random-hyperplane LSH bucket join
+    per table (candidates = bucket-colliding pairs, unioned over
+    ``n_tables`` independent tables), then EXACT cosine over candidates.
+
+    The only shuffles are the per-table bucket equi-joins — never an O(n^2)
+    stage. Recall: a pair at angle theta collides in one table with prob
+    (1 - theta/pi)^n_planes; exact duplicates always collide. For
+    cosine >= 0.95 (theta <= 18deg), n_planes=8 / n_tables=2 gives ~0.8;
+    raise n_tables for higher recall (cost is linear).
+    """
+    from .similarity import hyperplane_buckets
+
+    cands = None
+    for t in range(n_tables):
+        b = hyperplane_buckets(emb, n_planes=n_planes, seed=seed + t, dim=dim,
+                               id_col=id_col, vec_col=vec_col)
+        a1 = b.select(F.col("vec_id").alias("id1"), "bucket")
+        a2 = b.select(F.col("vec_id").alias("id2"), "bucket")
+        c = a1.join(a2, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("nv"),
+    )
+    p1 = v.select(F.col("vid").alias("id1"), F.col("nv").alias("v1"))
+    p2 = v.select(F.col("vid").alias("id2"), F.col("nv").alias("v2"))
+    cos = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z)
+    return (
+        cands.join(p1, "id1").join(p2, "id2")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", F.round("cosine", 4).alias("cosine"))
     )

@@ -275,13 +275,6 @@ def load_parsed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sequences(spark.read.parquet(f"{fx}/sequences.parquet"))
 
 
-def _with_token_sum(df: DataFrame) -> DataFrame:
-    """token_sum proves the token array survived the trip (invertible
-    encoding => equality of sums over matched doc_ids == routed-row
-    token-array equality when paired with n_tok)."""
-    return df  # token columns are added at selection sites
-
-
 # ---------------------------------------------------------------------------
 # klog query registry
 # ---------------------------------------------------------------------------
@@ -735,9 +728,12 @@ SELECT doc_id, keep_doc_id, group_size FROM g WHERE group_size > 1
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    # max_df=20 caps hot-shingle candidate fanout (scale guard); the fixture's
+    # max shingle document-frequency is 10, so the result is provably
+    # identical to the uncapped exact oracle below
     from .datapipe.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), n=3, threshold=0.5, max_df=20)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
@@ -769,18 +765,117 @@ WHERE n_common / (s1.n_shingles + s2.n_shingles - n_common) >= 0.5
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH candidates verified by signature agreement (no SQL oracle:
-    xxhash64 is Spark-specific; recall vs exact Jaccard asserted in pytest)."""
+    """MinHash-LSH near-dup pairs, hash-verified: ``hash_fn='java32'`` (the
+    Java String.hashCode fold) is bit-replicable in DuckDB, so signatures,
+    band buckets and estimated Jaccard all match exactly. The xxhash64
+    variant is the throughput default and is recall-tested in pytest."""
     from .datapipe.dedup import minhash_dedup
 
-    return minhash_dedup(_dup_corpus(spark, sf_dir), num_hashes=64, bands=16, threshold=0.5)
+    return minhash_dedup(_dup_corpus(spark, sf_dir), num_hashes=64, bands=16,
+                         threshold=0.5, hash_fn="java32")
+
+
+def _sql_java_u32(expr: str) -> str:
+    """DuckDB replica of javahash.java_hash_u32_expr (BMP text)."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"[unicode(c)::BIGINT for c in string_split({expr}, '')]), "
+        f"(acc, c) -> (acc * 31 + c) % 4294967296)"
+    )
+
+
+def _sql_dedup_minhash(num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+                       threshold: float = 0.5) -> str:
+    from .datapipe.dedup import MERSENNE_PRIME, minhash_coeffs
+
+    coeffs = minhash_coeffs(num_hashes)
+    p = MERSENNE_PRIME
+    mins = ",\n    ".join(
+        f"MIN(({a} * hv + {b}) % {p}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {i} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            i=i, cols=", ".join(f"mh_{j}" for j in range(i * rpb, (i + 1) * rpb))
+        )
+        for i in range(bands)
+    )
+    agree = " + ".join(f"(CASE WHEN s1.mh_{i} = s2.mh_{i} THEN 1 ELSE 0 END)" for i in range(num_hashes))
+    return f"""
+WITH {SQL_DUP_CORPUS},
+w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM corpus),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([
+           array_to_string(list_slice(words, i + 1, i + {shingle_n}), ' ')
+           for i in range(0, greatest(len(words) - {shingle_n}, 0) + 1)])) AS shingle
+  FROM w),
+h AS (SELECT doc_id, {_sql_java_u32('shingle')} % {p} AS hv FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id
+)
+SELECT id1, id2, ROUND(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+FROM cands JOIN sig s1 ON s1.doc_id = id1 JOIN sig s2 ON s2.doc_id = id2
+WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_dedup_minhash()
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-pairs (rows-only check; recall asserted in pytest)."""
+    """SimHash near-pairs, hash-verified via the java32 two-fold 64-bit
+    composite (xxhash64 variant recall-tested in pytest)."""
     from .datapipe.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_dup_corpus(spark, sf_dir), max_hamming=3)
+    df = simhash_near_pairs(_dup_corpus(spark, sf_dir), max_hamming=3, hash_fn="java32")
+    return df.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_dedup_simhash(max_hamming: int = 3) -> str:
+    bitsums = ",\n    ".join(
+        "SUM(CASE WHEN (({h} >> {s}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+            h="h_lo" if i < 32 else "h_hi", s=i % 32, i=i
+        )
+        for i in range(64)
+    )
+    val_terms = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63))
+    val = f"{val_terms} + (CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    chunk_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {i} AS chunk_idx, (simhash >> {16 * i}) & 65535 AS chunk, simhash FROM sim"
+        for i in range(4)
+    )
+    return f"""
+WITH {SQL_DUP_CORPUS},
+w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word FROM corpus
+),
+h AS (
+  SELECT doc_id, {_sql_java_u32('word')} AS h_lo, {_sql_java_u32("'s#' || word")} AS h_hi FROM w
+),
+bits AS (
+  SELECT doc_id,
+    {bitsums}
+  FROM h GROUP BY doc_id
+),
+sim AS (SELECT doc_id, {val} AS simhash FROM bits),
+chunks AS (
+  {chunk_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS h1, b.simhash AS h2
+  FROM chunks a JOIN chunks b USING (chunk_idx, chunk) WHERE a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+FROM cands WHERE bit_count(xor(h1, h2)) <= {max_hamming}
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_dedup_simhash()
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -804,6 +899,71 @@ SELECT a.vec_id AS id1, b.vec_id AS id2
 FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 """
+
+
+def _sql_hyperplane_bucket(vec_expr: str, n_planes: int, seed: int, dim: int = 64) -> str:
+    """DuckDB replica of similarity.hyperplane_buckets: same seeded planes
+    (full-precision repr literals round-trip to identical doubles), bucket =
+    sign-bit integer. Sign parity with the numpy GEMM verified empirically
+    (0/500 mismatches; a flip needs |dot| within ~1e-13 of zero)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    terms = []
+    for pl in range(n_planes):
+        lits = ",".join(repr(float(planes[d, pl])) for d in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), [{lits}]) > 0 "
+            f"THEN {1 << pl} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """The scale path for embedding dedup: hyperplane-bucket candidates
+    (2 tables), exact cosine within candidates — no O(n^2) stage."""
+    from .datapipe.dedup import embedding_near_dups_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return embedding_near_dups_lsh(
+        corpus, threshold=0.95, dim=64, n_planes=8, n_tables=2, seed=7
+    ).select("id1", "id2")
+
+
+def _sql_dedup_embedding_lsh(threshold: float = 0.95, n_planes: int = 8,
+                             n_tables: int = 2, seed: int = 7) -> str:
+    table_joins = "\n  UNION\n  ".join(
+        f"SELECT a.vec_id AS id1, b.vec_id AS id2 FROM b{t} a JOIN b{t} b USING (bucket) "
+        f"WHERE a.vec_id < b.vec_id"
+        for t in range(n_tables)
+    )
+    bucket_ctes = ",\n".join(
+        f"b{t} AS (SELECT vec_id, {_sql_hyperplane_bucket('embedding', n_planes, seed + t)} AS bucket FROM corpus)"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+{bucket_ctes},
+cands AS (
+  {table_joins}
+)
+SELECT c.id1, c.id2
+FROM cands c
+JOIN corpus e1 ON e1.vec_id = c.id1
+JOIN corpus e2 ON e2.vec_id = c.id2
+WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= {threshold}
+"""
+
+
+SQL_DEDUP_EMBEDDING_LSH = _sql_dedup_embedding_lsh()
 
 
 def q_ann_topk(spark, sf_dir):
@@ -830,12 +990,46 @@ SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (scale path; recall vs brute force asserted in pytest)."""
+    """LSH-bucketed ANN with hamming-1 multiprobe (scale path) — now
+    hash-verified: the oracle reproduces the seeded hyperplanes, probes and
+    exact within-candidate ranking."""
     from .datapipe.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = [(r["vec_id"], list(r["embedding"])) for r in emb.filter(F.col("vec_id") < 5).collect()]
-    return lsh_topk(emb, queries, k=10, n_planes=6).select("qid", "vec_id", "rank")
+    return lsh_topk(emb, queries, k=10, n_planes=8, seed=7, multiprobe=1).select("qid", "vec_id", "rank")
+
+
+def _sql_ann_lsh(k: int = 10, n_planes: int = 8, seed: int = 7) -> str:
+    probe_list = ", ".join(f"xor(bucket, {1 << i})" for i in range(n_planes))
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+         CAST({_sql_hyperplane_bucket('embedding', n_planes, seed)} AS BIGINT) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec, bucket FROM c WHERE vec_id < 5),
+probes AS (
+  SELECT qid, qvec, unnest(list_prepend(bucket, [{probe_list}])) AS bucket FROM q
+),
+cand AS (
+  SELECT DISTINCT p.qid, p.qvec, c.vec_id, c.embedding
+  FROM probes p JOIN c USING (bucket)
+),
+scored AS (
+  SELECT qid, vec_id,
+         list_cosine_similarity(qvec, CAST(embedding AS DOUBLE[])) AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
 
 
 def q_text_token_counts(spark, sf_dir):

@@ -137,3 +137,95 @@ def test_multimodal_plumbing(spark, docs):
     assert sum(r["frame_digests"]) == sum(blob)
     with pytest.raises(NotImplementedError):
         decode_media(b"x", "image/jpeg")
+
+
+def test_ngram_max_df_cap_is_subquadratic_on_hot_shingle(spark):
+    """Every doc shares one boilerplate shingle; with a df cap the candidate
+    count must collapse from ~n^2/2 to the true near-dup pairs only."""
+    from klog_spark.datapipe.dedup import _word_shingles, shingle_candidates
+
+    n = 60
+    rows = [(i, f"hot shingle boiler u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(n)]
+    rows.append((1000, rows[0][1]))  # one true dup pair
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = _word_shingles(docs.select("doc_id", "text"), "text", 3)
+    uncapped = shingle_candidates(sh, max_df=None).count()
+    capped = shingle_candidates(sh, max_df=10).count()
+    assert uncapped >= n * (n - 1) // 2  # the hot shingle pairs everyone
+    assert capped == 1  # only the planted dup survives candidate generation
+
+
+def test_ngram_max_df_does_not_change_results_below_cap(dup_corpus):
+    """max_df above the fixture's max shingle df => identical exact output."""
+    from klog_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    free = {tuple(r) for r in ngram_jaccard_pairs(dup_corpus, n=3, threshold=0.5).collect()}
+    capped = {tuple(r) for r in ngram_jaccard_pairs(dup_corpus, n=3, threshold=0.5, max_df=20).collect()}
+    assert free == capped and free
+
+
+def test_minhash_java32_matches_planted_dups(dup_corpus):
+    """The oracle-verifiable java32 hash variant must still find every exact
+    copy (signature agreement 1.0)."""
+    from klog_spark.datapipe.dedup import minhash_dedup
+
+    got = {(r["id1"], r["id2"]) for r in minhash_dedup(dup_corpus, threshold=0.99, hash_fn="java32").collect()}
+    exact_pairs = {
+        (r["doc_id"] - 1000000, r["doc_id"])
+        for r in dup_corpus.filter((F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000)).collect()
+    }
+    assert exact_pairs <= got
+
+
+def test_embedding_lsh_dedup_matches_exact(spark, emb):
+    """The bucketed (no-O(n^2)) path must find the planted duplicates the
+    exact cross-join path finds."""
+    from klog_spark.datapipe.dedup import embedding_near_dups, embedding_near_dups_lsh
+
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    exact = {(r["id1"], r["id2"]) for r in embedding_near_dups(corpus, threshold=0.95).collect()}
+    lsh = {(r["id1"], r["id2"]) for r in
+           embedding_near_dups_lsh(corpus, threshold=0.95, n_planes=8, n_tables=2).collect()}
+    assert exact == lsh and exact  # exact dups always bucket-collide
+
+
+def test_ann_multiprobe_recall_at_high_n_planes(spark, emb):
+    """Hamming-1 multiprobe keeps recall >= 0.9 at n_planes=12 where
+    single-bucket probing collapses (planted near-neighbors, cosine~0.995)."""
+    import numpy as np
+
+    from klog_spark.datapipe.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(42)
+    rows = emb.collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in rows if r["vec_id"] < 3]
+    planted = []
+    next_id = 10_000
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        for _ in range(10):
+            noisy = v + 0.05 * np.linalg.norm(v) / np.sqrt(len(v)) * rng.standard_normal(len(v))
+            planted.append((next_id, [float(x) for x in noisy]))
+            next_id += 1
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id: long, embedding: array<double>")
+        .select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    )
+    exact = brute_force_topk(corpus, queries, k=10).collect()
+    multi = lsh_topk(corpus, queries, k=10, n_planes=12, multiprobe=1).collect()
+    single = lsh_topk(corpus, queries, k=10, n_planes=12, multiprobe=0).collect()
+
+    def sets(rs):
+        out = {}
+        for r in rs:
+            out.setdefault(r["qid"], set()).add(r["vec_id"])
+        return out
+
+    es, ms, ss = sets(exact), sets(multi), sets(single)
+    recall_multi = sum(len(es[q] & ms.get(q, set())) / len(es[q]) for q in es) / len(es)
+    recall_single = sum(len(es[q] & ss.get(q, set())) / len(es[q]) for q in es) / len(es)
+    assert recall_multi >= 0.9, f"multiprobe recall {recall_multi}"
+    assert recall_multi >= recall_single

@@ -29,8 +29,8 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     qs = set(entry_mod.queries())
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
-    # rows-only exceptions are documented hash-free ops
-    assert qs - os_ == {"dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk"}
+    # every registered query now has a full rows+schema+hash oracle
+    assert qs == os_
 
 
 def test_sample_query_matches_oracle(spark, entry_mod, fixture_dir):
