@@ -42,7 +42,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_enrich_producer_team": eq.q_enrich_producer_team,  # broadcast enrich
         "klog_enrich_topic": eq.q_enrich_topic,            # broadcast enrich
         "klog_abort_cmds": eq.q_abort_cmds,                # S10 (snapshot abort-cmd)
-        "klog_coordinating_partition": eq.q_coordinating_partition,  # F5
+        "klog_coordinating_partition": eq.q_coordinating_partition,  # F5 (txn)
+        "klog_group_coordinating_partition": eq.q_group_coordinating_partition,  # F5 (group)
+        "klog_cat_producer_states": eq.q_cat_producer_states,  # snapshot cat projection
         "klog_first_last_batch": eq.q_first_last_batch,    # A4
         # training-data pipeline (dedup / similarity / text / multimodal)
         "dedup_exact": eq.q_dedup_exact,
@@ -91,6 +93,8 @@ def oracle_sql() -> dict[str, str]:
         "klog_enrich_topic": eq.SQL_ENRICH_TOPIC,
         "klog_abort_cmds": eq.SQL_ABORT_CMDS,
         "klog_coordinating_partition": eq.SQL_COORDINATING_PARTITION,
+        "klog_group_coordinating_partition": eq.SQL_GROUP_COORDINATING_PARTITION,
+        "klog_cat_producer_states": eq.SQL_CAT_PRODUCER_STATES,
         "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
         "dedup_exact": eq.SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,

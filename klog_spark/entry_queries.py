@@ -61,6 +61,17 @@ def _sqlq(pattern: str) -> str:
     return pattern.replace("'", "''")
 
 
+def _sql_java_u32(expr: str) -> str:
+    """DuckDB replica of javahash.java_hash_u32_expr (BMP text). The
+    ``u >= 0`` filter drops the [''] artifact of splitting an empty string
+    (DuckDB's unicode('') is -1); hash('') must be 0."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_filter("
+        f"[unicode(c)::BIGINT for c in string_split({expr}, '')], u -> u >= 0)), "
+        f"(acc, c) -> (acc * 31 + c) % 4294967296)"
+    )
+
+
 def klog_base_cte(fx: str = FX) -> str:
     """Shared CTEs: classify every line exactly as the engine's parser +
     validity routing do (classifier order mirrors
@@ -510,12 +521,46 @@ def q_cat_pid(spark, sf_dir):
     )
 
 
+def _sql_instant(expr: str) -> str:
+    """DuckDB replica of filters.instant_string (Instant.toString: fraction
+    dropped on whole seconds, else a 3-digit millis group)."""
+    return (
+        f"strftime(epoch_ms({expr}), '%Y-%m-%dT%H:%M:%S') || "
+        f"CASE WHEN {expr} % 1000 = 0 THEN '' "
+        f"ELSE '.' || lpad(CAST({expr} % 1000 AS VARCHAR), 3, '0') END || 'Z'"
+    )
+
+
 SQL_CAT_PID = f"""
 WITH {klog_base_cte()}
 SELECT doc_id, base_offset, last_offset, count, producer_id, producer_epoch,
        is_transactional, is_control,
-       strftime(epoch_ms(create_time_ms), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS create_time
+       {_sql_instant('create_time_ms')} AS create_time
 FROM batches WHERE segment_type = 'data' AND producer_id = 1
+"""
+
+
+def q_cat_producer_states(spark, sf_dir):
+    """`klog snapshot cat` projection (snapshot/cli/Cat.OutputVisitor:71-99)
+    with Instant-rendered timestamps."""
+    from .operators.filters import cat_producer_states
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cat_producer_states(load_parsed(spark, sf_dir)).select(
+        "doc_id", "producer_id", "producer_epoch", "coordinator_epoch",
+        "current_txn_first_offset", "last_timestamp",
+        "first_sequence", "last_sequence", "last_offset", "offset_delta", "timestamp",
+    )
+
+
+SQL_CAT_PRODUCER_STATES = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, producer_id, producer_epoch, coordinator_epoch,
+       current_txn_first_offset,
+       {_sql_instant('last_timestamp_ms')} AS last_timestamp,
+       first_sequence, last_sequence, last_offset, offset_delta,
+       {_sql_instant('timestamp_ms')} AS "timestamp"
+FROM snapshots
 """
 
 
@@ -661,6 +706,37 @@ FROM (SELECT transactional_id,
 """
 
 
+def q_group_coordinating_partition(spark, sf_dir):
+    """GroupCoordinatingPartition.java:38-44 — the __consumer_offsets twin of
+    the txn variant: abs(groupId.hashCode()) % 50 with the MIN_VALUE guard.
+    Group ids stand in as the fixture's data-topic names (the verified
+    surface is the bit-exact Java hash + partition rule, identical for any
+    id string)."""
+    from .javahash import with_coordinating_partition
+
+    ids = (
+        load_parsed_raw(spark, sf_dir)
+        .filter(F.col("segment_type") == "data")
+        .select(F.col("topic").alias("group_id"))
+        .distinct()
+    )
+    return with_coordinating_partition(ids, "group_id", 50)
+
+
+SQL_GROUP_COORDINATING_PARTITION = f"""
+WITH {klog_base_cte()},
+ids AS (SELECT DISTINCT topic AS group_id FROM raw WHERE segment_type = 'data'),
+hashed AS (
+  SELECT group_id, {_sql_java_u32('group_id')} AS h_u32 FROM ids
+)
+SELECT group_id,
+  CAST(CASE WHEN h_s32 = -2147483648 THEN 0 ELSE abs(h_s32) END % 50 AS INT) AS coordinating_partition
+FROM (SELECT group_id,
+             CASE WHEN h_u32 >= 2147483648 THEN h_u32 - 4294967296 ELSE h_u32 END AS h_s32
+      FROM hashed)
+"""
+
+
 def q_first_last_batch(spark, sf_dir):
     from .operators.aggregates import first_last_batch
 
@@ -773,15 +849,6 @@ def q_dedup_minhash(spark, sf_dir):
 
     return minhash_dedup(_dup_corpus(spark, sf_dir), num_hashes=64, bands=16,
                          threshold=0.5, hash_fn="java32")
-
-
-def _sql_java_u32(expr: str) -> str:
-    """DuckDB replica of javahash.java_hash_u32_expr (BMP text)."""
-    return (
-        f"list_reduce(list_prepend(0::BIGINT, "
-        f"[unicode(c)::BIGINT for c in string_split({expr}, '')]), "
-        f"(acc, c) -> (acc * 31 + c) % 4294967296)"
-    )
 
 
 def _sql_dedup_minhash(num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
@@ -1121,14 +1188,23 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+# Encoding-faithful oracle: the Spark side hashes UTF-16 code units
+# (javahash), so codepoints >= 0x10000 expand to surrogate pairs here;
+# string_split(text, '') iterates every character including newlines
+# (regexp '.' would drop them).
 SQL_DOC_FINGERPRINT = """
-WITH h AS (
+WITH u AS (
   SELECT doc_id,
-    list_reduce(
-      list_prepend(0::BIGINT, [unicode(c)::BIGINT for c in regexp_extract_all(text, '.')]),
-      (acc, c) -> (acc * 31 + c) % 4294967296
-    ) AS h_u32
+    flatten([CASE WHEN unicode(c) < 65536 THEN [unicode(c)::BIGINT]
+                  ELSE [55296 + ((unicode(c)::BIGINT - 65536) // 1024),
+                        56320 + ((unicode(c)::BIGINT - 65536) % 1024)] END
+             for c in list_filter(string_split(text, ''), x -> x <> '')]) AS units
   FROM documents
+),
+h AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0::BIGINT, units), (acc, c) -> (acc * 31 + c) % 4294967296) AS h_u32
+  FROM u
 )
 SELECT doc_id,
   CAST(CASE WHEN h_u32 >= 2147483648 THEN h_u32 - 4294967296 ELSE h_u32 END AS INT) AS fingerprint
@@ -1175,13 +1251,26 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# total_digest on the Spark side sums UTF-8 BYTES of the blob; the oracle
+# sums each character's UTF-8 byte values explicitly (exact for any text,
+# not just ASCII), iterating chars via string_split (newline-safe).
 SQL_MULTIMODAL_FEATURES = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INT) AS byte_len,
-       CAST(greatest(1, CAST(ceil(octet_length(encode(text)) / 1024.0) AS INT)) AS INT) AS n_frames,
-       CAST(list_aggregate([unicode(c)::BIGINT for c in regexp_extract_all(text, '.')], 'sum') AS BIGINT)
-         AS total_digest
-FROM documents
+WITH b AS (
+  SELECT doc_id,
+    [CASE WHEN unicode(c) < 128 THEN unicode(c)::BIGINT
+          WHEN unicode(c) < 2048 THEN (192 + unicode(c) // 64) + (128 + unicode(c) % 64)
+          WHEN unicode(c) < 65536 THEN (224 + unicode(c) // 4096) + (128 + (unicode(c) // 64) % 64)
+                                       + (128 + unicode(c) % 64)
+          ELSE (240 + unicode(c) // 262144) + (128 + (unicode(c) // 4096) % 64)
+               + (128 + (unicode(c) // 64) % 64) + (128 + unicode(c) % 64) END
+     for c in list_filter(string_split(text, ''), x -> x <> '')] AS char_byte_sums
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS INT) AS byte_len,
+       CAST(greatest(1, CAST(ceil(octet_length(encode(d.text)) / 1024.0) AS INT)) AS INT) AS n_frames,
+       CAST(COALESCE(list_aggregate(b.char_byte_sums, 'sum'), 0) AS BIGINT) AS total_digest
+FROM documents d JOIN b USING (doc_id)
 """
 
 

@@ -13,8 +13,21 @@ EXISTS becomes a direct filter on txn_state rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def instant_string(ms_col: Column) -> Column:
+    """Epoch-millis -> the exact string ``java.time.Instant.toString()``
+    prints (Batch.java:113): UTC, 'Z' suffix, and NO fractional part when
+    the millis are a whole second (``...T12:00:00Z``, never
+    ``...T12:00:00.000Z``); otherwise a 3-digit millis group."""
+    base = F.date_format(F.timestamp_millis(ms_col), "yyyy-MM-dd'T'HH:mm:ss")
+    millis = F.pmod(ms_col, F.lit(1000))
+    frac = F.when(millis == 0, F.lit("")).otherwise(
+        F.concat(F.lit("."), F.lpad(millis.cast("string"), 3, "0"))
+    )
+    return F.concat(base, frac, F.lit("Z"))
 
 
 def filter_batches(parsed: DataFrame, pid: int | None = None, producer_epoch: int | None = None,
@@ -56,6 +69,29 @@ def filter_producer_states(parsed: DataFrame, pid: int | None = None,
     return df
 
 
+def filter_batches_nested(nested: DataFrame, pid: int | None = None,
+                          producer_epoch: int | None = None,
+                          transactional_id: str | None = None) -> DataFrame:
+    """P2/P5 in the reference's literal shape (BatchPredicate.java:34,56-62):
+    on TRANSACTION_STATE dumps the predicate is an EXISTS over the nested
+    ``Batch.messages`` array (nest_messages output) — a batch is selected
+    iff some state-change message matches. Deletions carry no payload
+    pid/epoch, so pid predicates never match them (null => false), exactly
+    like the reference's TransactionStateChange-only visitor."""
+
+    def pred(m):
+        c = F.lit(True)
+        if pid is not None:
+            c = c & (m["txn_producer_id"] == pid)
+        if producer_epoch is not None:
+            c = c & (m["txn_producer_epoch"] == producer_epoch)
+        if transactional_id is not None:
+            c = c & (m["transactional_id"] == transactional_id)
+        return c
+
+    return nested.filter(F.exists("messages", pred))
+
+
 def cat_batches(parsed: DataFrame, **filters) -> DataFrame:
     """`klog segment cat` batch projection (P8/F1): display fields with the
     CreateTime rendered as a UTC instant string (Batch.java:113)."""
@@ -63,8 +99,7 @@ def cat_batches(parsed: DataFrame, **filters) -> DataFrame:
         "doc_id", "file", "line_no", "base_offset", "last_offset", "count",
         "producer_id", "producer_epoch", "partition_leader_epoch",
         "is_transactional", "is_control", "position",
-        F.date_format(F.timestamp_millis(F.col("create_time_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-        .alias("create_time"),
+        instant_string(F.col("create_time_ms")).alias("create_time"),
         "size", "magic", "compress_codec", "crc", "is_valid",
     )
 
@@ -74,9 +109,7 @@ def cat_producer_states(parsed: DataFrame, **filters) -> DataFrame:
     return filter_producer_states(parsed, **filters).select(
         "doc_id", "file", "line_no", "producer_id", "producer_epoch",
         "coordinator_epoch", "current_txn_first_offset",
-        F.date_format(F.timestamp_millis(F.col("last_timestamp_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-        .alias("last_timestamp"),
+        instant_string(F.col("last_timestamp_ms")).alias("last_timestamp"),
         "first_sequence", "last_sequence", "last_offset", "offset_delta",
-        F.date_format(F.timestamp_millis(F.col("timestamp_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-        .alias("timestamp"),
+        instant_string(F.col("timestamp_ms")).alias("timestamp"),
     )

@@ -60,3 +60,35 @@ def test_table_io_fallback(spark, fixture_dir):
     assert iceberg_available(spark) is False  # sandbox has no Iceberg jar
     df = read_table(spark, f"{fixture_dir}/sequences.parquet")
     assert df.count() > 0
+
+
+def test_nested_exists_filter_equals_flat_filter(parsed_df):
+    """The literal BatchPredicate EXISTS shape over Batch.messages must
+    select exactly the parent batches of the flat txn_state filter's rows."""
+    from pyspark.sql import functions as F
+
+    from klog_spark.operators.aggregates import attach_parent_batch, nest_messages
+    from klog_spark.operators.filters import filter_batches_nested, filter_txn_state
+
+    nested = nest_messages(parsed_df)
+
+    # pick a real (pid, txn_id) from the fixture
+    sample = parsed_df.filter(F.col("record_class") == "txn_state").select(
+        "txn_producer_id", "transactional_id"
+    ).first()
+    pid, txn_id = sample["txn_producer_id"], sample["transactional_id"]
+
+    for kw in ({"pid": pid}, {"transactional_id": txn_id}):
+        got = {r["doc_id"] for r in filter_batches_nested(nested, **kw).select("doc_id").collect()}
+        flat_kw = dict(kw)
+        flat = filter_txn_state(parsed_df, **flat_kw)
+        if "pid" in kw:  # deletions carry no pid; EXISTS can't match them
+            flat = flat.filter(F.col("record_class") == "txn_state")
+        with_parent = attach_parent_batch(parsed_df)
+        match_docs = {r["doc_id"] for r in flat.select("doc_id").collect()}
+        want = {
+            r["parent"]["doc_id"]
+            for r in with_parent.filter(F.col("doc_id").isin(list(match_docs))).collect()
+            if r["parent"] is not None
+        }
+        assert got == want and got, kw
