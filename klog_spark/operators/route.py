@@ -99,7 +99,7 @@ def sink_counts(parsed: DataFrame) -> DataFrame:
     return parsed.groupBy("record_class").agg(F.count("*").alias("n_rows")).orderBy("record_class")
 
 
-def routed_as_parsed(routed: DataFrame) -> DataFrame:
+def routed_as_parsed(routed: DataFrame, classes: list[str] | None = None) -> DataFrame:
     """Reconstruct the pre-routing view the transactional aggregates need
     from a routed staging table.
 
@@ -108,7 +108,15 @@ def routed_as_parsed(routed: DataFrame) -> DataFrame:
     them (their control messages are then dropped, not re-attached), so
     restore their `batch` class with ``is_valid = false``. This is what
     makes "parse once -> query the staging" exact, not approximate.
+
+    ``classes``: the record classes the caller will consume. The rewrite
+    below makes ``record_class`` a COMPUTED column, so a downstream filter
+    on it can no longer prune staging partitions — pass the class list here
+    and the filter lands on the original partition column before the
+    rewrite ('corrupt' is always added: restored batch rows live there).
     """
+    if classes is not None:
+        routed = routed.filter(F.col("record_class").isin(*sorted({*classes, "corrupt"})))
     crc_invalid = (F.col("record_class") == "corrupt") & (F.col("corrupt_reason") == "crc_invalid")
     return routed.withColumn(
         "record_class",

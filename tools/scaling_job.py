@@ -54,7 +54,9 @@ def main() -> None:
         from klog_spark.operators.route import routed_as_parsed
 
         routed = spark.read.parquet(f"{out}/routed")
-        stats = aggregates.txn_stats(routed_as_parsed(routed)).collect()[0]
+        stats = aggregates.txn_stats(
+            routed_as_parsed(routed, classes=["batch", "control_msg"])
+        ).collect()[0]
         per_epoch = routed.filter(
             (F.col("record_class") == "batch") & (F.col("producer_id") != -1)
         ).groupBy("producer_id", "producer_epoch").count().count()
