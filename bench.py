@@ -59,10 +59,14 @@ def main() -> None:
         # read (Pipeline.stage). klog_parse_route measures the raw parse;
         # klog_routed_write is the one full parse+write the suite pays.
         timed("klog_parse_route", lambda: parse_sequences(seq).groupBy("record_class").count().collect())
+        from klog_spark.operators.route import write_routed
+
+        # write_tasks=16: this VM's syscall/IPC concurrency ceiling (see
+        # BENCH/BASELINE.md); on a real cluster leave the default
         timed(
             "klog_routed_write",
-            lambda: apply_validity_routing(parse_sequences(seq))
-            .write.mode("overwrite").partitionBy("record_class").parquet(f"{out_dir}/routed"),
+            lambda: write_routed(apply_validity_routing(parse_sequences(seq)),
+                                 f"{out_dir}/routed", write_tasks=16),
         )
         staged = spark.read.parquet(f"{out_dir}/routed")
         # per-query class pruning: the partition filter must hit the scan

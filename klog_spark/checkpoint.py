@@ -111,9 +111,13 @@ def run_incremental(spark: SparkSession, input_path: str, out_dir: str,
 
     parsed = apply_validity_routing(parse_sequences(df))
     out_path = str(Path(out_dir) / "routed")
-    parsed.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
-        "record_class", "run_id"
-    ).parquet(out_path)
+    # pre-shuffle onto (record_class, bucket): one sink per write task — see
+    # route.write_routed for the measured scaling/file-count rationale
+    n = spark.sparkContext.defaultParallelism
+    buckets = max(1, n // 8)
+    parsed.withColumn("run_id", F.lit(run_id)).repartition(
+        n, F.col("record_class"), F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
+    ).write.mode("append").partitionBy("record_class", "run_id").parquet(out_path)
 
     routed = spark.read.parquet(out_path).filter(F.col("run_id") == run_id)
     per_file = {

@@ -55,6 +55,9 @@ def get_spark(
         # (On a real cluster with >128 MB files the default heuristics win.)
         "spark.sql.files.openCostInBytes": str(512 * 1024),
         "spark.driver.memory": os.environ.get("KLOG_SPARK_DRIVER_MEM", "8g"),
+        # Rename-free output commit (v2): halves the commit syscalls of
+        # partitioned sink writes; safe here (no speculative execution).
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
         # Arrow IPC readers allocate netty DIRECT buffers; the JVM default
         # direct-memory cap throttles high task counts into serial
         # allocation-failure GCs (measured 2.7x on 16-core full-width

@@ -31,7 +31,7 @@ def build_zip() -> Path:
     return zpath
 
 
-def run_once(cores: int, sf: float, zpath: Path) -> dict:
+def run_once(cores: int, sf: float, zpath: Path, mode: str = "full") -> dict:
     env = dict(os.environ, SPARK_SCALING_CORES=str(cores))
     cmd = [
         "spark-submit",
@@ -39,7 +39,7 @@ def run_once(cores: int, sf: float, zpath: Path) -> dict:
         "--driver-memory", "24g",
         "--conf", "spark.driver.extraJavaOptions=-XX:MaxDirectMemorySize=16g",
         "--py-files", str(zpath),
-        str(REPO / "tools" / "scaling_job.py"), str(sf),
+        str(REPO / "tools" / "scaling_job.py"), str(sf), mode,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
     for line in out.stdout.splitlines():
@@ -52,13 +52,14 @@ def run_once(cores: int, sf: float, zpath: Path) -> dict:
 def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    mode = sys.argv[3] if len(sys.argv) > 3 else "full"
     zpath = build_zip()
     results = {}
     # interleaved single-shot runs (fresh JVM each) — this VM's wall-clock
     # is noisy run-to-run, so take the best of 3 per level
     for _ in range(3):
         for cores in (n, 4 * n):
-            r = run_once(cores, sf, zpath)
+            r = run_once(cores, sf, zpath, mode)
             best = results.get(cores)
             if best is None or r["rows_per_sec"] > best["rows_per_sec"]:
                 results[cores] = r
@@ -72,16 +73,17 @@ def main() -> None:
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — scaling measurement
+    # raw result tables land here; the curated analysis (variance, VM-limit
+    # falsification, write-path study) lives in BENCH/BASELINE.md — update it
+    # by hand from these numbers, don't clobber it
+    (bench_dir / "SCALING_RUN.md").write_text(f"""# BENCH/SCALING_RUN — latest scaling measurement
 
-Protocol (BASELINE.md): same job, same input, two parallelism levels via
-`spark-submit --py-files dist/klog_spark.zip tools/scaling_job.py` — the
-sandbox stand-in for the N -> 4N executor criterion. Job = full pipeline:
-parquet scan -> Arrow-vectorized parse -> validity routing -> broadcast
-producer-meta enrich -> partitioned routed write -> transactional aggregate
-+ per-session counts. Timed first action -> last action (session startup
-excluded). Input: seeded klog fixture sf={sf} ({results[n]['rows']:,} tokenized lines);
-best of 3 interleaved fresh-JVM runs per level.
+Protocol (BASELINE.md): same job (mode={mode}), same input, two parallelism
+levels via `spark-submit --py-files dist/klog_spark.zip tools/scaling_job.py`
+— the sandbox stand-in for the N -> 4N executor criterion. Timed first
+action -> last action (session startup excluded). Input: seeded klog
+fixture sf={sf} ({results[n]['rows']:,} tokenized lines); best of 3
+interleaved fresh-JVM runs per level.
 
 | parallelism | wall (s) | throughput (sequences/s) |
 |---|---|---|
@@ -99,7 +101,7 @@ Measured {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())} on local[{4*n}]
 ({os.cpu_count()} cores). Spark confs: AQE on, shuffle.partitions=cores,
 maxPartitionBytes=8MB (local split sizing), Arrow batches.
 """)
-    print(f"wrote {bench_dir / 'BASELINE.md'}")
+    print(f"wrote {bench_dir / 'SCALING_RUN.md'}")
     if eff < 0.8:
         sys.exit(1)
 

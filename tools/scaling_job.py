@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    mode = sys.argv[2] if len(sys.argv) > 2 else "full"
     from klog_spark.datagen import ensure_fixture
     from klog_spark.operators import aggregates
     from klog_spark.operators.parse import parse_sequences
@@ -33,6 +34,7 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.shuffle.partitions", str(spark_cores()))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -45,24 +47,33 @@ def main() -> None:
     try:
         t0 = time.time()
         n = df.count()  # first timed action
-        parsed = apply_validity_routing(parse_sequences(df))
-        meta = spark.read.parquet(f"{fx}/producer_meta.parquet")
-        enriched = parsed.join(F.broadcast(meta), ["producer_id"], "left")
-        enriched.write.mode("overwrite").partitionBy("record_class").parquet(f"{out}/routed")
-        # aggregates over the routed staging (partition-pruned columnar reads;
-        # the Arrow parse ran exactly once, in the write above)
-        from klog_spark.operators.route import routed_as_parsed
+        if mode == "parse_agg":
+            # scan -> Arrow parse -> single-pass transactional aggregate
+            # (the compute kernel: exactly ONE parse, no sink write)
+            stats = aggregates.txn_stats(parse_sequences(df)).collect()[0]
+            per_epoch = -1
+        else:
+            from klog_spark.operators.route import write_routed
 
-        routed = spark.read.parquet(f"{out}/routed")
-        stats = aggregates.txn_stats(
-            routed_as_parsed(routed, classes=["batch", "control_msg"])
-        ).collect()[0]
-        per_epoch = routed.filter(
-            (F.col("record_class") == "batch") & (F.col("producer_id") != -1)
-        ).groupBy("producer_id", "producer_epoch").count().count()
+            parsed = apply_validity_routing(parse_sequences(df))
+            meta = spark.read.parquet(f"{fx}/producer_meta.parquet")
+            enriched = parsed.join(F.broadcast(meta), ["producer_id"], "left")
+            write_routed(enriched, f"{out}/routed")
+            # aggregates over the routed staging (partition-pruned columnar
+            # reads; the Arrow parse ran exactly once, in the write above)
+            from klog_spark.operators.route import routed_as_parsed
+
+            routed = spark.read.parquet(f"{out}/routed")
+            stats = aggregates.txn_stats(
+                routed_as_parsed(routed, classes=["batch", "control_msg"])
+            ).collect()[0]
+            per_epoch = routed.filter(
+                (F.col("record_class") == "batch") & (F.col("producer_id") != -1)
+            ).groupBy("producer_id", "producer_epoch").count().count()
         wall = time.time() - t0
         print(json.dumps({
             "master": spark.sparkContext.master,
+            "mode": mode,
             "rows": n,
             "wall_s": round(wall, 2),
             "rows_per_sec": round(n / wall, 1),
