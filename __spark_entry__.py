@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,   # scale path (no O(n^2))
         "ann_cosine_topk": eq.q_ann_topk,
         "ann_lsh_topk": eq.q_ann_lsh,
+        "ann_ivf_topk": eq.q_ann_ivf,                      # inverted-file scale path
         "text_token_counts": eq.q_text_token_counts,
         "text_quality": eq.q_text_quality,
         "text_lang_id": eq.q_text_lang_id,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
         "ann_cosine_topk": eq.SQL_ANN_TOPK,
         "ann_lsh_topk": eq.SQL_ANN_LSH,
+        "ann_ivf_topk": eq.SQL_ANN_IVF,
         "text_token_counts": eq.SQL_TEXT_TOKEN_COUNTS,
         "text_quality": eq.SQL_TEXT_QUALITY,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,

@@ -105,6 +105,76 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 7,
     return emb.select(id_col, vec_col).mapInPandas(bucketize, schema)
 
 
+def ivf_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize the corpus into ``n_centroids`` cells,
+    probe the ``n_probe`` nearest cells per query, exact cosine within the
+    probed cells. The inverted-file twin of lsh_topk: recall degrades
+    gracefully with n_probe instead of bucket-collision luck.
+
+    Centroids are the first ``n_centroids`` vectors by id — a deterministic
+    seeded init that any engine can reproduce (at scale swap in sampled
+    k-means; the probe/assign machinery is unchanged). Assignment is one
+    GEMM per Arrow batch (argmin squared-L2 via |c|^2 - 2 v.c); the probe
+    join broadcasts the tiny query-cell table, so the only corpus-wide cost
+    is the narrow assignment map.
+    """
+    cents = [
+        (r[id_col], np.asarray(r[vec_col], dtype=np.float64))
+        for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.stack([c[1] for c in cents])  # (nc, dim)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cmat))
+
+    assign_schema = StructType(
+        [StructField("cid_", LongType()), StructField("cell", LongType()),
+         StructField("cvec_", ArrayType(DoubleType()))]
+    )
+
+    def assign(it):
+        ids_, mat = bc.value
+        c_sq = (mat * mat).sum(axis=1)  # |c|^2
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = c_sq[None, :] - 2.0 * (v @ mat.T)  # argmin == squared-L2 argmin
+            cell = ids_[np.argmin(d, axis=1)]
+            yield pd.DataFrame({
+                "cid_": pdf[id_col].to_numpy(),
+                "cell": cell,
+                "cvec_": list(v),
+            })
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    c_sq = (cmat * cmat).sum(axis=1)
+    qrows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        d = c_sq - 2.0 * (cmat @ v)
+        order = np.lexsort((cids, d))  # distance, then cid tie-break
+        probes = [int(cids[i]) for i in order[:n_probe]]
+        qrows.append((qid, [float(x) for x in v], probes))
+    qdf = spark.createDataFrame(qrows, "qid: long, qvec: array<double>, probes: array<long>")
+    qdf = qdf.select("qid", "qvec", F.explode("probes").alias("cell"))
+
+    cand = assigned.join(F.broadcast(qdf), "cell")
+    qn = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("cvec_", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(F.zip_with("qvec", "cvec_", lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z)
+    scored = cand.withColumn("cosine", dot / (qn * cn))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid_"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid_").alias("vec_id"), "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def lsh_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
              n_planes: int = 8, seed: int = 7, multiprobe: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

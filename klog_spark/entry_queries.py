@@ -1099,6 +1099,61 @@ SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 SQL_ANN_LSH = _sql_ann_lsh()
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN (inverted-file scale path): deterministic centroid init
+    (first n vectors by id), argmin-L2 cell assignment, n_probe nearest
+    cells per query, exact cosine within probed cells."""
+    from .datapipe.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.filter(F.col("vec_id") < 5).collect()]
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=2).select("qid", "vec_id", "rank")
+
+
+def _sql_ann_ivf(k: int = 10, n_centroids: int = 16, n_probe: int = 2) -> str:
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+),
+scored_cells AS (
+  SELECT e.vec_id, c.cell,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM scored_cells WHERE vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT q.qid, a.vec_id FROM qprobe q JOIN assign a USING (cell)
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ve.embedding AS DOUBLE[])) AS cosine
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings ve ON ve.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF = _sql_ann_ivf()
+
+
 def q_text_token_counts(spark, sf_dir):
     from .datapipe.textstats import token_counts
 

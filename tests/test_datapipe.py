@@ -229,3 +229,37 @@ def test_ann_multiprobe_recall_at_high_n_planes(spark, emb):
     recall_single = sum(len(es[q] & ss.get(q, set())) / len(es[q]) for q in es) / len(es)
     assert recall_multi >= 0.9, f"multiprobe recall {recall_multi}"
     assert recall_multi >= recall_single
+
+
+def test_ann_ivf_recall_on_planted_neighbors(spark, emb):
+    """IVF-Flat with n_probe=2/16 cells must recover planted near-neighbors
+    (they quantize into the query's nearest cells)."""
+    import numpy as np
+
+    from klog_spark.datapipe.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    rows = emb.collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in rows if r["vec_id"] < 3]
+    planted, next_id = [], 20_000
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        for _ in range(10):
+            noisy = v + 0.03 * np.linalg.norm(v) / np.sqrt(len(v)) * rng.standard_normal(len(v))
+            planted.append((next_id, [float(x) for x in noisy]))
+            next_id += 1
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id: long, embedding: array<double>")
+        .select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    )
+    exact = brute_force_topk(corpus, queries, k=10).collect()
+    approx = ivf_topk(corpus, queries, k=10, n_centroids=16, n_probe=2).collect()
+    es, as_ = {}, {}
+    for r in exact:
+        es.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in approx:
+        as_.setdefault(r["qid"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["qid"]
+    recall = sum(len(es[q] & as_.get(q, set())) / len(es[q]) for q in es) / len(es)
+    assert recall >= 0.8, f"ivf recall {recall}"
