@@ -39,6 +39,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_cat_pid": eq.q_cat_pid,                      # P1/P8/F1 (segment cat --pid)
         "klog_filter_txn_id": eq.q_filter_txn_id,          # P5
         "klog_state_machine_violations": eq.q_state_machine_violations,  # W4
+        "klog_position_monotonic": eq.q_position_monotonic,      # W2
+        "klog_leader_epoch_monotonic": eq.q_leader_epoch_monotonic,  # W3
+        "klog_deep_iteration": eq.q_deep_iteration,              # S4
+        "klog_topics_sanity": eq.q_topics_sanity,                # A8
+        "klog_open_txn_abort_cmds": eq.q_open_txn_abort_cmds,    # J2 + S10 workflow
         "klog_enrich_producer_team": eq.q_enrich_producer_team,  # broadcast enrich
         "klog_enrich_topic": eq.q_enrich_topic,            # broadcast enrich
         "klog_abort_cmds": eq.q_abort_cmds,                # S10 (snapshot abort-cmd)
@@ -48,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_first_last_batch": eq.q_first_last_batch,    # A4
         # training-data pipeline (dedup / similarity / text / multimodal)
         "dedup_exact": eq.q_dedup_exact,
+        "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution
         "dedup_ngram_jaccard": eq.q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": eq.q_dedup_minhash,
         "dedup_simhash": eq.q_dedup_simhash,
@@ -90,6 +96,11 @@ def oracle_sql() -> dict[str, str]:
         "klog_state_machine_violations": eq.SQL_STATE_MACHINE.replace(
             "{VALID_PREV}", eq._sql_valid_prev_case()
         ),
+        "klog_position_monotonic": eq.SQL_POSITION_MONOTONIC,
+        "klog_leader_epoch_monotonic": eq.SQL_LEADER_EPOCH_MONOTONIC,
+        "klog_deep_iteration": eq.SQL_DEEP_ITERATION,
+        "klog_topics_sanity": eq.SQL_TOPICS_SANITY,
+        "klog_open_txn_abort_cmds": eq.SQL_OPEN_TXN_ABORT_CMDS,
         "klog_enrich_producer_team": eq.SQL_ENRICH_PRODUCER_TEAM,
         "klog_enrich_topic": eq.SQL_ENRICH_TOPIC,
         "klog_abort_cmds": eq.SQL_ABORT_CMDS,
@@ -98,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "klog_cat_producer_states": eq.SQL_CAT_PRODUCER_STATES,
         "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
         "dedup_exact": eq.SQL_DEDUP_EXACT,
+        "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
         "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
         "dedup_simhash": eq.SQL_DEDUP_SIMHASH,

@@ -59,6 +59,31 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def exact_dedup_keep_best(docs: DataFrame, score: Column,
+                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonicalization: one keeper per exact-duplicate group, chosen by
+    (score DESC, doc_id ASC) — the 'keep the best copy' policy every
+    training-data pipeline needs after dedup. Returns every doc with its
+    group keeper and a kept flag; single digest shuffle, 32 B/row."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("digest"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("digest").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "group_size", F.count("*").over(Window.partitionBy("digest"))
+    )
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "digest", F.col("doc_id").alias("keep_doc_id")
+    )
+    return (
+        ranked.join(keepers, "digest")
+        .select("doc_id", "keep_doc_id", (F.col("rn") == 1).alias("kept"),
+                F.col("group_size").cast("long").alias("group_size"))
+    )
+
+
 def _word_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per doc (lowercased, whitespace-split)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")

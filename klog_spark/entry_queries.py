@@ -706,6 +706,101 @@ FROM (SELECT transactional_id,
 """
 
 
+def q_position_monotonic(spark, sf_dir):
+    """W2: batch position strictly increasing within a dump file
+    (AssertBatchPositionMonotonic's intent), over the routed batch view."""
+    from .operators.checks import position_monotonic_violations
+
+    return position_monotonic_violations(load_parsed(spark, sf_dir))
+
+
+SQL_POSITION_MONOTONIC = f"""
+WITH {klog_base_cte()},
+g AS (
+  SELECT doc_id, file, line_no, position,
+         LAG(position) OVER (PARTITION BY file ORDER BY line_no) AS prev_position
+  FROM batches
+)
+SELECT doc_id, file, line_no, position, prev_position
+FROM g WHERE prev_position IS NOT NULL AND position <= prev_position
+"""
+
+
+def q_leader_epoch_monotonic(spark, sf_dir):
+    """W3: partitionLeaderEpoch non-decreasing within a dump file."""
+    from .operators.checks import leader_epoch_monotonic_violations
+
+    return leader_epoch_monotonic_violations(load_parsed(spark, sf_dir))
+
+
+SQL_LEADER_EPOCH_MONOTONIC = f"""
+WITH {klog_base_cte()},
+g AS (
+  SELECT doc_id, file, line_no, partition_leader_epoch,
+         LAG(partition_leader_epoch) OVER (PARTITION BY file ORDER BY line_no) AS prev_le
+  FROM batches
+)
+SELECT doc_id, file, line_no, partition_leader_epoch, prev_le
+FROM g WHERE prev_le IS NOT NULL AND partition_leader_epoch < prev_le
+"""
+
+
+def q_deep_iteration(spark, sf_dir):
+    """S4: per-file deep-iteration flag (does the dump carry record lines —
+    SegmentDumpReader.java:136-163's sniffing, at table scale)."""
+    from .operators.aggregates import deep_iteration_files
+
+    return deep_iteration_files(load_parsed(spark, sf_dir))
+
+
+SQL_DEEP_ITERATION = f"""
+WITH {klog_base_cte()},
+f AS (SELECT DISTINCT file FROM classified WHERE record_class <> 'header'),
+d AS (SELECT DISTINCT file FROM classified
+      WHERE record_class IN ('data_msg','control_msg','txn_state','txn_deletion'))
+SELECT f.file, (d.file IS NOT NULL) AS deep_iteration
+FROM f LEFT JOIN d USING (file)
+"""
+
+
+def q_topics_sanity(spark, sf_dir):
+    """A8: txn-stat's one-topic precondition (TxnStat.java:78-81)."""
+    from .operators.aggregates import topics_sanity
+
+    return topics_sanity(load_parsed_raw(spark, sf_dir))
+
+
+SQL_TOPICS_SANITY = f"""
+WITH {klog_base_cte()}
+SELECT CAST(COUNT(DISTINCT topic) AS BIGINT) AS n_topics,
+       CAST(COUNT(DISTINCT partition) AS BIGINT) AS n_partition_suffixes
+FROM raw WHERE segment_type = 'data'
+"""
+
+
+def q_open_txn_abort_cmds(spark, sf_dir):
+    """The README post-mortem workflow (README.md:140-158) end-to-end: open
+    transactions from the segment dumps joined to producer-snapshot states
+    on (producer_id, producer_epoch), one abort command per match
+    (snapshot/cli/AbortCmd.OutputVisitor:68-77)."""
+    from .operators.enrich import open_txn_abort_commands
+
+    return open_txn_abort_commands(load_parsed_raw(spark, sf_dir))
+
+
+SQL_OPEN_TXN_ABORT_CMDS = f"""
+WITH {klog_txn_cte()},
+open_sessions AS (
+  SELECT DISTINCT pid, epoch FROM grp WHERE NOT has_ctl
+)
+SELECT s.producer_id, s.producer_epoch, s.coordinator_epoch,
+       printf('$KAFKA_HOME/bin/kafka-transactions.sh --bootstrap-server $BOOTSTRAP_URL abort --topic $TOPIC_NAME --partition $PART_NUM --producer-id %d --producer-epoch %d --coordinator-epoch %d',
+              s.producer_id, CAST(s.producer_epoch AS BIGINT), CAST(s.coordinator_epoch AS BIGINT)) AS abort_command
+FROM snapshots s JOIN open_sessions o
+  ON s.producer_id = o.pid AND s.producer_epoch = o.epoch
+"""
+
+
 def q_group_coordinating_partition(spark, sf_dir):
     """GroupCoordinatingPartition.java:38-44 — the __consumer_offsets twin of
     the txn variant: abs(groupId.hashCode()) % 50 with the MIN_VALUE guard.
@@ -800,6 +895,35 @@ g AS (
   FROM corpus
 )
 SELECT doc_id, keep_doc_id, group_size FROM g WHERE group_size > 1
+"""
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Post-dedup canonicalization: keep the highest-quality copy per exact
+    group (score = whitespace token count, ties to the lowest doc_id)."""
+    from .datapipe.dedup import exact_dedup_keep_best
+
+    corpus = _dup_corpus(spark, sf_dir)
+    score = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    return exact_dedup_keep_best(corpus, score)
+
+
+SQL_DEDUP_CANONICAL = f"""
+WITH {SQL_DUP_CORPUS},
+scored AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS score
+  FROM corpus
+),
+ranked AS (
+  SELECT doc_id, text, score,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY score DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY text) AS group_size
+  FROM scored
+),
+keepers AS (SELECT text, doc_id AS keep_doc_id FROM ranked WHERE rn = 1)
+SELECT r.doc_id, k.keep_doc_id, (r.rn = 1) AS kept, CAST(r.group_size AS BIGINT) AS group_size
+FROM ranked r JOIN keepers k USING (text)
 """
 
 

@@ -105,3 +105,34 @@ def test_checkpoint_resume_idempotent(spark, fixture_dir, tmp_path):
     assert r2["n_files"] == 0
     routed = spark.read.parquet(str(out / "routed"))
     assert routed.count() == total1  # no duplicates after re-run
+
+
+def test_monotonic_checks_flag_planted_violations(spark):
+    """W2/W3 positive path: a position regression and a leader-epoch
+    regression in one file are flagged — and only they are."""
+    from klog_spark.operators import checks
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.schemas import INPUT_SCHEMA
+
+    batch = (
+        "baseOffset: {o} lastOffset: {o} count: 0 baseSequence: 0 lastSequence: 0 "
+        "producerId: 7 producerEpoch: 0 partitionLeaderEpoch: {le} isTransactional: false "
+        "isControl: false position: {pos} CreateTime: 1000 size: 10 magic: 2 "
+        "compresscodec: none crc: 1 isvalid: true"
+    )
+    lines = [
+        "Dumping /tmp/kafka-logs/t-0/00000000000000000000.log",
+        "Log starting offset: 0",
+        batch.format(o=0, le=1, pos=0),
+        batch.format(o=1, le=1, pos=100),
+        batch.format(o=2, le=1, pos=50),    # position regression (line 5)
+        batch.format(o=3, le=0, pos=200),   # leader-epoch regression (line 6)
+    ]
+    src = "/tmp/kafka-logs/t-0/00000000000000000000.log"
+    rows = [(f"f:{i + 1}", [ord(c) for c in ln], len(ln), src) for i, ln in enumerate(lines)]
+    parsed = parse_sequences(spark.createDataFrame(rows, INPUT_SCHEMA))
+
+    pv = checks.position_monotonic_violations(parsed).collect()
+    assert [(r["line_no"], r["position"], r["prev_position"]) for r in pv] == [(5, 50, 100)]
+    lv = checks.leader_epoch_monotonic_violations(parsed).collect()
+    assert [(r["line_no"], r["partition_leader_epoch"], r["prev_le"]) for r in lv] == [(6, 0, 1)]
