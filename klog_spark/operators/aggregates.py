@@ -241,22 +241,25 @@ def txn_stats(parsed: DataFrame, **filters) -> DataFrame:
     empty = F.col("has_control") & (F.col("n_data_batches") == 0)
     opened = ~F.col("has_control") & (F.col("n_events") > 0)
     dur = (F.col("closing_ctl.ct") - F.col("first_data.ct")).cast("int")
+    zero = F.lit(0).cast("long")
     return groups.agg(
-        F.sum("n_commit").alias("num_committed"),
-        F.sum("n_abort").alias("num_aborted"),
-        F.sum(F.when(closed, 1).otherwise(0)).alias("txn_size_count"),
+        # count-like outputs are 0 on an empty stream, never NULL (the
+        # reference prints zeros; min/max/avg stay NULL when nothing closed)
+        F.coalesce(F.sum("n_commit"), zero).alias("num_committed"),
+        F.coalesce(F.sum("n_abort"), zero).alias("num_aborted"),
+        F.coalesce(F.sum(F.when(closed, 1).otherwise(0)), zero).alias("txn_size_count"),
         F.sum(F.when(closed, F.col("n_data_batches"))).alias("txn_size_sum"),
         F.min(F.when(closed, F.col("n_data_batches"))).alias("txn_size_min"),
         F.max(F.when(closed, F.col("n_data_batches"))).alias("txn_size_max"),
         F.avg(F.when(closed, F.col("n_data_batches"))).alias("txn_size_avg"),
-        F.sum(F.when(closed, 1).otherwise(0)).alias("txn_dur_count"),
+        F.coalesce(F.sum(F.when(closed, 1).otherwise(0)), zero).alias("txn_dur_count"),
         F.sum(F.when(closed, dur)).alias("txn_dur_sum"),
         F.min(F.when(closed, dur)).alias("txn_dur_min"),
         F.max(F.when(closed, dur)).alias("txn_dur_max"),
         F.avg(F.when(closed, dur)).alias("txn_dur_avg"),
-        F.sum(F.when(empty, 1).otherwise(0)).alias("num_empty_txn"),
-        F.sum(F.when(opened, 1).otherwise(0)).alias("num_open_txn"),
-        F.sum("n_gaps").alias("num_offset_gaps"),
+        F.coalesce(F.sum(F.when(empty, 1).otherwise(0)), zero).alias("num_empty_txn"),
+        F.coalesce(F.sum(F.when(opened, 1).otherwise(0)), zero).alias("num_open_txn"),
+        F.coalesce(F.sum("n_gaps"), zero).alias("num_offset_gaps"),
     )
 
 
