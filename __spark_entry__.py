@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": eq.q_dedup_exact,
         "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution
         "dedup_ngram_jaccard": eq.q_dedup_ngram_jaccard,
+        "dedup_clusters": eq.q_dedup_clusters,             # CC over near-dup pairs
         "dedup_minhash_lsh": eq.q_dedup_minhash,
         "dedup_simhash": eq.q_dedup_simhash,
         "dedup_embedding": eq.q_dedup_embedding,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": eq.SQL_DEDUP_EXACT,
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
         "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_clusters": eq.SQL_DEDUP_CLUSTERS,
         "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
         "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
         "dedup_embedding": eq.SQL_DEDUP_EMBEDDING,

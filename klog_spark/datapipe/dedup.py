@@ -229,6 +229,50 @@ def minhash_dedup(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     return est.select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs: every doc appearing in a
+    pair gets ``cluster_id`` = the min doc_id reachable through the pair
+    graph — the step that turns pairwise dedup output into dedup groups.
+
+    Min-label propagation: each round every node takes the minimum label
+    among itself and its neighbors; the loop stops on a distributed
+    convergence count (nothing is collected). Near-dup clusters are
+    tiny-diameter (copies of a common original), so 2-3 rounds converge;
+    ``localCheckpoint`` truncates the per-round lineage so the plan stays
+    flat. At billion-edge scale swap the body for large-star/small-star —
+    the loop/convergence shape is identical.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["label"], F.coalesce(F.col("nmin"), labels["label"])).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document, fully JVM-side: each word contributes

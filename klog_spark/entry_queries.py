@@ -964,6 +964,53 @@ WHERE n_common / (s1.n_shingles + s2.n_shingles - n_common) >= 0.5
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the exact n-gram
+    Jaccard pairs — pairwise output turned into dedup groups. Oracle: the
+    same pair CTEs under a recursive reachability CTE."""
+    from .datapipe.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), n=3, threshold=0.5, max_df=20)
+    return near_dup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {SQL_DUP_CORPUS},
+w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM corpus
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([
+           array_to_string(list_slice(words, i + 1, i + 3), ' ')
+           for i in range(0, greatest(len(words) - 3, 0) + 1)
+         ])) AS shingle
+  FROM w
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id1, id2
+  FROM common
+  JOIN sizes s1 ON s1.doc_id = id1
+  JOIN sizes s2 ON s2.doc_id = id2
+  WHERE n_common / (s1.n_shingles + s2.n_shingles - n_common) >= 0.5
+),
+e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs, hash-verified: ``hash_fn='java32'`` (the
     Java String.hashCode fold) is bit-replicable in DuckDB, so signatures,

@@ -263,3 +263,19 @@ def test_ann_ivf_recall_on_planted_neighbors(spark, emb):
             assert r["vec_id"] == r["qid"]
     recall = sum(len(es[q] & as_.get(q, set())) / len(es[q]) for q in es) / len(es)
     assert recall >= 0.8, f"ivf recall {recall}"
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """A~B and B~C (A!~C directly) must land in ONE cluster labelled by the
+    min id — connected components, not just pair grouping."""
+    from klog_spark.datapipe.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    W = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(10, " ".join(W[0:8])), (20, " ".join(W[2:10])), (30, " ".join(W[4:12])),
+         (40, "totally unrelated text about other things entirely")],
+        "doc_id: long, text: string",
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    got = {(r["doc_id"], r["cluster_id"]) for r in near_dup_clusters(pairs).collect()}
+    assert got == {(10, 10), (20, 10), (30, 10)}  # 40 has no pair -> no row

@@ -72,6 +72,33 @@ def main() -> None:
     d = eq.q_dedup_minhash(spark, SF_DIR)
     sections.append(("minhash LSH", plan_of(d), ["HashAggregate"]))
 
+    # 6. embedding LSH dedup: bucket equi-joins only — the plan must contain
+    #    NO cartesian/nested-loop stage (the whole point vs dedup_embedding)
+    el = eq.q_dedup_embedding_lsh(spark, SF_DIR)
+    el_plan = plan_of(el, "simple")
+    # equi-join on bucket — any hash/merge join form is fine (AQE picks)
+    sections.append(("embedding LSH dedup", plan_of(el), ["Join"]))
+    assert "CartesianProduct" not in el_plan and "BroadcastNestedLoopJoin" not in el_plan, \
+        "embedding LSH dedup must not contain an all-pairs stage"
+
+    # 7. ANN probes broadcast the tiny query side
+    ann = eq.q_ann_lsh(spark, SF_DIR)
+    sections.append(("ANN LSH multiprobe", plan_of(ann), ["BroadcastHashJoin"]))
+
+    # 8. routed write: pre-shuffle Exchange on (record_class, bucket) so each
+    #    task writes ~one sink's file
+    from klog_spark.operators.route import write_routed
+    import io as _io, contextlib as _ctx
+
+    buf = _io.StringIO()
+    wdf = apply_validity_routing(parse_sequences(seq))
+    n = spark.sparkContext.defaultParallelism
+    shuffled = wdf.repartition(n, F.col("record_class"), F.pmod(F.xxhash64("doc_id"), F.lit(max(1, n // 8))))
+    with _ctx.redirect_stdout(buf):
+        shuffled.explain("simple")
+    assert "Exchange hashpartitioning(record_class" in buf.getvalue(), \
+        "routed write must pre-shuffle on (record_class, bucket)"
+
     failures = []
     out_md = ["# Physical plan audit (sf0.01, local[8])\n"]
     for name, plan, must_contain in sections:
