@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": eq.q_ann_lsh,
         "ann_ivf_topk": eq.q_ann_ivf,                      # inverted-file scale path
         "text_token_counts": eq.q_text_token_counts,
+        "corpus_clean": eq.q_corpus_clean,                 # quality->dedup->keep-best composed
         "text_quality": eq.q_text_quality,
         "text_lang_id": eq.q_text_lang_id,
         "doc_fingerprint": eq.q_doc_fingerprint,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": eq.SQL_ANN_LSH,
         "ann_ivf_topk": eq.SQL_ANN_IVF,
         "text_token_counts": eq.SQL_TEXT_TOKEN_COUNTS,
+        "corpus_clean": eq.SQL_CORPUS_CLEAN,
         "text_quality": eq.SQL_TEXT_QUALITY,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
         "doc_fingerprint": eq.SQL_DOC_FINGERPRINT,

@@ -1325,6 +1325,26 @@ SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 SQL_ANN_IVF = _sql_ann_ivf()
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The end-to-end training-data cleaning recipe as ONE composed query:
+    quality-filter the corpus, exact-dedup it, keep the best copy per group
+    (longest, ties to lowest id), emit the surviving documents. Each stage
+    is an operator verified on its own elsewhere; this verifies the
+    composition."""
+    from .datapipe.dedup import exact_dedup_keep_best
+    from .datapipe.textstats import quality_scores
+
+    corpus = _dup_corpus(spark, sf_dir)
+    q = quality_scores(corpus).filter(F.col("passes_quality")).select("doc_id", "n_words")
+    passing = corpus.join(q, "doc_id")
+    resolved = exact_dedup_keep_best(passing, F.col("n_words").cast("long"))
+    return (
+        resolved.filter(F.col("kept"))
+        .join(q, resolved["doc_id"] == q["doc_id"])
+        .select(resolved["doc_id"], "n_words", "group_size")
+    )
+
+
 def q_text_token_counts(spark, sf_dir):
     from .datapipe.textstats import token_counts
 
@@ -1370,6 +1390,33 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words,
        ROUND(n_punct / length(text), 4) AS punct_ratio,
        (n_words >= 5 AND n_stop / n_words >= 0.01 AND n_punct / length(text) < 0.3) AS passes_quality
 FROM m
+""".replace("{STOPS}", _sql_stoplist_all())
+
+
+SQL_CORPUS_CLEAN = f"""
+WITH {SQL_DUP_CORPUS},
+w AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM corpus
+),
+m AS (
+  SELECT doc_id, text, len(words) AS n_words,
+         len(list_filter(words, x -> list_contains({{STOPS}}, x))) AS n_stop,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) AS n_punct
+  FROM w
+),
+passing AS (
+  SELECT doc_id, text, CAST(n_words AS INT) AS n_words
+  FROM m
+  WHERE n_words >= 5 AND n_stop / n_words >= 0.01 AND n_punct / length(text) < 0.3
+),
+ranked AS (
+  SELECT doc_id, n_words,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY n_words DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY text) AS group_size
+  FROM passing
+)
+SELECT doc_id, n_words, CAST(group_size AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
 """.replace("{STOPS}", _sql_stoplist_all())
 
 
