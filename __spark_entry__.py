@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_group_coordinating_partition": eq.q_group_coordinating_partition,  # F5 (group)
         "klog_cat_producer_states": eq.q_cat_producer_states,  # snapshot cat projection
         "klog_first_last_batch": eq.q_first_last_batch,    # A4
+        "token_freq_topk": eq.q_token_freq_topk,           # vocab stats on tokens
+        "seq_len_histogram": eq.q_seq_len_hist,            # packing stats on n_tok
         # training-data pipeline (dedup / similarity / text / multimodal)
         "dedup_exact": eq.q_dedup_exact,
         "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution
@@ -110,6 +112,8 @@ def oracle_sql() -> dict[str, str]:
         "klog_group_coordinating_partition": eq.SQL_GROUP_COORDINATING_PARTITION,
         "klog_cat_producer_states": eq.SQL_CAT_PRODUCER_STATES,
         "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
+        "token_freq_topk": eq.SQL_TOKEN_FREQ_TOPK,
+        "seq_len_histogram": eq.SQL_SEQ_LEN_HIST,
         "dedup_exact": eq.SQL_DEDUP_EXACT,
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
         "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,

@@ -832,6 +832,40 @@ FROM (SELECT group_id,
 """
 
 
+def q_token_freq_topk(spark, sf_dir):
+    """Vocabulary statistics over the tokenized-sequence table itself
+    (input_hint shape): corpus-wide token-frequency top-k."""
+    from .tokens import token_frequency_topk
+
+    fx = klog_fixture(sf_dir)
+    return token_frequency_topk(spark.read.parquet(f"{fx}/sequences.parquet"), k=50)
+
+
+SQL_TOKEN_FREQ_TOPK = f"""
+WITH f AS (
+  SELECT unnest(tokens) AS token FROM read_parquet('{FX}/sequences.parquet')
+),
+g AS (SELECT token, COUNT(*) AS n FROM f GROUP BY token),
+r AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank FROM g)
+SELECT token, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 50
+"""
+
+
+def q_seq_len_hist(spark, sf_dir):
+    """Sequence-length histogram over the tokenized table (packing stat)."""
+    from .tokens import sequence_length_histogram
+
+    fx = klog_fixture(sf_dir)
+    return sequence_length_histogram(spark.read.parquet(f"{fx}/sequences.parquet"), bucket=32)
+
+
+SQL_SEQ_LEN_HIST = f"""
+SELECT CAST((n_tok // 32) * 32 AS BIGINT) AS bucket_start, COUNT(*) AS n_sequences
+FROM read_parquet('{FX}/sequences.parquet')
+GROUP BY 1
+"""
+
+
 def q_first_last_batch(spark, sf_dir):
     from .operators.aggregates import first_last_batch
 
