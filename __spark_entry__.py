@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_coordinating_partition": eq.q_coordinating_partition,  # F5 (txn)
         "klog_group_coordinating_partition": eq.q_group_coordinating_partition,  # F5 (group)
         "klog_cat_producer_states": eq.q_cat_producer_states,  # snapshot cat projection
+        "klog_cat_render": eq.q_cat_render,                # F6 ANSI display renderer
         "klog_first_last_batch": eq.q_first_last_batch,    # A4
         "token_freq_topk": eq.q_token_freq_topk,           # vocab stats on tokens
         "seq_len_histogram": eq.q_seq_len_hist,            # packing stats on n_tok
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "klog_coordinating_partition": eq.SQL_COORDINATING_PARTITION,
         "klog_group_coordinating_partition": eq.SQL_GROUP_COORDINATING_PARTITION,
         "klog_cat_producer_states": eq.SQL_CAT_PRODUCER_STATES,
+        "klog_cat_render": eq.SQL_CAT_RENDER,
         "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
         "token_freq_topk": eq.SQL_TOKEN_FREQ_TOPK,
         "seq_len_histogram": eq.SQL_SEQ_LEN_HIST,

@@ -832,6 +832,82 @@ FROM (SELECT group_id,
 """
 
 
+def q_cat_render(spark, sf_dir):
+    """F6: the `cat` display renderer — one ANSI-styled line per record,
+    byte-for-byte the reference's format strings (Cat.OutputVisitor)."""
+    from .operators.render import render_cat_lines
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return render_cat_lines(load_parsed(spark, sf_dir), color=True)
+
+
+def _sql_cat_render() -> str:
+    from .operators.render import BLUE, BOLD, GREEN_BOLD, RED_BOLD, RESET
+
+    b, bl, g, r, z = BOLD, BLUE, GREEN_BOLD, RED_BOLD, RESET
+    # header_keys must reproduce the engine's GREEDY capture: extract group 6
+    # of the same anchored grammar the classifier already uses
+    hk = (
+        f"CASE record_class WHEN 'data_msg' THEN regexp_extract(line, '{_sqlq(_DATA_RE)}', 6) "
+        f"WHEN 'control_msg' THEN regexp_extract(line, '{_sqlq(_CONTROL_RE)}', 6) "
+        f"ELSE regexp_extract(line, '{_sqlq(_TXN_RE)}', 6) END"
+    )
+    return f"""
+WITH {klog_base_cte()},
+msgs AS (
+  SELECT doc_id, file, line_no, record_class, line,
+    TRY_CAST(regexp_extract(line, '\\| offset: ([0-9]+)', 1) AS BIGINT) AS moffset,
+    TRY_CAST(regexp_extract(line, ' [Cc]reateTime: ([0-9]+)', 1) AS BIGINT) AS mct,
+    TRY_CAST(regexp_extract(line, ' key[Ss]ize: (-?[0-9]+)', 1) AS INT) AS mkey,
+    TRY_CAST(regexp_extract(line, ' value[Ss]ize: (-?[0-9]+)', 1) AS INT) AS mval,
+    TRY_CAST(regexp_extract(line, ' sequence: (-?[0-9]+)', 1) AS INT) AS mseq,
+    {hk} AS hkeys
+  FROM classified
+  WHERE record_class IN ('data_msg', 'control_msg', 'txn_state', 'txn_deletion')
+),
+rendered AS (
+  SELECT doc_id, file, line_no,
+    '{b}' || printf('Batch(baseOffset=%d, lastOffset=%d, count=%d, baseSequence=%d, lastSequence=%d, producerId=%d, producerEpoch=%s, partitionLeaderEpoch=%d, isTransactional=%s, isControl=%s, position=%d, createTime=%s, size=%d, magic=%s, compressCodec=''%s'', crc=%d, isValid=',
+      base_offset, last_offset, count, base_sequence, last_sequence, producer_id,
+      CAST(producer_epoch AS VARCHAR), partition_leader_epoch,
+      CAST(is_transactional AS VARCHAR), CAST(is_control AS VARCHAR), position,
+      {_sql_instant('create_time_ms')}, size, CAST(magic AS VARCHAR), compress_codec, crc)
+    || '{z}' || CAST(is_valid AS VARCHAR) || '{b})' || '{z}' AS display
+  FROM batches
+  UNION ALL
+  SELECT m.doc_id, m.file, m.line_no,
+    printf('  ControlMessage(offset=%d, createTime=%s, keySize=%d, valueSize=%d, sequence=%d, headers=''%s'', commit=%s, coordinatorEpoch=%d)',
+      m.moffset, {_sql_instant('m.mct')}, m.mkey, m.mval, m.mseq, m.hkeys,
+      CASE WHEN c.commit THEN '{g}commit{z}' ELSE '{r}abort{z}' END, c.coordinator_epoch) AS display
+  FROM msgs m JOIN ctl_msgs c USING (doc_id)
+  WHERE m.record_class = 'control_msg'
+  UNION ALL
+  SELECT doc_id, file, line_no,
+    printf('  DataMessage(offset=%d, createTime=%s, keySize=%d, valueSize=%d, sequence=%d, headerKeys=''%s'')',
+      moffset, {_sql_instant('mct')}, mkey, mval, mseq, hkeys) AS display
+  FROM msgs WHERE record_class = 'data_msg'
+  UNION ALL
+  SELECT m.doc_id, m.file, m.line_no,
+    printf('  TransactionStateMessage(offset=%d, createTime=%s, keySize=%d, valueSize=%d, sequence=%d, headerKeys=''%s'', transactionId=''%s'', producerId=%d, producerEpoch=%s, state={bl}%s{z}, partitions=''%s'', txnLastUpdateTimestamp=%s, txnTimeoutMs=%d)',
+      m.moffset, {_sql_instant('m.mct')}, m.mkey, m.mval, m.mseq, m.hkeys,
+      t.transactional_id, t.txn_producer_id, CAST(t.txn_producer_epoch AS VARCHAR),
+      t.state, t.partitions, {_sql_instant('t.txn_last_update_ms')}, t.txn_timeout_ms) AS display
+  FROM msgs m JOIN txn_msgs t USING (doc_id)
+  WHERE m.record_class = 'txn_state'
+  UNION ALL
+  SELECT doc_id, file, line_no,
+    printf('  TransactionStateDeletion(offset=%d, createTime=%s, keySize=%d, valueSize=%d, sequence=%d, headerKeys=''%s'', transactionId=''%s'')',
+      moffset, {_sql_instant('mct')}, mkey, mval, mseq, hkeys,
+      regexp_extract(line, 'transactionalId=(.*) payload: ', 1)) AS display
+  FROM msgs WHERE record_class = 'txn_deletion'
+)
+SELECT doc_id, file, line_no, display FROM rendered
+"""
+
+
+SQL_CAT_RENDER = _sql_cat_render()
+
+
 def q_token_freq_topk(spark, sf_dir):
     """Vocabulary statistics over the tokenized-sequence table itself
     (input_hint shape): corpus-wide token-frequency top-k."""

@@ -92,3 +92,27 @@ def test_nested_exists_filter_equals_flat_filter(parsed_df):
             if r["parent"] is not None
         }
         assert got == want and got, kw
+
+
+def test_cat_render_styles_and_plain(parsed_df):
+    """F6: ANSI styling present in color mode, absent in plain mode, with
+    identical underlying text."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from klog_spark.operators.render import render_cat_lines
+    from klog_spark.operators.route import apply_validity_routing
+
+    routed = apply_validity_routing(parsed_df)
+    colored = {r["doc_id"]: r["display"] for r in render_cat_lines(routed, color=True).collect()}
+    plain = {r["doc_id"]: r["display"] for r in render_cat_lines(routed, color=False).collect()}
+    assert set(colored) == set(plain) and colored
+    ansi = re.compile(r"\x1b\[[0-9;]*m")
+    assert any(ansi.search(v) for v in colored.values())
+    for k, v in plain.items():
+        assert "\x1b" not in v
+        assert ansi.sub("", colored[k]) == v
+    ctl = [v for v in colored.values() if "ControlMessage" in v]
+    assert any("\x1b[32;1mcommit\x1b[0m" in v for v in ctl)
+    assert any("\x1b[31;1mabort\x1b[0m" in v for v in ctl)
