@@ -279,3 +279,18 @@ def test_near_dup_clusters_transitive_chain(spark):
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     got = {(r["doc_id"], r["cluster_id"]) for r in near_dup_clusters(pairs).collect()}
     assert got == {(10, 10), (20, 10), (30, 10)}  # 40 has no pair -> no row
+
+
+def test_exact_dedup_keep_best_policy(spark):
+    """Keeper = highest score, ties to lowest id; singletons keep themselves."""
+    from pyspark.sql import functions as F
+
+    from klog_spark.datapipe.dedup import exact_dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, "aaa", 5), (2, "aaa", 9), (3, "aaa", 9), (4, "bbb", 1)],
+        "doc_id: long, text: string, score: long",
+    )
+    got = {r["doc_id"]: (r["keep_doc_id"], r["kept"], r["group_size"])
+           for r in exact_dedup_keep_best(docs, F.col("score")).collect()}
+    assert got == {1: (2, False, 3), 2: (2, True, 3), 3: (2, False, 3), 4: (4, True, 1)}
