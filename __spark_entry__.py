@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": eq.q_corpus_clean,                 # quality->dedup->keep-best composed
         "text_quality": eq.q_text_quality,
         "text_lang_id": eq.q_text_lang_id,
+        "lang_id_eval": eq.q_lang_id_eval,                 # confusion vs ground truth
+        "source_quality": eq.q_source_quality,             # per-source corpus report
+        "knn_label_eval": eq.q_knn_label_eval,             # embedding-quality eval
         "doc_fingerprint": eq.q_doc_fingerprint,
         "events_daily": eq.q_events_daily,
         "multimodal_features": eq.q_multimodal_features,
@@ -131,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": eq.SQL_CORPUS_CLEAN,
         "text_quality": eq.SQL_TEXT_QUALITY,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
+        "lang_id_eval": eq.SQL_LANG_ID_EVAL,
+        "source_quality": eq.SQL_SOURCE_QUALITY,
+        "knn_label_eval": eq.SQL_KNN_LABEL_EVAL,
         "doc_fingerprint": eq.SQL_DOC_FINGERPRINT,
         "events_daily": eq.SQL_EVENTS_DAILY,
         "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,

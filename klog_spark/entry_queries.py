@@ -1565,6 +1565,116 @@ FROM s
 SQL_TEXT_LANG_ID = _sql_lang_id()
 
 
+def q_lang_id_eval(spark, sf_dir):
+    """Heuristic-vs-ground-truth confusion counts: the documents table
+    carries a `lang` label — every training-data pipeline evaluates its
+    language-ID stage against one."""
+    from .datapipe.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    pred = lang_id(docs).select("doc_id", "lang_guess")
+    truth = docs.select("doc_id", "lang")
+    return pred.join(truth, "doc_id").groupBy("lang", "lang_guess").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+SQL_LANG_ID_EVAL = f"""
+SELECT d.lang, p.lang_guess, COUNT(*) AS n_docs
+FROM ({_sql_lang_id()}) p JOIN documents d USING (doc_id)
+GROUP BY d.lang, p.lang_guess
+"""
+
+
+def q_source_quality(spark, sf_dir):
+    """Per-source corpus report: which crawl sources yield usable text
+    (the groupBy every filtering pipeline runs before dropping a source).
+    Decimal sums make the averages summation-order-free."""
+    from .datapipe.textstats import quality_scores
+
+    docs = _docs(spark, sf_dir)
+    q = quality_scores(docs).join(docs.select("doc_id", "source"), "doc_id")
+    dec = lambda c: F.sum(F.col(c).cast("decimal(28,6)"))  # noqa: E731
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round((dec("n_words") / F.count("*")).cast("double"), 4).alias("avg_words"),
+        F.round((dec("stopword_ratio") / F.count("*")).cast("double"), 4).alias("avg_stopword_ratio"),
+        F.round((dec("punct_ratio") / F.count("*")).cast("double"), 4).alias("avg_punct_ratio"),
+        F.round(
+            (F.sum(F.when(F.col("passes_quality"), 1).otherwise(0)) / F.count("*")).cast("double"), 4
+        ).alias("pass_rate"),
+    )
+
+
+SQL_SOURCE_QUALITY = f"""
+WITH q AS ({SQL_TEXT_QUALITY})
+SELECT d.source, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(q.n_words AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 4) AS avg_words,
+       ROUND(CAST(SUM(CAST(q.stopword_ratio AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 4) AS avg_stopword_ratio,
+       ROUND(CAST(SUM(CAST(q.punct_ratio AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 4) AS avg_punct_ratio,
+       ROUND(CAST(SUM(CASE WHEN q.passes_quality THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS pass_rate
+FROM q JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def q_knn_label_eval(spark, sf_dir):
+    """kNN majority-vote label prediction over the embedding table's `label`
+    ground truth, leave-one-out, reported as a confusion matrix — the
+    embedding-quality eval a pipeline runs before trusting ANN dedup."""
+    from .datapipe.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.select("vec_id", "embedding").collect()]
+    topk = brute_force_topk(emb, queries, k=6)  # self + 5 neighbors
+    labels = emb.select("vec_id", "label")
+    neigh = (
+        topk.filter(F.col("vec_id") != F.col("qid"))
+        .join(labels, "vec_id")
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+    pred = neigh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "qid", F.col("label").alias("pred_label")
+    )
+    truth = labels.select(F.col("vec_id").alias("qid"), F.col("label").alias("true_label"))
+    return pred.join(truth, "qid").groupBy("true_label", "pred_label").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_KNN_LABEL_EVAL = """
+WITH scored AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id <> e.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+),
+neigh AS (
+  SELECT r.qid, e.label, COUNT(*) AS votes
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE r.rank <= 5
+  GROUP BY r.qid, e.label
+),
+pred AS (
+  SELECT qid, label AS pred_label FROM (
+    SELECT qid, label, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn
+    FROM neigh
+  ) WHERE rn = 1
+)
+SELECT t.label AS true_label, p.pred_label, COUNT(*) AS n
+FROM pred p JOIN embeddings t ON t.vec_id = p.qid
+GROUP BY t.label, p.pred_label
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from .datapipe.textstats import fingerprints
 
