@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_eval": eq.q_knn_label_eval,             # embedding-quality eval
         "doc_fingerprint": eq.q_doc_fingerprint,
         "events_daily": eq.q_events_daily,
+        "event_sessions": eq.q_event_sessions,             # gap-based sessionization
         "multimodal_features": eq.q_multimodal_features,
         "tpch_pricing_summary": eq.q_tpch_pricing_summary,
         "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_eval": eq.SQL_KNN_LABEL_EVAL,
         "doc_fingerprint": eq.SQL_DOC_FINGERPRINT,
         "events_daily": eq.SQL_EVENTS_DAILY,
+        "event_sessions": eq.SQL_EVENT_SESSIONS,
         "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
         "tpch_pricing_summary": eq.SQL_TPCH_PRICING_SUMMARY,
         "tpch_revenue_by_nation": eq.SQL_TPCH_REVENUE_BY_NATION,

@@ -1733,6 +1733,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based user sessionization over the events stream (30-min idle
+    cutoff): the telemetry twin of klog's transactional sessionization —
+    same shape (per-key window, cumulative boundary count, per-session
+    rollup), different domain. Timestamps emitted as epoch seconds for
+    engine-neutral hashing."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.when(
+        F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800 * 1000, 1
+    ).otherwise(0)
+    ev = ev.withColumn("session_id", F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return ev.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+
+
+SQL_EVENT_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+),
+g AS (
+  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+                 THEN 1 ELSE 0 END AS gap
+  FROM e
+),
+s AS (
+  SELECT user_id, event_id, ts_ms,
+         SUM(gap) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+       MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     from .datapipe.multimodal import documents_as_media, extract_features
 
