@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": eq.q_doc_fingerprint,
         "events_daily": eq.q_events_daily,
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
+        "events_rolling_7d": eq.q_events_rolling,          # trailing-window metric
+        "seq_len_percentiles": eq.q_seq_len_percentiles,   # exact p50/p90/p99
         "multimodal_features": eq.q_multimodal_features,
         "tpch_pricing_summary": eq.q_tpch_pricing_summary,
         "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,
@@ -141,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": eq.SQL_DOC_FINGERPRINT,
         "events_daily": eq.SQL_EVENTS_DAILY,
         "event_sessions": eq.SQL_EVENT_SESSIONS,
+        "events_rolling_7d": eq.SQL_EVENTS_ROLLING,
+        "seq_len_percentiles": eq.SQL_SEQ_LEN_PERCENTILES,
         "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
         "tpch_pricing_summary": eq.SQL_TPCH_PRICING_SUMMARY,
         "tpch_revenue_by_nation": eq.SQL_TPCH_REVENUE_BY_NATION,

@@ -1779,6 +1779,65 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_events_rolling(spark, sf_dir):
+    """7-day rolling event volume + average value per event type — the
+    trailing-window health metric of a telemetry pipeline. ROWS frame over
+    the daily rollup (fixture days are dense); decimal sums keep the
+    averages summation-order-free."""
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.groupBy(F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", "event_type",
+        F.sum("n").over(w).alias("n_7d"),
+        F.round(F.sum("v").over(w).cast("double") / F.sum("n").over(w), 4).alias("avg_value_7d"),
+    )
+
+
+SQL_EVENTS_ROLLING = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(28,6))) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type,
+       SUM(n) OVER w AS n_7d,
+       ROUND(CAST(SUM(v) OVER w AS DOUBLE) / SUM(n) OVER w, 4) AS avg_value_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_seq_len_percentiles(spark, sf_dir):
+    """Exact sequence-length percentiles (p50/p90/p99) over the tokenized
+    table — the packing/truncation planning numbers. Exact (sort-based)
+    percentile with linear interpolation on both engines."""
+    fx = klog_fixture(sf_dir)
+    seq = spark.read.parquet(f"{fx}/sequences.parquet")
+    pct = F.percentile("n_tok", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return seq.agg(
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.round(pct[2], 4).alias("p99"),
+        F.max("n_tok").cast("long").alias("max_len"),
+    )
+
+
+SQL_SEQ_LEN_PERCENTILES = f"""
+SELECT ROUND(quantile_cont(n_tok, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_tok, 0.9), 4) AS p90,
+       ROUND(quantile_cont(n_tok, 0.99), 4) AS p99,
+       CAST(MAX(n_tok) AS BIGINT) AS max_len
+FROM read_parquet('{FX}/sequences.parquet')
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     from .datapipe.multimodal import documents_as_media, extract_features
 
