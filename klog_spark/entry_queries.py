@@ -1621,7 +1621,12 @@ GROUP BY d.source
 def q_knn_label_eval(spark, sf_dir):
     """kNN majority-vote label prediction over the embedding table's `label`
     ground truth, leave-one-out, reported as a confusion matrix — the
-    embedding-quality eval a pipeline runs before trusting ANN dedup."""
+    embedding-quality eval a pipeline runs before trusting ANN dedup.
+
+    The query set is driver-collected, which is correct ONLY because eval
+    sets are bounded by design (here: the whole gate table, 500 vectors; in
+    production a sampled eval split). The corpus side streams through the
+    broadcast-GEMM scorer and is never collected."""
     from .datapipe.similarity import brute_force_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -95,3 +95,23 @@ def test_checkpoint_crash_recovery_no_duplicates(spark, fixture_dir, tmp_path):
     r2 = run_incremental(spark, inp, out, ckpt)
     assert r2["n_files"] == 0
     assert spark.read.parquet(f"{out}/routed").count() == total
+
+
+def test_write_routed_bounds_file_count(spark, fixture_dir, tmp_path):
+    """The pre-shuffled routed write must emit ~write_tasks files, not
+    tasks x sinks (the small-files explosion the pre-shuffle exists to
+    prevent)."""
+    import os
+
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.operators.route import apply_validity_routing, write_routed
+
+    parsed = apply_validity_routing(parse_sequences(spark.read.parquet(f"{fixture_dir}/sequences.parquet")))
+    out = str(tmp_path / "r")
+    write_routed(parsed, out, write_tasks=8)
+    parquet_files = [f for _, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")]
+    # 8 shuffle partitions over 8 sink-class partitions: collisions allow a
+    # few extra files, but nowhere near tasks x sinks
+    assert 0 < len(parquet_files) <= 16, parquet_files
+    # read-back integrity
+    assert spark.read.parquet(out).count() == parsed.count()
