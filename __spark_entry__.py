@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (dedup / similarity / text / multimodal)
         "dedup_exact": eq.q_dedup_exact,
         "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution
+        "leakage_safe_split": eq.q_leakage_safe_split,     # content-hash train/test split
         "dedup_ngram_jaccard": eq.q_dedup_ngram_jaccard,
         "dedup_clusters": eq.q_dedup_clusters,             # CC over near-dup pairs
         "dedup_minhash_lsh": eq.q_dedup_minhash,
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_len_histogram": eq.SQL_SEQ_LEN_HIST,
         "dedup_exact": eq.SQL_DEDUP_EXACT,
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
+        "leakage_safe_split": eq.SQL_LEAKAGE_SAFE_SPLIT,
         "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,
         "dedup_clusters": eq.SQL_DEDUP_CLUSTERS,
         "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,

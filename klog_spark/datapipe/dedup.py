@@ -84,6 +84,23 @@ def exact_dedup_keep_best(docs: DataFrame, score: Column,
     )
 
 
+def leakage_safe_split(docs: DataFrame, train_pct: int = 80,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/test split keyed on the CONTENT digest, not the
+    doc id — exact duplicates land in the same split by construction, so a
+    test document can never leak into training via a copy. Split decision =
+    java-hash of the sha256 hex digest mod 100 (bit-replicable in any
+    engine); stateless, shuffle-free, stable across runs and engines."""
+    from ..javahash import java_hash_u32_expr
+
+    digest = F.sha2(F.col(text_col), 256)
+    bucket = F.pmod(java_hash_u32_expr(digest), F.lit(100))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
 def _word_shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per doc (lowercased, whitespace-split)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")

@@ -1074,6 +1074,23 @@ WHERE n_common / (s1.n_shingles + s2.n_shingles - n_common) >= 0.5
 """
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Content-hash train/test split over the dup corpus: exact duplicates
+    provably land in the same split (no train->test leakage via copies)."""
+    from .datapipe.dedup import leakage_safe_split
+
+    return leakage_safe_split(_dup_corpus(spark, sf_dir), train_pct=80)
+
+
+SQL_LEAKAGE_SAFE_SPLIT = f"""
+WITH {SQL_DUP_CORPUS},
+h AS (
+  SELECT doc_id, {_sql_java_u32('sha256(text)')} % 100 AS bucket FROM corpus
+)
+SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split FROM h
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the exact n-gram
     Jaccard pairs — pairwise output turned into dedup groups. Oracle: the

@@ -294,3 +294,16 @@ def test_exact_dedup_keep_best_policy(spark):
     got = {r["doc_id"]: (r["keep_doc_id"], r["kept"], r["group_size"])
            for r in exact_dedup_keep_best(docs, F.col("score")).collect()}
     assert got == {1: (2, False, 3), 2: (2, True, 3), 3: (2, False, 3), 4: (4, True, 1)}
+
+
+def test_leakage_safe_split_keeps_dups_together(dup_corpus):
+    """Exact copies must share a split; the ratio is roughly train_pct."""
+    from klog_spark.datapipe.dedup import leakage_safe_split
+
+    split = {r["doc_id"]: r["split"] for r in leakage_safe_split(dup_corpus, train_pct=80).collect()}
+    copies = [d for d in split if 1000000 <= d < 2000000]
+    assert copies
+    for d in copies:
+        assert split[d] == split[d - 1000000], d
+    frac = sum(1 for s in split.values() if s == "train") / len(split)
+    assert 0.7 <= frac <= 0.9, frac
