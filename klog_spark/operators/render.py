@@ -30,8 +30,14 @@ def _fmt(fmt: str, *cols):
     return F.format_string(fmt, *cols)
 
 
-def render_cat_lines(parsed: DataFrame, color: bool = True) -> DataFrame:
-    """(doc_id, file, line_no, display) for every displayable record."""
+def render_cat_lines(parsed: DataFrame, color: bool = True,
+                     show_filename: bool = False,
+                     show_line_numbers: bool = False) -> DataFrame:
+    """(doc_id, file, line_no, display) for every displayable record.
+
+    ``show_filename`` / ``show_line_numbers`` prepend the reference's
+    ``location()`` prefixes (``%s:`` / ``%d: `` — Cat.OutputVisitor:115-122,
+    the --filename / --line-numbers CLI options)."""
     bold, blue, greenb, redb, reset = (
         (BOLD, BLUE, GREEN_BOLD, RED_BOLD, RESET) if color else ("",) * 5
     )
@@ -92,6 +98,10 @@ def render_cat_lines(parsed: DataFrame, color: bool = True) -> DataFrame:
         .when(F.col("record_class") == "txn_state", state)
         .when(F.col("record_class") == "txn_deletion", deletion)
     )
+    if show_line_numbers:
+        display = F.concat(_fmt("%d: ", F.col("line_no")), display)
+    if show_filename:
+        display = F.concat(F.col("file"), F.lit(":"), display)
     return (
         parsed.filter(F.col("record_class").isin(
             "batch", "control_msg", "data_msg", "txn_state", "txn_deletion"))

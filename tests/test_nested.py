@@ -116,3 +116,13 @@ def test_cat_render_styles_and_plain(parsed_df):
     ctl = [v for v in colored.values() if "ControlMessage" in v]
     assert any("\x1b[32;1mcommit\x1b[0m" in v for v in ctl)
     assert any("\x1b[31;1mabort\x1b[0m" in v for v in ctl)
+
+
+def test_cat_render_location_prefixes(parsed_df):
+    """--filename/--line-numbers prefixes (Cat.location())."""
+    from klog_spark.operators.render import render_cat_lines
+    from klog_spark.operators.route import apply_validity_routing
+
+    routed = apply_validity_routing(parsed_df)
+    r = render_cat_lines(routed, color=False, show_filename=True, show_line_numbers=True).first()
+    assert r["display"].startswith(f"{r['file']}:{r['line_no']}: ")
