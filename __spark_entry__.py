@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_empty_txns": eq.q_empty_txns,                # A6
         "klog_offset_gaps": eq.q_offset_gaps,              # W8 detail
         "klog_cat_pid": eq.q_cat_pid,                      # P1/P8/F1 (segment cat --pid)
+        "klog_cat_pid_epoch": eq.q_cat_pid_epoch,          # P3/P6 conjunction
+        "klog_cat_leader_epoch": eq.q_cat_leader_epoch,    # P4
         "klog_filter_txn_id": eq.q_filter_txn_id,          # P5
         "klog_state_machine_violations": eq.q_state_machine_violations,  # W4
         "klog_position_monotonic": eq.q_position_monotonic,      # W2
@@ -104,6 +106,8 @@ def oracle_sql() -> dict[str, str]:
         "klog_empty_txns": eq.SQL_EMPTY_TXNS,
         "klog_offset_gaps": eq.SQL_OFFSET_GAPS,
         "klog_cat_pid": eq.SQL_CAT_PID,
+        "klog_cat_pid_epoch": eq.SQL_CAT_PID_EPOCH,
+        "klog_cat_leader_epoch": eq.SQL_CAT_LEADER_EPOCH,
         "klog_filter_txn_id": eq.SQL_FILTER_TXN_ID,
         "klog_state_machine_violations": eq.SQL_STATE_MACHINE.replace(
             "{VALID_PREV}", eq._sql_valid_prev_case()

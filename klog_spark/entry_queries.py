@@ -564,6 +564,43 @@ FROM snapshots
 """
 
 
+def q_cat_pid_epoch(spark, sf_dir):
+    """P1+P3+P6: --pid --producer-epoch conjunction through the cat
+    projection (BatchPredicate.java:29-62)."""
+    from .operators.filters import cat_batches
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cat_batches(load_parsed_raw(spark, sf_dir), pid=1001, producer_epoch=0).filter(
+        F.col("is_valid")
+    ).select("doc_id", "base_offset", "last_offset", "producer_id", "producer_epoch", "create_time")
+
+
+SQL_CAT_PID_EPOCH = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, base_offset, last_offset, producer_id, producer_epoch,
+       {_sql_instant('create_time_ms')} AS create_time
+FROM batches WHERE segment_type = 'data' AND producer_id = 1001 AND producer_epoch = 0
+"""
+
+
+def q_cat_leader_epoch(spark, sf_dir):
+    """P4: --leader-epoch filter through the cat projection."""
+    from .operators.filters import cat_batches
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cat_batches(load_parsed_raw(spark, sf_dir), leader_epoch=2).filter(
+        F.col("is_valid")
+    ).select("doc_id", "base_offset", "partition_leader_epoch", "producer_id", "create_time")
+
+
+SQL_CAT_LEADER_EPOCH = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, base_offset, partition_leader_epoch, producer_id,
+       {_sql_instant('create_time_ms')} AS create_time
+FROM batches WHERE segment_type = 'data' AND partition_leader_epoch = 2
+"""
+
+
 def q_filter_txn_id(spark, sf_dir):
     from .operators.filters import filter_txn_state
 
