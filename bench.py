@@ -52,7 +52,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # RAM-backed staging dir: the bench measures engine time, not /tmp disk
-    out_dir = tempfile.mkdtemp(prefix="klog-bench-", dir="/dev/shm")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_dir = tempfile.mkdtemp(prefix="klog-bench-", dir=shm)
     try:
         # the product execution shape: parse ONCE into the routed staging
         # table, then every downstream query is a partition-pruned columnar

@@ -43,7 +43,9 @@ def main() -> None:
     # pre-warm the Python worker pool (session-init cost, like JVM startup,
     # excluded per BASELINE.md protocol)
     parse_sequences(df).filter("record_class='header'").count()
-    out = tempfile.mkdtemp(prefix="klog-scaling-", dir="/dev/shm")
+    import os as _os
+    out = tempfile.mkdtemp(prefix="klog-scaling-",
+                           dir="/dev/shm" if _os.path.isdir("/dev/shm") else None)
     try:
         t0 = time.time()
         n = df.count()  # first timed action
