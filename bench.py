@@ -62,6 +62,11 @@ def main() -> None:
         timed("klog_parse_route", lambda: parse_sequences(seq).groupBy("record_class").count().collect())
         from klog_spark.operators.route import write_routed
 
+        # warm the write path (parquet writer + committer class loading —
+        # measured ~2-5s of pure first-write JVM cost at sf0.1): a tiny
+        # throwaway write so klog_routed_write times the engine, not classloading
+        write_routed(apply_validity_routing(parse_sequences(seq.limit(500))),
+                     f"{out_dir}/warmup", write_tasks=2)
         # write_tasks=16: this VM's syscall/IPC concurrency ceiling (see
         # BENCH/BASELINE.md); on a real cluster leave the default
         timed(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import random
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -362,8 +363,8 @@ def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool
         try:
             if json.loads(marker.read_text()) == spec:
                 return out
-        except (ValueError, OSError):
-            pass
+        except (ValueError, OSError) as exc:
+            print(f"fixture marker {marker} unreadable ({exc!r}); regenerating", file=sys.stderr)
     out.mkdir(parents=True, exist_ok=True)
 
     total = max(2000, int(LINES_PER_SF * sf))

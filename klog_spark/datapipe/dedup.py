@@ -178,18 +178,17 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3
     return mins.select("doc_id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature"))
 
 
-def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
-                           num_hashes: int | None = None) -> DataFrame:
+def minhash_lsh_candidates(signatures: DataFrame, bands: int,
+                           num_hashes: int) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
     The band bucket join is the ONLY shuffle; bucket sizes are bounded by
     near-duplicate cluster sizes, and AQE splits residual skew.
 
-    ``num_hashes`` is the signature length — pass it (it is a parameter of
-    the signature builder); reading it from the data would run an extra
-    Spark job. The bucket key is the band's literal value string, so any
+    ``num_hashes`` is the signature length — required (it is a parameter of
+    the signature builder; reading it from the data would run an extra
+    Spark job). The bucket key is the band's literal value string, so any
     engine reproduces the same candidate set (no engine-specific hash)."""
-    n = num_hashes if num_hashes is not None else len(signatures.select("signature").first()["signature"])
-    rows_per_band = n // bands
+    rows_per_band = num_hashes // bands
     banded = signatures.select(
         "doc_id",
         F.explode(

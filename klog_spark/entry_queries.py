@@ -1672,19 +1672,28 @@ GROUP BY d.source
 """
 
 
+#: Eval-query budget for kNN label eval. The driver collect is bounded by
+#: THIS constant, never by the corpus: the query set is the first
+#: KNN_EVAL_CAP vectors by vec_id (a deterministic sampled eval split any
+#: engine can reproduce), while the corpus side streams through the
+#: broadcast-GEMM scorer and is never collected.
+KNN_EVAL_CAP = 200
+
+
 def q_knn_label_eval(spark, sf_dir):
     """kNN majority-vote label prediction over the embedding table's `label`
     ground truth, leave-one-out, reported as a confusion matrix — the
     embedding-quality eval a pipeline runs before trusting ANN dedup.
 
-    The query set is driver-collected, which is correct ONLY because eval
-    sets are bounded by design (here: the whole gate table, 500 vectors; in
-    production a sampled eval split). The corpus side streams through the
-    broadcast-GEMM scorer and is never collected."""
+    The query set is a deterministic KNN_EVAL_CAP-row eval split (first N
+    by vec_id); driver memory is O(cap·dim) regardless of corpus size."""
     from .datapipe.similarity import brute_force_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.select("vec_id", "embedding").collect()]
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(KNN_EVAL_CAP).collect()
+    ]
     topk = brute_force_topk(emb, queries, k=6)  # self + 5 neighbors
     labels = emb.select("vec_id", "label")
     neigh = (
@@ -1705,11 +1714,14 @@ def q_knn_label_eval(spark, sf_dir):
     )
 
 
-SQL_KNN_LABEL_EVAL = """
-WITH scored AS (
+SQL_KNN_LABEL_EVAL = f"""
+WITH eval_split AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KNN_EVAL_CAP}
+),
+scored AS (
   SELECT q.vec_id AS qid, e.vec_id,
          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine
-  FROM embeddings q CROSS JOIN embeddings e
+  FROM eval_split q CROSS JOIN embeddings e
   WHERE q.vec_id <> e.vec_id
 ),
 ranked AS (

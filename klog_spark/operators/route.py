@@ -83,8 +83,18 @@ def apply_validity_routing(parsed: DataFrame) -> DataFrame:
     )
 
 
+#: Parallelism below which the pre-shuffle is a net loss: the full-row
+#: shuffle costs more than the dynamic-partition write saves. Measured at
+#: sf1 (BENCH/BASELINE.md write-path table): local[2] direct 52.9k rows/s vs
+#: pre-shuffled 47.1k (-11%); by local[8] pre-shuffle wins 2.5x. On any real
+#: cluster parallelism is far above this — the threshold only protects tiny
+#: local runs from paying the scale plan's fixed cost.
+PRE_SHUFFLE_MIN_PARALLELISM = 4
+
+
 def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
-                 write_tasks: int | None = None) -> None:
+                 write_tasks: int | None = None,
+                 pre_shuffle: bool | None = None) -> None:
     """Single-pass fan-out write, one partition directory per sink class.
 
     Rows are pre-shuffled onto (record_class, bucket) so each write task
@@ -93,13 +103,25 @@ def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
     efficiency 0.28 (2->8 cores, sf1) and a tasks x sinks file count (the
     classic small-files problem at 100 TB). With the pre-shuffle the write
     scales at 0.81 on the same input and the file count is ~write_tasks.
+
+    ``pre_shuffle``: None (default) chooses adaptively — pre-shuffle when
+    ``defaultParallelism >= PRE_SHUFFLE_MIN_PARALLELISM``, else write
+    directly (the shuffle is a measured net loss at trivial parallelism).
+    Pass True/False to pin the plan (scaling comparisons must pin it so
+    both parallelism levels run the same plan).
     """
     spark = parsed.sparkSession
-    n = write_tasks or spark.sparkContext.defaultParallelism
-    buckets = max(1, n // len(SINKS))
-    df = parsed.repartition(
-        n, F.col("record_class"), F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
-    )
+    parallelism = spark.sparkContext.defaultParallelism
+    if pre_shuffle is None:
+        pre_shuffle = parallelism >= PRE_SHUFFLE_MIN_PARALLELISM
+    if pre_shuffle:
+        n = write_tasks or parallelism
+        buckets = max(1, n // len(SINKS))
+        df = parsed.repartition(
+            n, F.col("record_class"), F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
+        )
+    else:
+        df = parsed
     df.write.mode(mode).partitionBy("record_class").parquet(out_dir)
 
 

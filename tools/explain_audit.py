@@ -99,6 +99,19 @@ def main() -> None:
     assert "Exchange hashpartitioning(record_class" in buf.getvalue(), \
         "routed write must pre-shuffle on (record_class, bucket)"
 
+    # 9. no input-scaled driver collects: every `.collect()` in the query
+    #    registry / datapipe must be bounded by a `.limit(...)` or a literal
+    #    id filter — driver memory must never grow with the corpus
+    bounded = (".limit(", 'F.col("vec_id") < 5')
+    for src in [Path("klog_spark/entry_queries.py"), *Path("klog_spark/datapipe").glob("*.py")]:
+        for i, line in enumerate(src.read_text().splitlines(), 1):
+            if ".collect()" in line and not any(b in line for b in bounded):
+                raise AssertionError(
+                    f"{src}:{i} unbounded driver collect: {line.strip()!r} — "
+                    "cap it with .limit(...) or a literal filter"
+                )
+    print("driver-collect audit: all collects bounded")
+
     failures = []
     out_md = ["# Physical plan audit (sf0.01, local[8])\n"]
     for name, plan, must_contain in sections:

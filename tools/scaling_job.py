@@ -60,7 +60,10 @@ def main() -> None:
             parsed = apply_validity_routing(parse_sequences(df))
             meta = spark.read.parquet(f"{fx}/producer_meta.parquet")
             enriched = parsed.join(F.broadcast(meta), ["producer_id"], "left")
-            write_routed(enriched, f"{out}/routed")
+            # pin the scale plan: a scaling comparison must run the SAME
+            # plan at both parallelism levels (the adaptive default would
+            # switch plans below PRE_SHUFFLE_MIN_PARALLELISM)
+            write_routed(enriched, f"{out}/routed", pre_shuffle=True)
             # aggregates over the routed staging (partition-pruned columnar
             # reads; the Arrow parse ran exactly once, in the write above)
             from klog_spark.operators.route import routed_as_parsed
