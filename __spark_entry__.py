@@ -37,6 +37,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": eq.q_multimodal_features,
         "tpch_pricing_summary": eq.q_tpch_pricing_summary,
         "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,
+        # __consumer_offsets decode — BEYOND the reference surface (the
+        # reference leaves it a TODO, Segment.java:28); new in round 3
+        "klog_group_offsets": eq.q_sink_group_offsets,
+        "klog_group_lag": eq.q_group_lag,
+        "klog_group_metadata": eq.q_group_metadata,
         # klog parse -> route -> aggregate surface (SURVEY.md §2)
         "klog_route_counts": eq.q_route_counts,            # S1-S6, X1-X5 routing
         "klog_sink_batches": eq.q_sink_batches,            # S9 batch sink + token equality
@@ -98,6 +103,9 @@ def oracle_sql() -> dict[str, str]:
     # running the Spark queries (generation is cached + deterministic)
     eq.ensure_fixture(eq.ORACLE_SF, eq.FIXTURE_ROOT)
     return {
+        "klog_group_offsets": eq.SQL_SINK_GROUP_OFFSETS,
+        "klog_group_lag": eq.SQL_GROUP_LAG,
+        "klog_group_metadata": eq.SQL_GROUP_METADATA,
         "klog_route_counts": eq.SQL_ROUTE_COUNTS,
         "klog_sink_batches": eq.SQL_SINK_BATCHES,
         "klog_sink_control": eq.SQL_SINK_CONTROL,

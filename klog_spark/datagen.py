@@ -318,6 +318,131 @@ def _gen_txn_state_partition(seed: int, n_lines_budget: int):
     return files
 
 
+def _java_string_hash(s: str) -> int:
+    """Java String.hashCode (signed 32-bit) — places each group's commits in
+    its coordinating __consumer_offsets partition exactly as Kafka does
+    (reference: command/GroupCoordinatingPartition.java:38-44)."""
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) & 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+N_CO_PARTITIONS = 8
+CO_GROUPS = [f"app-{name}" for name in
+             ("checkout", "fraud", "billing", "audit", "search", "email", "ledger", "metrics")]
+
+
+def _render_offset_commit_msg(rng: random.Random, *, offset: int, t_ms: int, group: str,
+                              topic: str, part: int, committed: int | None,
+                              leader_epoch: int | None = None, corrupt: bool = False) -> str:
+    key = f"offset_commit::group={group},topic={topic},partition={part}"
+    if corrupt:
+        payload = f"offset=oops,leader_epoch=?,commit_timestamp={t_ms}"  # malformed -> corrupt sink
+    elif committed is None:
+        payload = "<DELETE>"
+    else:
+        le = "Optional.empty" if leader_epoch is None else f"Optional[{leader_epoch}]"
+        meta = "" if rng.random() < 0.9 else f"m-{rng.randrange(100)}"
+        exp = "None" if rng.random() < 0.9 else str(t_ms + 604_800_000)
+        payload = (f"offset={committed},leader_epoch={le},metadata={meta},"
+                   f"commit_timestamp={t_ms},expire_timestamp={exp}")
+    return (f"| offset: {offset} CreateTime: {t_ms} keySize: {len(key)} valueSize: {len(payload)} "
+            f"sequence: -1 headerKeys: [] key: {key} payload: {payload}")
+
+
+def _render_group_metadata_msg(rng: random.Random, *, offset: int, t_ms: int, group: str,
+                               generation: int | None, members: int = 1,
+                               corrupt: bool = False) -> str:
+    key = f"group_metadata::group={group}"
+    if corrupt:
+        payload = f"protocolType=consumer,generation=,members={members}"  # malformed
+    elif generation is None:
+        payload = "<DELETE>"
+    else:
+        payload = (f"protocolType=consumer,generation={generation},protocol=range,"
+                   f"leader=consumer-{group}-1,members={members}")
+    return (f"| offset: {offset} CreateTime: {t_ms} keySize: {len(key)} valueSize: {len(payload)} "
+            f"sequence: -1 headerKeys: [] key: {key} payload: {payload}")
+
+
+def _gen_consumer_offsets(seed: int, n_lines_budget: int):
+    """__consumer_offsets-<N> segment dumps: offset commits, group-metadata
+    updates, tombstones, and planted malformed payloads. Each group's
+    records land in partition abs(hashCode(group)) % N_CO_PARTITIONS."""
+    rng = random.Random(f"{seed}-consumeroffsets")
+    part_of = {grp: abs(_java_string_hash(grp)) % N_CO_PARTITIONS for grp in CO_GROUPS}
+    committed: dict[tuple[str, str, int], int] = {}
+    generation: dict[str, int] = {grp: 1 for grp in CO_GROUPS}
+    state = {p: {"offset": 0, "position": 0, "file_base": 0, "lines": []}
+             for p in sorted(set(part_of.values()))}
+    t_ms = T0_MS
+    files = []
+    emitted = 0
+
+    def flush(p: int):
+        st = state[p]
+        if not st["lines"]:
+            return
+        seg = f"{st['file_base']:020d}.log"
+        src = f"/tmp/kafka-logs/__consumer_offsets-{p}/{seg}"
+        name = f"__consumer_offsets-{p}-{st['file_base']:020d}.log.dump.txt"
+        files.append((name, src, [f"Dumping {src}", f"Log starting offset: {st['file_base']}"] + st["lines"]))
+        st["lines"] = []
+        st["file_base"] = st["offset"]
+        st["position"] = 0
+
+    while emitted < n_lines_budget:
+        t_ms += rng.randrange(1, 400)
+        # one hot group (~40% of commits) exercises coordinator-partition skew
+        grp = CO_GROUPS[0] if rng.random() < 0.4 else rng.choice(CO_GROUPS)
+        p = part_of[grp]
+        st = state[p]
+        size = rng.randrange(90, 220)
+        st["lines"].append(_render_batch(rng, base_offset=st["offset"], count=1, pid=-1, epoch=-1,
+                                         leader_epoch=0, transactional=False, control=False,
+                                         position=st["position"], t_ms=t_ms, size=size,
+                                         variant3x=False))
+        r = rng.random()
+        if r < 0.82:  # offset commit
+            tpart = rng.randrange(0, N_PARTITIONS)
+            key = (grp, TOPIC, tpart)
+            committed[key] = committed.get(key, 0) + rng.randrange(1, 50)
+            le = None if rng.random() < 0.2 else rng.randrange(0, 6)
+            st["lines"].append(_render_offset_commit_msg(
+                rng, offset=st["offset"], t_ms=t_ms, group=grp, topic=TOPIC, part=tpart,
+                committed=committed[key], leader_epoch=le))
+        elif r < 0.86:  # offset tombstone
+            tpart = rng.randrange(0, N_PARTITIONS)
+            committed.pop((grp, TOPIC, tpart), None)
+            st["lines"].append(_render_offset_commit_msg(
+                rng, offset=st["offset"], t_ms=t_ms, group=grp, topic=TOPIC, part=tpart,
+                committed=None))
+        elif r < 0.92:  # group-metadata update (rebalance)
+            generation[grp] += 1
+            st["lines"].append(_render_group_metadata_msg(
+                rng, offset=st["offset"], t_ms=t_ms, group=grp,
+                generation=generation[grp], members=rng.randrange(1, 9)))
+        elif r < 0.94:  # group-metadata tombstone
+            st["lines"].append(_render_group_metadata_msg(
+                rng, offset=st["offset"], t_ms=t_ms, group=grp, generation=None))
+        elif r < 0.97:  # malformed offset payload -> corrupt sink
+            st["lines"].append(_render_offset_commit_msg(
+                rng, offset=st["offset"], t_ms=t_ms, group=grp, topic=TOPIC,
+                part=rng.randrange(0, N_PARTITIONS), committed=0, corrupt=True))
+        else:  # malformed group-metadata payload -> corrupt sink
+            st["lines"].append(_render_group_metadata_msg(
+                rng, offset=st["offset"], t_ms=t_ms, group=grp, generation=1, corrupt=True))
+        st["offset"] += 1
+        st["position"] += size
+        emitted += 2
+        if len(st["lines"]) >= 800:
+            flush(p)
+    for p in state:
+        flush(p)
+    return files
+
+
 def _valid_prev(nxt: str, prev: str) -> bool:
     table = {
         "Ongoing": {"Ongoing", "CompleteAbort", "CompleteCommit", "Empty"},
@@ -358,7 +483,7 @@ def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool
     """Generate the fixture at scale factor ``sf`` into ``out_dir`` (cached)."""
     out = Path(out_dir)
     marker = out / "_GENERATED.json"
-    spec = {"sf": sf, "seed": seed, "version": 6}
+    spec = {"sf": sf, "seed": seed, "version": 7}
     if marker.exists() and not force:
         try:
             if json.loads(marker.read_text()) == spec:
@@ -371,6 +496,7 @@ def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool
     data_budget = int(total * 0.80)
     txn_budget = int(total * 0.14)
     snap_budget = int(total * 0.06)
+    co_budget = int(total * 0.10)  # additive (version 7): __consumer_offsets decode
 
     all_files: list[tuple[str, str, list[str]]] = []
     per_part = data_budget // N_PARTITIONS
@@ -378,6 +504,7 @@ def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool
         all_files.extend(_gen_data_partition(seed, p, per_part))
     all_files.extend(_gen_txn_state_partition(seed, txn_budget))
     all_files.extend(_gen_snapshots(seed, snap_budget))
+    all_files.extend(_gen_consumer_offsets(seed, co_budget))
 
     doc_ids: list[str] = []
     sources: list[str] = []

@@ -54,6 +54,10 @@ _CONTROL_RE = "^(?:" + g.CONTROL_RECORD_PATTERN.pattern + ")$"
 _TXN_RE = "^(?:" + g.TXN_RECORD_PATTERN.pattern + ")$"
 _PAYLOAD_RE = "^(?:" + g.TXN_PAYLOAD_PATTERN.pattern + ")$"
 _SNAPSHOT_RE = "^(?:" + g.SNAPSHOT_PATTERN.pattern + ")$"
+_OC_RE = "^(?:" + g.OFFSET_COMMIT_RECORD_PATTERN.pattern + ")$"
+_OC_PAYLOAD_RE = "^(?:" + g.OFFSET_COMMIT_PAYLOAD_PATTERN.pattern + ")$"
+_GM_RE = "^(?:" + g.GROUP_METADATA_RECORD_PATTERN.pattern + ")$"
+_GM_PAYLOAD_RE = "^(?:" + g.GROUP_METADATA_PAYLOAD_PATTERN.pattern + ")$"
 
 
 def _sqlq(pattern: str) -> str:
@@ -104,6 +108,22 @@ cls0 AS (
               WHEN regexp_extract(line, ' payload: (.*)$', 1) = '<DELETE>' THEN 'txn_deletion'
               WHEN regexp_matches(regexp_extract(line, ' payload: (.*)$', 1), '{_sqlq(_PAYLOAD_RE)}')
                 THEN 'txn_state'
+              ELSE 'corrupt'
+            END
+          WHEN contains(line, ' key: offset_commit::group=') THEN
+            CASE
+              WHEN NOT regexp_matches(line, '{_sqlq(_OC_RE)}') THEN 'corrupt'
+              WHEN regexp_extract(line, ' payload: (.*)$', 1) = '<DELETE>' THEN 'offset_commit'
+              WHEN regexp_matches(regexp_extract(line, ' payload: (.*)$', 1), '{_sqlq(_OC_PAYLOAD_RE)}')
+                THEN 'offset_commit'
+              ELSE 'corrupt'
+            END
+          WHEN contains(line, ' key: group_metadata::group=') THEN
+            CASE
+              WHEN NOT regexp_matches(line, '{_sqlq(_GM_RE)}') THEN 'corrupt'
+              WHEN regexp_extract(line, ' payload: (.*)$', 1) = '<DELETE>' THEN 'group_metadata'
+              WHEN regexp_matches(regexp_extract(line, ' payload: (.*)$', 1), '{_sqlq(_GM_PAYLOAD_RE)}')
+                THEN 'group_metadata'
               ELSE 'corrupt'
             END
           WHEN contains(line, ' endTxnMarker: ') THEN
@@ -202,6 +222,50 @@ snapshots AS (
     TRY_CAST(regexp_extract(line, ' offsetDelta: ([0-9]+)', 1) AS INT) AS offset_delta,
     TRY_CAST(regexp_extract(line, ' timestamp: ([0-9]+)', 1) AS BIGINT) AS timestamp_ms
   FROM classified WHERE record_class = 'producer_state'
+),
+oc_msgs AS (
+  -- __consumer_offsets offset-commit records (beyond the reference surface)
+  SELECT doc_id, file, line_no, "offset", msg_create_time_ms,
+    group_id, commit_topic, commit_partition,
+    payload = '<DELETE>' AS is_deletion,
+    TRY_CAST(regexp_extract(payload, '^offset=([0-9]+),', 1) AS BIGINT) AS committed_offset,
+    TRY_CAST(regexp_extract(payload, ',leader_epoch=Optional\\[([0-9]+)\\],', 1) AS INT)
+      AS committed_leader_epoch,
+    CASE WHEN payload = '<DELETE>' THEN NULL
+         ELSE regexp_extract(payload, ',metadata=([^,]*),commit_timestamp=', 1) END AS commit_metadata,
+    TRY_CAST(regexp_extract(payload, ',commit_timestamp=([0-9]+),', 1) AS BIGINT) AS commit_timestamp_ms,
+    TRY_CAST(regexp_extract(payload, ',expire_timestamp=([0-9]+)$', 1) AS BIGINT) AS expire_timestamp_ms
+  FROM (
+    SELECT doc_id, file, line_no,
+      TRY_CAST(regexp_extract(line, '\\| offset: ([0-9]+)', 1) AS BIGINT) AS "offset",
+      TRY_CAST(regexp_extract(line, ' [Cc]reateTime: ([0-9]+)', 1) AS BIGINT) AS msg_create_time_ms,
+      regexp_extract(line, ' key: offset_commit::group=([^,]*),topic=', 1) AS group_id,
+      regexp_extract(line, ',topic=([^,]*),partition=[0-9]+ payload: ', 1) AS commit_topic,
+      TRY_CAST(regexp_extract(line, ',partition=([0-9]+) payload: ', 1) AS INT) AS commit_partition,
+      regexp_extract(line, ' payload: (.*)$', 1) AS payload
+    FROM classified WHERE record_class = 'offset_commit'
+  )
+),
+gm_msgs AS (
+  -- __consumer_offsets group-metadata records (beyond the reference surface)
+  SELECT doc_id, file, line_no, "offset", msg_create_time_ms, group_id,
+    payload = '<DELETE>' AS is_deletion,
+    CASE WHEN payload = '<DELETE>' THEN NULL
+         ELSE regexp_extract(payload, '^protocolType=([^,]*),', 1) END AS protocol_type,
+    TRY_CAST(regexp_extract(payload, ',generation=([0-9]+),', 1) AS INT) AS generation,
+    CASE WHEN payload = '<DELETE>' THEN NULL
+         ELSE regexp_extract(payload, ',protocol=([^,]*),', 1) END AS protocol,
+    CASE WHEN payload = '<DELETE>' THEN NULL
+         ELSE regexp_extract(payload, ',leader=([^,]*),', 1) END AS leader,
+    TRY_CAST(regexp_extract(payload, ',members=([0-9]+)$', 1) AS INT) AS num_members
+  FROM (
+    SELECT doc_id, file, line_no,
+      TRY_CAST(regexp_extract(line, '\\| offset: ([0-9]+)', 1) AS BIGINT) AS "offset",
+      TRY_CAST(regexp_extract(line, ' [Cc]reateTime: ([0-9]+)', 1) AS BIGINT) AS msg_create_time_ms,
+      regexp_extract(line, ' key: group_metadata::group=([^ ]*) payload: ', 1) AS group_id,
+      regexp_extract(line, ' payload: (.*)$', 1) AS payload
+    FROM classified WHERE record_class = 'group_metadata'
+  )
 )"""
 
 
@@ -398,6 +462,74 @@ def q_sink_corrupt(spark, sf_dir):
 SQL_SINK_CORRUPT = f"""
 WITH {klog_base_cte()}
 SELECT doc_id, file, line_no, source FROM classified WHERE record_class = 'corrupt'
+"""
+
+
+def q_sink_group_offsets(spark, sf_dir):
+    """__consumer_offsets offset-commit sink — BEYOND the reference surface
+    (Segment.java:28 leaves the type a TODO; we decode it)."""
+    return load_parsed(spark, sf_dir).filter(F.col("record_class") == "offset_commit").select(
+        "doc_id", "file", "line_no", "offset", "msg_create_time_ms",
+        "group_id", "commit_topic", "commit_partition", "committed_offset",
+        "committed_leader_epoch", "commit_metadata", "commit_timestamp_ms",
+        "expire_timestamp_ms", "is_deletion",
+    )
+
+
+SQL_SINK_GROUP_OFFSETS = f"""
+WITH {klog_base_cte()}
+SELECT doc_id, file, line_no, "offset", msg_create_time_ms,
+       group_id, commit_topic, commit_partition, committed_offset,
+       committed_leader_epoch, commit_metadata, commit_timestamp_ms,
+       expire_timestamp_ms, is_deletion
+FROM oc_msgs
+"""
+
+
+def q_group_lag(spark, sf_dir):
+    """Per-group consumer lag: compacted latest commit per (group, topic,
+    partition) vs the dumped partition's log-end offset."""
+    from .operators.group_offsets import group_lag
+
+    return group_lag(load_parsed(spark, sf_dir))
+
+
+SQL_GROUP_LAG = f"""
+WITH {klog_base_cte()},
+latest AS (
+  SELECT group_id, commit_topic, commit_partition, committed_offset
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY group_id, commit_topic, commit_partition
+          ORDER BY file DESC, line_no DESC) AS rn
+        FROM oc_msgs)
+  WHERE rn = 1 AND NOT is_deletion
+),
+log_end AS (
+  SELECT topic, partition, CAST(MAX(last_offset) + 1 AS BIGINT) AS log_end_offset
+  FROM batches WHERE segment_type = 'data' GROUP BY topic, partition
+)
+SELECT l.group_id, l.commit_topic, l.commit_partition, l.committed_offset,
+       e.log_end_offset, CAST(e.log_end_offset - l.committed_offset AS BIGINT) AS "lag"
+FROM latest l JOIN log_end e
+  ON l.commit_topic = e.topic AND l.commit_partition = e.partition
+"""
+
+
+def q_group_metadata(spark, sf_dir):
+    """Latest group-metadata record per consumer group (compaction
+    semantics; tombstoned groups dropped)."""
+    from .operators.group_offsets import latest_group_metadata
+
+    return latest_group_metadata(load_parsed(spark, sf_dir))
+
+
+SQL_GROUP_METADATA = f"""
+WITH {klog_base_cte()}
+SELECT group_id, protocol_type, generation, protocol, leader, num_members
+FROM (SELECT *, row_number() OVER (PARTITION BY group_id
+        ORDER BY file DESC, line_no DESC) AS rn
+      FROM gm_msgs)
+WHERE rn = 1 AND NOT is_deletion
 """
 
 
@@ -794,7 +926,8 @@ SQL_DEEP_ITERATION = f"""
 WITH {klog_base_cte()},
 f AS (SELECT DISTINCT file FROM classified WHERE record_class <> 'header'),
 d AS (SELECT DISTINCT file FROM classified
-      WHERE record_class IN ('data_msg','control_msg','txn_state','txn_deletion'))
+      WHERE record_class IN ('data_msg','control_msg','txn_state','txn_deletion',
+                             'offset_commit','group_metadata'))
 SELECT f.file, (d.file IS NOT NULL) AS deep_iteration
 FROM f LEFT JOIN d USING (file)
 """

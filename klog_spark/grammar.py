@@ -76,6 +76,41 @@ TXN_PAYLOAD_PATTERN = re.compile(
     r"txnTimeoutMs=(?P<txn_timeout_ms>[0-9]+)"
 )
 
+# __consumer_offsets records — BEYOND the reference surface (the reference
+# leaves the type a TODO, segment/reader/Segment.java:28). The grammar is
+# the `kafka-dump-log.sh --offsets-decoder` output of Kafka's
+# DumpLogSegments OffsetsMessageParser (offset_commit:: / group_metadata::
+# decorated keys), mirroring the transaction_metadata:: shape the reference
+# DOES parse (SegmentDumpReader.java:97-98).
+OFFSET_COMMIT_RECORD_PATTERN = re.compile(
+    _RECORD_CORE +
+    r" key: offset_commit::group=(?P<group_id>[^,]*),"
+    r"topic=(?P<commit_topic>[^,]*),partition=(?P<commit_partition>[0-9]+) "
+    r"payload: (?P<payload>.*)"
+)
+
+OFFSET_COMMIT_PAYLOAD_PATTERN = re.compile(
+    r"offset=(?P<committed_offset>[0-9]+),"
+    r"leader_epoch=(?P<committed_leader_epoch>Optional\.empty|Optional\[[0-9]+\]),"
+    r"metadata=(?P<commit_metadata>[^,]*),"
+    r"commit_timestamp=(?P<commit_timestamp_ms>[0-9]+),"
+    r"expire_timestamp=(?P<expire_timestamp_ms>None|[0-9]+)"
+)
+
+GROUP_METADATA_RECORD_PATTERN = re.compile(
+    _RECORD_CORE +
+    r" key: group_metadata::group=(?P<group_id>[^ ]*) "
+    r"payload: (?P<payload>.*)"
+)
+
+GROUP_METADATA_PAYLOAD_PATTERN = re.compile(
+    r"protocolType=(?P<protocol_type>[^,]*),"
+    r"generation=(?P<generation>[0-9]+),"
+    r"protocol=(?P<protocol>[^,]*),"
+    r"leader=(?P<leader>[^,]*),"
+    r"members=(?P<num_members>[0-9]+)"
+)
+
 # Producer-snapshot record (SnapshotDumpReader.java:36-45); `lastTimestamp`
 # is the Kafka 3.x addition.
 SNAPSHOT_PATTERN = re.compile(
@@ -109,6 +144,8 @@ RECORD_CLASSES = (
     "txn_state",
     "txn_deletion",
     "producer_state",
+    "offset_commit",    # __consumer_offsets decode (tombstone = is_deletion)
+    "group_metadata",   # __consumer_offsets decode (tombstone = is_deletion)
     "header",
     "corrupt",
 )

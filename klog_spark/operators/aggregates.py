@@ -334,11 +334,18 @@ def topics_sanity(parsed: DataFrame) -> DataFrame:
     )
 
 
+#: Every record-line class (the '| ...' lines klog's deep-iteration sniff
+#: matches, SegmentDumpReader.java:136-163) — including the
+#: __consumer_offsets classes this engine decodes beyond the reference.
+MSG_CLASSES = ("data_msg", "control_msg", "txn_state", "txn_deletion",
+               "offset_commit", "group_metadata")
+
+
 def deep_iteration_files(parsed: DataFrame) -> DataFrame:
     """S4: per-file deep-iteration flag. klog sniffs lines 3-4 for a
     leading '| ' (SegmentDumpReader.java:136-163); at table scale the flag
     is simply 'does the file contain record lines'."""
-    msg_classes = ("data_msg", "control_msg", "txn_state", "txn_deletion")
+    msg_classes = MSG_CLASSES
     files = parsed.filter(F.col("record_class") != "header").select("file").distinct()
     deep = (
         parsed.filter(F.col("record_class").isin(*msg_classes))
@@ -354,7 +361,7 @@ def nest_messages(parsed: DataFrame) -> DataFrame:
     arrays are bounded by batch `count` (small), so no skew concern."""
     from .aggregates import attach_parent_batch  # self-import safe
 
-    msg_classes = ("data_msg", "control_msg", "txn_state", "txn_deletion")
+    msg_classes = MSG_CLASSES
     with_parent = attach_parent_batch(
         parsed.filter(F.col("record_class").isin("batch", *msg_classes))
     )
@@ -368,6 +375,8 @@ def nest_messages(parsed: DataFrame) -> DataFrame:
             "commit", "coordinator_epoch",
             "transactional_id", "txn_producer_id", "txn_producer_epoch",
             "state", "partitions", "is_deletion",
+            "group_id", "commit_topic", "commit_partition", "committed_offset",
+            "generation",
         ).alias("message"),
     )
     nested = msgs.groupBy("batch_doc_id").agg(

@@ -76,7 +76,9 @@ def batch_message_count_check(parsed: DataFrame) -> DataFrame:
     mismatch). Flags batches whose message-line count differs."""
     from .aggregates import attach_parent_batch
 
-    msg_classes = ("data_msg", "control_msg", "txn_state", "txn_deletion")
+    from .aggregates import MSG_CLASSES
+
+    msg_classes = MSG_CLASSES
     with_parent = attach_parent_batch(
         parsed.filter(F.col("record_class").isin("batch", *msg_classes))
     )

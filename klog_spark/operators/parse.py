@@ -50,6 +50,10 @@ _ANCHORED = {
     "control": re.compile(r"^(?:%s)$" % g.CONTROL_RECORD_PATTERN.pattern),
     "txn": re.compile(r"^(?:%s)$" % g.TXN_RECORD_PATTERN.pattern),
     "payload": re.compile(r"^(?:%s)$" % g.TXN_PAYLOAD_PATTERN.pattern),
+    "oc": re.compile(r"^(?:%s)$" % g.OFFSET_COMMIT_RECORD_PATTERN.pattern),
+    "oc_payload": re.compile(r"^(?:%s)$" % g.OFFSET_COMMIT_PAYLOAD_PATTERN.pattern),
+    "gm": re.compile(r"^(?:%s)$" % g.GROUP_METADATA_RECORD_PATTERN.pattern),
+    "gm_payload": re.compile(r"^(?:%s)$" % g.GROUP_METADATA_PAYLOAD_PATTERN.pattern),
     "snapshot": re.compile(r"^(?:%s)$" % g.SNAPSHOT_PATTERN.pattern),
     "hdr2": re.compile(r"^.*starting offset: (?P<starting_offset>[0-9]+)$", re.IGNORECASE),
 }
@@ -70,9 +74,15 @@ _INT_TYPES: dict[str, tuple] = {
     "current_txn_first_offset": (np.int64, pa.int64()), "last_timestamp_ms": (np.int64, pa.int64()),
     "first_sequence": (np.int32, pa.int32()), "offset_delta": (np.int32, pa.int32()),
     "timestamp_ms": (np.int64, pa.int64()),
+    "commit_partition": (np.int32, pa.int32()), "committed_offset": (np.int64, pa.int64()),
+    "committed_leader_epoch": (np.int32, pa.int32()), "commit_timestamp_ms": (np.int64, pa.int64()),
+    "expire_timestamp_ms": (np.int64, pa.int64()), "generation": (np.int32, pa.int32()),
+    "num_members": (np.int32, pa.int32()),
 }
 _BOOL_COLS = ("is_transactional", "is_control", "is_valid", "commit", "is_deletion")
-_STR_COLS = ("compress_codec", "header_keys", "transactional_id", "state", "partitions", "corrupt_reason")
+_STR_COLS = ("compress_codec", "header_keys", "transactional_id", "state", "partitions",
+             "group_id", "commit_topic", "commit_metadata", "protocol_type", "protocol",
+             "leader", "corrupt_reason")
 _UDF_COL_ORDER = [f.name for f in UDF_SCHEMA.fields]
 
 
@@ -171,8 +181,17 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     is_txn_msg = is_msg & lines.str.contains(
         " key: transaction_metadata::transactionalId=", regex=False
     ).to_numpy(dtype=bool)
-    is_ctl_msg = is_msg & ~is_txn_msg & lines.str.contains(" endTxnMarker: ", regex=False).to_numpy(dtype=bool)
-    is_data_msg = is_msg & ~is_txn_msg & ~is_ctl_msg
+    is_oc_msg = is_msg & ~is_txn_msg & lines.str.contains(
+        " key: offset_commit::group=", regex=False
+    ).to_numpy(dtype=bool)
+    is_gm_msg = is_msg & ~is_txn_msg & ~is_oc_msg & lines.str.contains(
+        " key: group_metadata::group=", regex=False
+    ).to_numpy(dtype=bool)
+    is_ctl_msg = (
+        is_msg & ~is_txn_msg & ~is_oc_msg & ~is_gm_msg
+        & lines.str.contains(" endTxnMarker: ", regex=False).to_numpy(dtype=bool)
+    )
+    is_data_msg = is_msg & ~is_txn_msg & ~is_oc_msg & ~is_gm_msg & ~is_ctl_msg
 
     cls[is_hdr1 | is_hdr2] = "header"
 
@@ -255,6 +274,66 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                 cols.set_int(c, chg_ok, pe[c])
             cols.set_str("state", chg_ok, pe["state"].to_numpy(dtype=object))
             cols.set_str("partitions", chg_ok, pe["partitions"].to_numpy(dtype=object))
+
+    # --- __consumer_offsets records (beyond the reference: Segment.java:28
+    # leaves these a TODO; grammar = kafka-dump-log --offsets-decoder) ------
+    def split_payload(good: np.ndarray, payload: pd.Series, pat_key: str, required: str):
+        """(deletion_mask, payload_ok_mask, payload_bad_mask, extracted)."""
+        is_del = (payload == "<DELETE>").to_numpy(dtype=bool)
+        del_mask = good.copy()
+        del_mask[good] = is_del
+        chg_mask = good.copy()
+        chg_mask[good] = ~is_del
+        if (~is_del).any():
+            pext = payload[~is_del].str.extract(_ANCHORED[pat_key])
+            pok = pext[required].notna().to_numpy(dtype=bool)
+            chg_ok = chg_mask.copy()
+            chg_ok[chg_mask] = pok
+            return del_mask, chg_ok, chg_mask & ~chg_ok, pext[pok]
+        return del_mask, np.zeros(n, dtype=bool), np.zeros(n, dtype=bool), None
+
+    if is_oc_msg.any():
+        good, ge = extract(is_oc_msg, "oc", "offset")
+        reason[is_oc_msg & ~good] = "offset_commit_regex_mismatch"
+        base_msg_fields(good, ge)
+        cols.set_str("group_id", good, ge["group_id"].to_numpy(dtype=object))
+        cols.set_str("commit_topic", good, ge["commit_topic"].to_numpy(dtype=object))
+        cols.set_int("commit_partition", good, ge["commit_partition"])
+        del_mask, chg_ok, chg_bad, pe = split_payload(good, ge["payload"], "oc_payload", "committed_offset")
+        cls[del_mask] = "offset_commit"   # tombstone stays in the sink, flagged
+        cls[chg_ok] = "offset_commit"
+        cls[chg_bad] = "corrupt"
+        reason[chg_bad] = "offset_payload_mismatch"
+        cols.set_bool("is_deletion", del_mask, np.ones(int(del_mask.sum()), dtype=bool))
+        if pe is not None and len(pe):
+            cols.set_bool("is_deletion", chg_ok, np.zeros(int(chg_ok.sum()), dtype=bool))
+            cols.set_int("committed_offset", chg_ok, pe["committed_offset"])
+            cols.set_int("commit_timestamp_ms", chg_ok, pe["commit_timestamp_ms"])
+            # Optional.empty -> null, Optional[n] -> n
+            le = pe["committed_leader_epoch"]
+            cols.set_int("committed_leader_epoch", chg_ok,
+                         le.where(le != "Optional.empty").str.replace(r"[^\d]", "", regex=True))
+            et = pe["expire_timestamp_ms"]
+            cols.set_int("expire_timestamp_ms", chg_ok, et.where(et != "None"))
+            cols.set_str("commit_metadata", chg_ok, pe["commit_metadata"].to_numpy(dtype=object))
+
+    if is_gm_msg.any():
+        good, ge = extract(is_gm_msg, "gm", "offset")
+        reason[is_gm_msg & ~good] = "group_metadata_regex_mismatch"
+        base_msg_fields(good, ge)
+        cols.set_str("group_id", good, ge["group_id"].to_numpy(dtype=object))
+        del_mask, chg_ok, chg_bad, pe = split_payload(good, ge["payload"], "gm_payload", "generation")
+        cls[del_mask] = "group_metadata"  # tombstone stays in the sink, flagged
+        cls[chg_ok] = "group_metadata"
+        cls[chg_bad] = "corrupt"
+        reason[chg_bad] = "group_metadata_payload_mismatch"
+        cols.set_bool("is_deletion", del_mask, np.ones(int(del_mask.sum()), dtype=bool))
+        if pe is not None and len(pe):
+            cols.set_bool("is_deletion", chg_ok, np.zeros(int(chg_ok.sum()), dtype=bool))
+            cols.set_int("generation", chg_ok, pe["generation"])
+            cols.set_int("num_members", chg_ok, pe["num_members"])
+            for c in ("protocol_type", "protocol", "leader"):
+                cols.set_str(c, chg_ok, pe[c].to_numpy(dtype=object))
 
     # --- producer-snapshot lines --------------------------------------------
     if is_snap.any():

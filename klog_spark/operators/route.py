@@ -27,11 +27,14 @@ from ..schemas import (
     CONTROL_MSG_COLS,
     CORRUPT_COLS,
     DATA_MSG_COLS,
+    GROUP_METADATA_COLS,
+    GROUP_OFFSET_COLS,
     PRODUCER_STATE_COLS,
     TXN_STATE_COLS,
 )
 
-SINKS = ("batch", "data_msg", "control_msg", "txn_state", "txn_deletion", "producer_state", "header", "corrupt")
+SINKS = ("batch", "data_msg", "control_msg", "txn_state", "txn_deletion",
+         "producer_state", "offset_commit", "group_metadata", "header", "corrupt")
 
 SINK_PROJECTIONS = {
     "batch": BATCH_COLS,
@@ -40,6 +43,8 @@ SINK_PROJECTIONS = {
     "txn_state": TXN_STATE_COLS,
     "txn_deletion": DATA_MSG_COLS + ["transactional_id", "is_deletion"],
     "producer_state": PRODUCER_STATE_COLS,
+    "offset_commit": GROUP_OFFSET_COLS,
+    "group_metadata": GROUP_METADATA_COLS,
     "corrupt": CORRUPT_COLS,
 }
 

@@ -92,6 +92,54 @@ def classify_and_parse(line: str, doc_id: str, file: str, line_no: int, source: 
                 txn_timeout_ms=int(pm.group("txn_timeout_ms")), is_deletion=False,
             )
             return ParsedLine(doc_id, file, line_no, source, "txn_state", base)
+        if " key: offset_commit::group=" in line:
+            m = g.OFFSET_COMMIT_RECORD_PATTERN.fullmatch(line)
+            if not m:
+                return ParsedLine(doc_id, file, line_no, source, "corrupt",
+                                  {"reason": "offset_commit_regex_mismatch"})
+            base = _msg_fields(m)
+            base.update(group_id=m.group("group_id"), commit_topic=m.group("commit_topic"),
+                        commit_partition=int(m.group("commit_partition")))
+            payload = m.group("payload")
+            if payload == "<DELETE>":
+                base["is_deletion"] = True
+                return ParsedLine(doc_id, file, line_no, source, "offset_commit", base)
+            pm = g.OFFSET_COMMIT_PAYLOAD_PATTERN.fullmatch(payload)
+            if not pm:
+                return ParsedLine(doc_id, file, line_no, source, "corrupt",
+                                  {"reason": "offset_payload_mismatch"})
+            le = pm.group("committed_leader_epoch")
+            et = pm.group("expire_timestamp_ms")
+            base.update(
+                committed_offset=int(pm.group("committed_offset")),
+                committed_leader_epoch=None if le == "Optional.empty" else int(le[9:-1]),
+                commit_metadata=pm.group("commit_metadata"),
+                commit_timestamp_ms=int(pm.group("commit_timestamp_ms")),
+                expire_timestamp_ms=None if et == "None" else int(et),
+                is_deletion=False,
+            )
+            return ParsedLine(doc_id, file, line_no, source, "offset_commit", base)
+        if " key: group_metadata::group=" in line:
+            m = g.GROUP_METADATA_RECORD_PATTERN.fullmatch(line)
+            if not m:
+                return ParsedLine(doc_id, file, line_no, source, "corrupt",
+                                  {"reason": "group_metadata_regex_mismatch"})
+            base = _msg_fields(m)
+            base["group_id"] = m.group("group_id")
+            payload = m.group("payload")
+            if payload == "<DELETE>":
+                base["is_deletion"] = True
+                return ParsedLine(doc_id, file, line_no, source, "group_metadata", base)
+            pm = g.GROUP_METADATA_PAYLOAD_PATTERN.fullmatch(payload)
+            if not pm:
+                return ParsedLine(doc_id, file, line_no, source, "corrupt",
+                                  {"reason": "group_metadata_payload_mismatch"})
+            base.update(
+                protocol_type=pm.group("protocol_type"), generation=int(pm.group("generation")),
+                protocol=pm.group("protocol"), leader=pm.group("leader"),
+                num_members=int(pm.group("num_members")), is_deletion=False,
+            )
+            return ParsedLine(doc_id, file, line_no, source, "group_metadata", base)
         if " endTxnMarker: " in line:
             m = g.CONTROL_RECORD_PATTERN.fullmatch(line)
             if not m:

@@ -91,6 +91,24 @@ PARSED_FIELDS: list[tuple[str, object]] = [
     ("first_sequence", IntegerType()),
     ("offset_delta", IntegerType()),
     ("timestamp_ms", LongType()),
+    # __consumer_offsets decode — BEYOND the reference surface: the
+    # reference classifies the segment type but drops the payload
+    # (segment/reader/Segment.java:28 "// TODO support this"). Grammar
+    # follows kafka-dump-log.sh --offsets-decoder output: offset-commit and
+    # group-metadata messages; tombstones carry is_deletion like txn ones.
+    ("group_id", StringType()),
+    ("commit_topic", StringType()),
+    ("commit_partition", IntegerType()),
+    ("committed_offset", LongType()),
+    ("committed_leader_epoch", IntegerType()),  # NULL for Optional.empty
+    ("commit_metadata", StringType()),
+    ("commit_timestamp_ms", LongType()),
+    ("expire_timestamp_ms", LongType()),        # NULL for None
+    ("protocol_type", StringType()),
+    ("generation", IntegerType()),
+    ("protocol", StringType()),
+    ("leader", StringType()),
+    ("num_members", IntegerType()),
 ]
 
 PARSED_SCHEMA = StructType([StructField(n, t) for n, t in PARSED_FIELDS])
@@ -119,6 +137,17 @@ PRODUCER_STATE_COLS = [
     "doc_id", "file", "line_no", "producer_id", "producer_epoch",
     "coordinator_epoch", "current_txn_first_offset", "last_timestamp_ms",
     "first_sequence", "last_sequence", "last_offset", "offset_delta", "timestamp_ms",
+]
+
+GROUP_OFFSET_COLS = DATA_MSG_COLS + [
+    "group_id", "commit_topic", "commit_partition", "committed_offset",
+    "committed_leader_epoch", "commit_metadata", "commit_timestamp_ms",
+    "expire_timestamp_ms", "is_deletion",
+]
+
+GROUP_METADATA_COLS = DATA_MSG_COLS + [
+    "group_id", "protocol_type", "generation", "protocol", "leader",
+    "num_members", "is_deletion",
 ]
 
 CORRUPT_COLS = ["doc_id", "file", "line_no", "source", "corrupt_reason"]
