@@ -59,6 +59,11 @@ def main() -> None:
         # table, then every downstream query is a partition-pruned columnar
         # read (Pipeline.stage). klog_parse_route measures the raw parse;
         # klog_routed_write is the one full parse+write the suite pays.
+        # parse kernel in isolation: full materialization into a noop sink —
+        # no shuffle, no collect, so kernel-speed commits show up here
+        # undiluted by the groupBy/driver noise in klog_parse_route
+        timed("klog_parse_only",
+              lambda: parse_sequences(seq).write.format("noop").mode("overwrite").save())
         timed("klog_parse_route", lambda: parse_sequences(seq).groupBy("record_class").count().collect())
         from klog_spark.operators.route import write_routed
 

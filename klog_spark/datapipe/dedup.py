@@ -245,48 +245,78 @@ def minhash_dedup(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     return est.select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
-def near_dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", 2014): every node links its LARGER neighbors to its current
+    minimum. Input/output: undirected edge set as (a, b) rows."""
+    adj = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    mins = adj.groupBy("a").agg(F.min("b").alias("mn")).select(
+        "a", F.least("mn", "a").alias("m")
+    )
+    return (
+        adj.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: each node links all its SMALLER neighbors (and
+    itself) to the minimum among them — the step that flattens chains the
+    large-star round leaves behind."""
+    oriented = (
+        edges.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    rest = (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    own = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return rest.unionByName(own).distinct()
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs: every doc appearing in a
     pair gets ``cluster_id`` = the min doc_id reachable through the pair
     graph — the step that turns pairwise dedup output into dedup groups.
 
-    Min-label propagation: each round every node takes the minimum label
-    among itself and its neighbors; the loop stops on a distributed
-    convergence count (nothing is collected). Near-dup clusters are
-    tiny-diameter (copies of a common original), so 2-3 rounds converge;
-    ``localCheckpoint`` truncates the per-round lineage so the plan stays
-    flat. At billion-edge scale swap the body for large-star/small-star —
-    the loop/convergence shape is identical.
+    Alternating large-star/small-star (Kiveris et al. 2014): converges in
+    O(log^2 n) rounds regardless of component DIAMETER — unlike min-label
+    propagation, whose round count is the longest chain (a billion-edge
+    graph with a long path never finishes). Each round is two key-grouped
+    aggregates + joins, no driver-side state; the convergence probe is a
+    distributed ``isEmpty`` on the except-diff, and ``localCheckpoint``
+    keeps the per-round plan flat. Tested against a chain 10x longer than
+    label propagation's old round budget (tests/test_datapipe.py).
     """
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-        .unionByName(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .filter(F.col("id1") != F.col("id2"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["b"] == labels["id"])
-            .groupBy("a").agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
-            .select(
-                labels["id"],
-                F.least(labels["label"], F.coalesce(F.col("nmin"), labels["label"])).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        if new_edges.exceptAll(edges).isEmpty() and edges.exceptAll(new_edges).isEmpty():
+            edges = new_edges
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+        edges = new_edges
+    # converged state is a disjoint union of stars centered at each
+    # component's min id: (a=member, b=root) plus the roots themselves
+    members = edges.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+    roots = (
+        edges.select(F.col("b").alias("doc_id")).distinct()
+        .join(members.select("doc_id").distinct(), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return members.unionByName(roots)
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -105,27 +105,73 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 7,
     return emb.select(id_col, vec_col).mapInPandas(bucketize, schema)
 
 
+def kmeans_centroids(sample: np.ndarray, k: int, n_iter: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd k-means on a BOUNDED driver-side sample — the
+    IVF trainer. kmeans++ seeding from a seeded RNG; empty cells keep their
+    previous centroid (deterministic, no resampling jitter). The sample (a
+    few thousand rows) is the memory bound; the corpus never leaves the
+    executors."""
+    n = len(sample)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    idx = [int(rng.integers(n))]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((sample - sample[idx[-1]]) ** 2).sum(axis=1))
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        idx.append(int(rng.choice(n, p=probs)))
+    cents = sample[idx].astype(np.float64).copy()
+    for _ in range(n_iter):
+        # argmin squared-L2 via |c|^2 - 2 v.c (one GEMM, no (n,k,dim) blowup)
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (sample @ cents.T)
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            pts = sample[assign == j]
+            if len(pts):
+                cents[j] = pts.mean(axis=0)
+    return cents
+
+
 def ivf_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
              n_centroids: int = 16, n_probe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             train: str = "first_n", sample_size: int = 4096,
+             kmeans_iters: int = 10, seed: int = 7) -> DataFrame:
     """IVF-Flat ANN: coarse-quantize the corpus into ``n_centroids`` cells,
     probe the ``n_probe`` nearest cells per query, exact cosine within the
     probed cells. The inverted-file twin of lsh_topk: recall degrades
     gracefully with n_probe instead of bucket-collision luck.
 
-    Centroids are the first ``n_centroids`` vectors by id — a deterministic
-    seeded init that any engine can reproduce (at scale swap in sampled
-    k-means; the probe/assign machinery is unchanged). Assignment is one
-    GEMM per Arrow batch (argmin squared-L2 via |c|^2 - 2 v.c); the probe
-    join broadcasts the tiny query-cell table, so the only corpus-wide cost
-    is the narrow assignment map.
+    ``train`` picks the coarse quantizer:
+    * ``'first_n'`` — the first ``n_centroids`` vectors by id. Trivially
+      engine-replicable (the DuckDB gate oracle recomputes it), but cell
+      balance is pathological when the leading ids are clustered.
+    * ``'kmeans'`` — Lloyd on a deterministic bounded sample (the first
+      ``sample_size`` vectors by id; the cap, not the corpus, bounds driver
+      memory). This is the scale path: balanced cells bound every probe's
+      candidate-scan cost (tests/test_datapipe.py proves the balance win on
+      a skewed fixture).
+
+    Assignment is one GEMM per Arrow batch (argmin squared-L2 via
+    |c|^2 - 2 v.c); the probe join broadcasts the tiny query-cell table, so
+    the only corpus-wide cost is the narrow assignment map.
     """
-    cents = [
-        (r[id_col], np.asarray(r[vec_col], dtype=np.float64))
-        for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    ]
-    cids = np.array([c[0] for c in cents], dtype=np.int64)
-    cmat = np.stack([c[1] for c in cents])  # (nc, dim)
+    if train == "kmeans":
+        sample = np.array(
+            [r[vec_col] for r in
+             emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()],
+            dtype=np.float64,
+        )
+        cmat = kmeans_centroids(sample, n_centroids, n_iter=kmeans_iters, seed=seed)
+        cids = np.arange(len(cmat), dtype=np.int64)
+    else:
+        cents = [
+            (r[id_col], np.asarray(r[vec_col], dtype=np.float64))
+            for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+        ]
+        cids = np.array([c[0] for c in cents], dtype=np.int64)
+        cmat = np.stack([c[1] for c in cents])  # (nc, dim)
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast((cids, cmat))
 

@@ -281,6 +281,69 @@ def test_near_dup_clusters_transitive_chain(spark):
     assert got == {(10, 10), (20, 10), (30, 10)}  # 40 has no pair -> no row
 
 
+def test_ivf_kmeans_training_fixes_cell_balance(spark):
+    """On a fixture where the leading ids all sit in ONE cluster, first-N
+    centroid init collapses whole far clusters into single cells (the IVF
+    scaling pathology: one probe scans a quarter of the corpus). Sampled
+    k-means training must (a) keep cells balanced and (b) still hit high
+    recall vs brute force at the same probe budget."""
+    import numpy as np
+
+    from klog_spark.datapipe.similarity import brute_force_topk, ivf_topk, kmeans_centroids
+
+    rng = np.random.default_rng(3)
+    # four directional clusters (none at the origin: cosine ground truth
+    # must respect the cluster structure)
+    centers = np.zeros((4, 16))
+    for i in range(4):
+        centers[i, i] = 40.0
+    corpus = np.concatenate([c + rng.standard_normal((200, 16)) for c in centers])
+    # ids in cluster order: ids 0..199 are cluster 0 -> first-16 init is
+    # 16 centroids inside one cluster
+    n = len(corpus)
+
+    def max_cell(cmat):
+        d = (cmat * cmat).sum(axis=1)[None, :] - 2.0 * (corpus @ cmat.T)
+        return int(np.bincount(np.argmin(d, axis=1), minlength=len(cmat)).max())
+
+    first_n = corpus[:16]
+    trained = kmeans_centroids(corpus[:1024], 16, seed=7)
+    assert max_cell(first_n) >= 200        # >= one whole far cluster collapsed
+    assert max_cell(trained) <= 120        # balanced: ~n/16 = 50 per cell
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]]) for i in range(n)],
+        "vec_id: long, embedding: array<double>",
+    )
+    queries = [(int(i), [float(x) for x in corpus[i]]) for i in (0, 250, 450, 650)]
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=3,
+                      train="kmeans", sample_size=1024)
+    es, as_ = {}, {}
+    for r in exact.collect():
+        es.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in approx.collect():
+        as_.setdefault(r["qid"], set()).add(r["vec_id"])
+    recall = sum(len(es[q] & as_.get(q, set())) / len(es[q]) for q in es) / len(es)
+    assert recall >= 0.9, f"ivf-kmeans recall {recall}"
+
+
+def test_near_dup_clusters_long_chain(spark):
+    """A 200-node path graph: min-label propagation would need 199 rounds;
+    the large-star/small-star alternation must converge inside the default
+    max_iter (O(log^2 n) rounds). Also covers two components at once and
+    reversed/self/duplicate pair noise."""
+    from klog_spark.datapipe.dedup import near_dup_clusters
+
+    chain = [(i, i + 1) for i in range(200, 400)]          # component min=200
+    other = [(1000, 1001), (1001, 1000), (1002, 1001), (1002, 1002)]
+    pairs = spark.createDataFrame(chain + other, "id1: long, id2: long")
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert {d for d in got if d < 1000} == set(range(200, 401))
+    assert all(got[d] == 200 for d in range(200, 401))
+    assert got[1000] == got[1001] == got[1002] == 1000
+
+
 def test_exact_dedup_keep_best_policy(spark):
     """Keeper = highest score, ties to lowest id; singletons keep themselves."""
     from pyspark.sql import functions as F
