@@ -96,6 +96,15 @@ def apply_validity_routing(parsed: DataFrame) -> DataFrame:
 #: local runs from paying the scale plan's fixed cost.
 PRE_SHUFFLE_MIN_PARALLELISM = 4
 
+#: In single-JVM local mode the shuffle write/read runs through one
+#: process's page cache and syscall path; past ~16 concurrent tasks it
+#: serializes and the pre-shuffle costs more than the writer fan-out saves
+#: (tools/bench_write_variants.py at local[32], sf0.1: direct best 4.9s vs
+#: pre-shuffled best 12.8s; at local[8] pre-shuffle wins 2.5x). A real
+#: multi-executor cluster shuffles across JVMs/network and never hits this
+#: ceiling, so the guard applies to local masters only.
+PRE_SHUFFLE_LOCAL_MAX_PARALLELISM = 16
+
 
 def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
                  write_tasks: int | None = None,
@@ -110,15 +119,19 @@ def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
     scales at 0.81 on the same input and the file count is ~write_tasks.
 
     ``pre_shuffle``: None (default) chooses adaptively — pre-shuffle when
-    ``defaultParallelism >= PRE_SHUFFLE_MIN_PARALLELISM``, else write
-    directly (the shuffle is a measured net loss at trivial parallelism).
-    Pass True/False to pin the plan (scaling comparisons must pin it so
-    both parallelism levels run the same plan).
+    ``defaultParallelism >= PRE_SHUFFLE_MIN_PARALLELISM``, except in
+    single-JVM local mode above ``PRE_SHUFFLE_LOCAL_MAX_PARALLELISM``
+    threads, where the in-process shuffle is a measured net loss (see both
+    constants' notes). Pass True/False to pin the plan (scaling comparisons
+    must pin it so both parallelism levels run the same plan).
     """
     spark = parsed.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     if pre_shuffle is None:
-        pre_shuffle = parallelism >= PRE_SHUFFLE_MIN_PARALLELISM
+        is_local = spark.sparkContext.master.startswith("local")
+        pre_shuffle = parallelism >= PRE_SHUFFLE_MIN_PARALLELISM and not (
+            is_local and parallelism > PRE_SHUFFLE_LOCAL_MAX_PARALLELISM
+        )
     if pre_shuffle:
         n = write_tasks or parallelism
         buckets = max(1, n // len(SINKS))
