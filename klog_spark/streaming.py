@@ -130,3 +130,77 @@ def session_marker_totals_stream(stream: DataFrame) -> DataFrame:
     return ctl.groupBy("file").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def latest_group_offsets_stream(stream: DataFrame) -> DataFrame:
+    """Stateful streaming compaction of __consumer_offsets commits — the
+    live lag-monitor feed (batch twin: operators/group_offsets.py).
+
+    State per (group, topic, partition) is the newest offset-commit seen so
+    far, where "newest" is the segment order key (file, line_no) carried IN
+    the state: a micro-batch that happens to deliver older files late can
+    never overwrite newer state, so the stream converges to exactly the
+    batch compaction result regardless of file arrival order. Tombstones
+    update state like any record (``is_deletion`` true) — downstream drops
+    them, mirroring Kafka's compaction. State per key is one tiny tuple; key
+    cardinality = live group-partitions, not commit volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    oc = routed_stream(stream).filter(F.col("record_class") == "offset_commit").select(
+        "group_id", "commit_topic", "commit_partition",
+        "file", "line_no", "committed_offset", "is_deletion",
+    )
+    out_schema = StructType(
+        [
+            StructField("group_id", StringType()),
+            StructField("commit_topic", StringType()),
+            StructField("commit_partition", IntegerType()),
+            StructField("file", StringType()),
+            StructField("line_no", IntegerType()),
+            StructField("committed_offset", LongType()),
+            StructField("is_deletion", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("line_no", IntegerType()),
+            StructField("committed_offset", LongType()),
+            StructField("is_deletion", BooleanType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        cur = state.get if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            last = pdf.sort_values(["file", "line_no"]).iloc[-1]
+            cand = (
+                str(last["file"]), int(last["line_no"]),
+                None if pd.isna(last["committed_offset"]) else int(last["committed_offset"]),
+                bool(last["is_deletion"]),
+            )
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                cur = cand
+        state.update(cur)
+        yield pd.DataFrame(
+            {
+                "group_id": [key[0]],
+                "commit_topic": [key[1]],
+                "commit_partition": [key[2]],
+                "file": [cur[0]],
+                "line_no": [cur[1]],
+                "committed_offset": [cur[2]],
+                "is_deletion": [cur[3]],
+            }
+        )
+
+    return oc.groupBy("group_id", "commit_topic", "commit_partition").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -87,3 +87,36 @@ def test_stateful_session_marker_totals(spark, fixture_dir, stream_input, tmp_pa
         .collect()
     }
     assert got == want
+
+
+def test_stateful_latest_group_offsets_matches_batch(spark, fixture_dir, stream_input, tmp_path):
+    """Streaming compaction of offset commits: the final state per
+    (group, topic, partition) must equal the batch latest_group_offsets,
+    with micro-batches delivering files in arbitrary order (the state's
+    (file, line_no) ordering key absorbs late arrivals)."""
+    from klog_spark.operators.group_offsets import latest_group_offsets
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.streaming import latest_group_offsets_stream, read_sequence_stream
+
+    q = (
+        latest_group_offsets_stream(read_sequence_stream(spark, stream_input, max_files_per_trigger=2))
+        .writeStream.format("memory").queryName("lgo_test").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # take the newest emission per key by the carried (file, line_no) order
+    final = {}
+    for r in spark.sql("select * from lgo_test").collect():
+        key = (r["group_id"], r["commit_topic"], r["commit_partition"])
+        cand = (r["file"], r["line_no"], r["committed_offset"], r["is_deletion"])
+        if key not in final or (cand[0], cand[1]) > (final[key][0], final[key][1]):
+            final[key] = cand
+    got = {k: v[2] for k, v in final.items() if not v[3]}
+
+    batch = parse_sequences(spark.read.parquet(f"{fixture_dir}/sequences.parquet"))
+    want = {
+        (r["group_id"], r["commit_topic"], r["commit_partition"]): r["committed_offset"]
+        for r in latest_group_offsets(batch).collect()
+    }
+    assert got == want and got
