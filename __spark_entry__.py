@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_group_offsets": eq.q_sink_group_offsets,
         "klog_group_lag": eq.q_group_lag,
         "klog_group_metadata": eq.q_group_metadata,
+        "klog_group_commit_rates": eq.q_group_commit_rates,
         # klog parse -> route -> aggregate surface (SURVEY.md §2)
         "klog_route_counts": eq.q_route_counts,            # S1-S6, X1-X5 routing
         "klog_sink_batches": eq.q_sink_batches,            # S9 batch sink + token equality
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "klog_group_offsets": eq.SQL_SINK_GROUP_OFFSETS,
         "klog_group_lag": eq.SQL_GROUP_LAG,
         "klog_group_metadata": eq.SQL_GROUP_METADATA,
+        "klog_group_commit_rates": eq.SQL_GROUP_COMMIT_RATES,
         "klog_route_counts": eq.SQL_ROUTE_COUNTS,
         "klog_sink_batches": eq.SQL_SINK_BATCHES,
         "klog_sink_control": eq.SQL_SINK_CONTROL,

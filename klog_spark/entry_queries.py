@@ -533,6 +533,53 @@ WHERE rn = 1 AND NOT is_deletion
 """
 
 
+def q_group_commit_rates(spark, sf_dir):
+    """Consumer-throughput analytics: per (group, hour) commit count,
+    partitions touched, and total offset advance (sum of per-key deltas in
+    segment order). Scale shape: per-key lag window (key cardinality =
+    group x partition), then a plain grouped aggregate."""
+    from pyspark.sql import Window
+
+    oc = load_parsed(spark, sf_dir).filter(
+        (F.col("record_class") == "offset_commit") & ~F.col("is_deletion")
+    )
+    w = Window.partitionBy("group_id", "commit_topic", "commit_partition").orderBy(
+        "file", "line_no"
+    )
+    adv = F.col("committed_offset") - F.lag("committed_offset").over(w)
+    return (
+        oc.withColumn("adv", F.coalesce(adv, F.lit(0)))
+        .withColumn(
+            "window_start_ms",
+            F.col("commit_timestamp_ms") - F.col("commit_timestamp_ms") % F.lit(3600000),
+        )
+        .groupBy("group_id", "window_start_ms")
+        .agg(
+            F.count("*").alias("n_commits"),
+            F.countDistinct("commit_partition").alias("partitions_touched"),
+            F.sum("adv").alias("total_advance"),
+        )
+    )
+
+
+SQL_GROUP_COMMIT_RATES = f"""
+WITH {klog_base_cte()},
+deltas AS (
+  SELECT group_id, commit_partition, commit_timestamp_ms,
+         committed_offset - LAG(committed_offset) OVER (
+           PARTITION BY group_id, commit_topic, commit_partition
+           ORDER BY file, line_no) AS adv
+  FROM oc_msgs WHERE NOT is_deletion
+)
+SELECT group_id,
+       commit_timestamp_ms - commit_timestamp_ms % 3600000 AS window_start_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_commits,
+       CAST(COUNT(DISTINCT commit_partition) AS BIGINT) AS partitions_touched,
+       CAST(SUM(COALESCE(adv, 0)) AS BIGINT) AS total_advance
+FROM deltas GROUP BY group_id, window_start_ms
+"""
+
+
 def q_txn_stats(spark, sf_dir):
     from .operators.aggregates import txn_stats
 

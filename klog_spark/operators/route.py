@@ -105,6 +105,27 @@ PRE_SHUFFLE_MIN_PARALLELISM = 4
 #: ceiling, so the guard applies to local masters only.
 PRE_SHUFFLE_LOCAL_MAX_PARALLELISM = 16
 
+#: Rough structural shares of each sink class in a klog dump, used ONLY to
+#: allocate pre-shuffle buckets proportionally (correctness never depends
+#: on them). A flat buckets-per-class split starves the write of
+#: parallelism: with one bucket per class the largest class (~40% of rows)
+#: lands in a single task and the whole write waits on it (measured 0.38
+#: scaling efficiency at 2 -> 8 cores). Weighted buckets put ~1/write_tasks
+#: of the rows behind every shuffle key, so the write balances while total
+#: file count stays ~write_tasks.
+CLASS_WEIGHTS = {
+    "batch": 0.33,
+    "data_msg": 0.40,
+    "control_msg": 0.05,
+    "txn_state": 0.06,
+    "txn_deletion": 0.01,
+    "producer_state": 0.05,
+    "offset_commit": 0.04,
+    "group_metadata": 0.01,
+    "header": 0.01,
+    "corrupt": 0.04,
+}
+
 
 def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
                  write_tasks: int | None = None,
@@ -134,9 +155,17 @@ def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
         )
     if pre_shuffle:
         n = write_tasks or parallelism
-        buckets = max(1, n // len(SINKS))
+        # proportional bucket allocation: class c gets ~weight_c * n buckets
+        # (floor 1), so every (record_class, bucket) shuffle key carries
+        # ~1/n of the rows and no single class serializes the write
+        buckets = {c: max(1, round(CLASS_WEIGHTS.get(c, 0.02) * n)) for c in SINKS}
+        bucket_map = F.create_map(
+            *[lit for c in SINKS for lit in (F.lit(c), F.lit(buckets[c]))]
+        )
         df = parsed.repartition(
-            n, F.col("record_class"), F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
+            n,
+            F.col("record_class"),
+            F.pmod(F.xxhash64("doc_id"), bucket_map[F.col("record_class")]),
         )
     else:
         df = parsed

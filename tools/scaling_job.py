@@ -54,6 +54,16 @@ def main() -> None:
             # (the compute kernel: exactly ONE parse, no sink write)
             stats = aggregates.txn_stats(parse_sequences(df)).collect()[0]
             per_epoch = -1
+        elif mode == "write":
+            # write path in isolation: scan -> parse -> route -> pre-shuffled
+            # partitioned sink write (the round-2 write-scaling experiment,
+            # pinned as a repeatable mode)
+            from klog_spark.operators.route import write_routed
+
+            write_routed(apply_validity_routing(parse_sequences(df)),
+                         f"{out}/routed", pre_shuffle=True)
+            stats = {"num_committed": -1, "num_aborted": -1}
+            per_epoch = -1
         else:
             from klog_spark.operators.route import write_routed
 
