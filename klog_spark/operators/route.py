@@ -154,7 +154,10 @@ def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
             is_local and parallelism > PRE_SHUFFLE_LOCAL_MAX_PARALLELISM
         )
     if pre_shuffle:
-        n = write_tasks or parallelism
+        # 3 tasks per core: one skewed (class, bucket) key then costs ~1/3
+        # of a core-slot instead of stalling a whole level — the scheduler
+        # load-balances the remainder. File count stays ~write_tasks.
+        n = write_tasks or 3 * parallelism
         # proportional bucket allocation: class c gets ~weight_c * n buckets
         # (floor 1), so every (record_class, bucket) shuffle key carries
         # ~1/n of the rows and no single class serializes the write
