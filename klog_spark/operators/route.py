@@ -157,22 +157,27 @@ def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
         # 3 tasks per core: one skewed (class, bucket) key then costs ~1/3
         # of a core-slot instead of stalling a whole level — the scheduler
         # load-balances the remainder. File count stays ~write_tasks.
-        n = write_tasks or 3 * parallelism
-        # proportional bucket allocation: class c gets ~weight_c * n buckets
-        # (floor 1), so every (record_class, bucket) shuffle key carries
-        # ~1/n of the rows and no single class serializes the write
-        buckets = {c: max(1, round(CLASS_WEIGHTS.get(c, 0.02) * n)) for c in SINKS}
-        bucket_map = F.create_map(
-            *[lit for c in SINKS for lit in (F.lit(c), F.lit(buckets[c]))]
-        )
-        df = parsed.repartition(
-            n,
-            F.col("record_class"),
-            F.pmod(F.xxhash64("doc_id"), bucket_map[F.col("record_class")]),
-        )
+        df = pre_shuffle_for_write(parsed, write_tasks or 3 * parallelism)
     else:
         df = parsed
     df.write.mode(mode).partitionBy("record_class").parquet(out_dir)
+
+
+def pre_shuffle_for_write(parsed: DataFrame, write_tasks: int) -> DataFrame:
+    """Repartition onto (record_class, weighted bucket) ahead of the
+    partitioned sink write. Proportional bucket allocation: class c gets
+    ~CLASS_WEIGHTS[c] * write_tasks buckets (floor 1), so every shuffle key
+    carries ~1/write_tasks of the rows and no single class serializes the
+    write, while total file count stays ~write_tasks."""
+    buckets = {c: max(1, round(CLASS_WEIGHTS.get(c, 0.02) * write_tasks)) for c in SINKS}
+    bucket_map = F.create_map(
+        *[lit for c in SINKS for lit in (F.lit(c), F.lit(buckets[c]))]
+    )
+    return parsed.repartition(
+        write_tasks,
+        F.col("record_class"),
+        F.pmod(F.xxhash64("doc_id"), bucket_map[F.col("record_class")]),
+    )
 
 
 def read_sink(spark, out_dir: str, record_class: str) -> DataFrame:

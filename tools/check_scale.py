@@ -56,6 +56,14 @@ def main(sf: float = 0.1) -> int:
             "SELECT doc_id, file, line_no, base_offset, prev_last_offset "
             "FROM g WHERE prev_last_offset IS NOT NULL AND base_offset <> prev_last_offset + 1",
         ),
+        "group_lag": (
+            eq.q_group_lag,
+            eq.SQL_GROUP_LAG.replace(eq.klog_base_cte(), eq.klog_base_cte(fx)),
+        ),
+        "group_commit_rates": (
+            eq.q_group_commit_rates,
+            eq.SQL_GROUP_COMMIT_RATES.replace(eq.klog_base_cte(), eq.klog_base_cte(fx)),
+        ),
     }
 
     failures = []

@@ -92,12 +92,19 @@ def main() -> None:
 
     buf = _io.StringIO()
     wdf = apply_validity_routing(parse_sequences(seq))
+    from klog_spark.operators.route import pre_shuffle_for_write
+
     n = spark.sparkContext.defaultParallelism
-    shuffled = wdf.repartition(n, F.col("record_class"), F.pmod(F.xxhash64("doc_id"), F.lit(max(1, n // 8))))
+    shuffled = pre_shuffle_for_write(wdf, 3 * n)  # the write_routed scheme itself
     with _ctx.redirect_stdout(buf):
         shuffled.explain("simple")
     assert "Exchange hashpartitioning(record_class" in buf.getvalue(), \
-        "routed write must pre-shuffle on (record_class, bucket)"
+        "routed write must pre-shuffle on (record_class, weighted bucket)"
+
+    # 8b. group-offsets lag: the log-end side must broadcast (tiny per-
+    #     partition aggregate joined into the compacted commit view)
+    gl = eq.q_group_lag(spark, SF_DIR)
+    sections.append(("group lag (broadcast log-end)", plan_of(gl), ["BroadcastHashJoin"]))
 
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
