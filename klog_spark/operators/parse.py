@@ -58,6 +58,70 @@ _ANCHORED = {
     "hdr2": re.compile(r"^.*starting offset: (?P<starting_offset>[0-9]+)$", re.IGNORECASE),
 }
 
+import pyarrow.compute as pc  # noqa: E402
+
+
+def _unnamed_to_noncapturing(pattern: str) -> str:
+    """Turn unnamed capturing groups into non-capturing ones — Arrow's
+    extract_regex requires every group to be named, and only the NAMED
+    groups are consumed downstream (pandas .str.extract maps them to
+    columns by name), so the rewrite is extraction-equivalent."""
+    out = []
+    i, in_class = 0, False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and not pattern.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+#: Grammars allowed on Arrow's C++ extract_regex kernel. Measured on
+#: sf0.01 single-thread: moving the vectorized classify tests + doc_id
+#: extraction to Arrow kernels took the parse 53k -> 81k rows/s, but
+#: running the WIDE grammars (batch/data/control/txn/snapshot, ~20 named
+#: groups each) through RE2's capture engine was a net LOSS (68k) — RE2
+#: falls off its DFA onto the bitstate captures path there, and its
+#: non-participating-optional-group result ('' rather than null) differs
+#: from pandas for snapshot's optional lastTimestamp. So only the small
+#: fixed-shape grammars (no optional groups) are eligible.
+_RE2_ELIGIBLE = {"oc", "gm"}
+
+
+def _re2_compatible() -> dict[str, str]:
+    """Eligible grammar keys whose anchored pattern compiles under Arrow's
+    RE2; any incompatible pattern silently keeps the pandas path. The same
+    pattern STRINGS already run under RE2 in the DuckDB oracles, so
+    engine/oracle regex semantics stay aligned by construction."""
+    ok: dict[str, str] = {}
+    probe = pa.array(["x"], type=pa.string())
+    for key, rx in _ANCHORED.items():
+        if key not in _RE2_ELIGIBLE:
+            continue
+        pat = _unnamed_to_noncapturing(rx.pattern)
+        try:
+            pc.extract_regex(probe, pattern=pat)
+            ok[key] = pat
+        except pa.lib.ArrowException:
+            pass
+    return ok
+
+
+_RE2_KEYS = _re2_compatible()
+_DOC_ID_PATTERN = r"^(?P<file>.*):(?P<line_no>[0-9]+)$"
+
 _INT_TYPES: dict[str, tuple] = {
     "base_offset": (np.int64, pa.int64()), "last_offset": (np.int64, pa.int64()),
     "count": (np.int32, pa.int32()), "base_sequence": (np.int32, pa.int32()),
@@ -154,17 +218,26 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     source = batch.column(batch.schema.get_field_index("source"))
     lines_list, n_tok = _decode_tokens(batch.column(batch.schema.get_field_index("tokens")))
     lines = pd.Series(lines_list, dtype=object)
+    arr = pa.array(lines_list, type=pa.string())  # one UTF-8 encode, reused
+    # by every C++ classify/extract kernel below
 
-    doc_s = pd.Series(doc_id.to_pandas(), dtype=object)
-    loc = doc_s.str.extract(r"^(?P<file>.*):(?P<line_no>[0-9]+)$")
-    file_arr = loc["file"].to_numpy(dtype=object)
-    line_no = pd.to_numeric(loc["line_no"], errors="coerce").fillna(0).to_numpy(dtype=np.int32)
+    doc_ext = pc.extract_regex(pc.cast(doc_id, pa.string()), pattern=_DOC_ID_PATTERN)
+    file_arr = doc_ext.field(0).to_numpy(zero_copy_only=False)
+    line_no = pc.fill_null(
+        pc.cast(doc_ext.field(1), pa.int32()), 0
+    ).to_numpy(zero_copy_only=False)
 
     cls = np.full(n, "corrupt", dtype=object)
     reason = np.full(n, None, dtype=object)
     cols = _Cols(n)
 
-    is_hdr1 = lines.str.startswith("Dumping ").to_numpy(dtype=bool)
+    def _starts(prefix: str) -> np.ndarray:
+        return pc.starts_with(arr, pattern=prefix).to_numpy(zero_copy_only=False)
+
+    def _has(sub: str) -> np.ndarray:
+        return pc.match_substring(arr, pattern=sub).to_numpy(zero_copy_only=False)
+
+    is_hdr1 = _starts("Dumping ")
     # hdr2 can only be a line-2 row: run the regex on those rows only (one
     # or two per file, vs every row — ~25% of the kernel before this)
     is_hdr2 = np.zeros(n, dtype=bool)
@@ -175,29 +248,35 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     # (SegmentDumpReader.java:167-189): a line-2 record line whose text ends
     # in 'starting offset: <n>' is a header, never a batch/record/snapshot.
     not_hdr = ~(is_hdr1 | is_hdr2)
-    is_batch = not_hdr & lines.str.startswith("baseOffset: ").to_numpy(dtype=bool)
-    is_msg = not_hdr & lines.str.startswith("| ").to_numpy(dtype=bool)
-    is_snap = not_hdr & lines.str.startswith("producerId: ").to_numpy(dtype=bool)
-    is_txn_msg = is_msg & lines.str.contains(
-        " key: transaction_metadata::transactionalId=", regex=False
-    ).to_numpy(dtype=bool)
-    is_oc_msg = is_msg & ~is_txn_msg & lines.str.contains(
-        " key: offset_commit::group=", regex=False
-    ).to_numpy(dtype=bool)
-    is_gm_msg = is_msg & ~is_txn_msg & ~is_oc_msg & lines.str.contains(
-        " key: group_metadata::group=", regex=False
-    ).to_numpy(dtype=bool)
-    is_ctl_msg = (
-        is_msg & ~is_txn_msg & ~is_oc_msg & ~is_gm_msg
-        & lines.str.contains(" endTxnMarker: ", regex=False).to_numpy(dtype=bool)
-    )
+    is_batch = not_hdr & _starts("baseOffset: ")
+    is_msg = not_hdr & _starts("| ")
+    is_snap = not_hdr & _starts("producerId: ")
+    is_txn_msg = is_msg & _has(" key: transaction_metadata::transactionalId=")
+    is_oc_msg = is_msg & ~is_txn_msg & _has(" key: offset_commit::group=")
+    is_gm_msg = is_msg & ~is_txn_msg & ~is_oc_msg & _has(" key: group_metadata::group=")
+    is_ctl_msg = is_msg & ~is_txn_msg & ~is_oc_msg & ~is_gm_msg & _has(" endTxnMarker: ")
     is_data_msg = is_msg & ~is_txn_msg & ~is_oc_msg & ~is_gm_msg & ~is_ctl_msg
 
     cls[is_hdr1 | is_hdr2] = "header"
 
     def extract(mask: np.ndarray, key: str, required: str):
         """Run the anchored extract over masked rows; returns (good_mask,
-        extracted-DataFrame-of-good-rows)."""
+        extracted-DataFrame-of-good-rows). RE2-compatible grammars run on
+        Arrow's C++ extract_regex; others keep the pandas re.search loop.
+        A row is 'good' iff the anchored pattern matches — `required` is a
+        non-optional group in every grammar, so the two paths agree."""
+        if key in _RE2_KEYS:
+            sub = arr.take(pa.array(np.flatnonzero(mask)))
+            res = pc.extract_regex(sub, pattern=_RE2_KEYS[key])
+            ok = pc.is_valid(res).to_numpy(zero_copy_only=False)
+            good = mask.copy()
+            good[mask] = ok
+            matched = res.take(pa.array(np.flatnonzero(ok)))
+            ext = pd.DataFrame(
+                {f.name: matched.field(i).to_pandas()
+                 for i, f in enumerate(matched.type)}
+            )
+            return good, ext
         sub = lines[mask]
         ext = sub.str.extract(_ANCHORED[key])
         ok = ext[required].notna().to_numpy(dtype=bool)
