@@ -98,6 +98,23 @@ class Pipeline:
     def sink_counts(self) -> DataFrame:
         return sink_counts(self.parsed())
 
+    def group_offsets(self) -> DataFrame:
+        """Compacted latest offset-commit per (group, topic, partition) —
+        the __consumer_offsets surface the reference leaves a TODO."""
+        from .operators.group_offsets import latest_group_offsets
+
+        return latest_group_offsets(self.parsed())
+
+    def group_lag(self) -> DataFrame:
+        from .operators.group_offsets import group_lag
+
+        return group_lag(self.parsed())
+
+    def group_metadata(self) -> DataFrame:
+        from .operators.group_offsets import latest_group_metadata
+
+        return latest_group_metadata(self.parsed())
+
     def enriched_batches(self) -> DataFrame:
         df = self.parsed().filter(F.col("record_class") == "batch")
         df = enrich.enrich_with_topic_meta(df, self.topic_meta())

@@ -135,6 +135,16 @@ def test_malformed_payload_routes_corrupt(spark):
     assert r["corrupt_reason"] == "offset_payload_mismatch"
 
 
+def test_pipeline_staged_group_lag_matches_direct(spark, fixture_dir, tmp_path):
+    """Pipeline API: group lag over a parse-once staging table (partition-
+    pruned, parse-free) must equal the direct-parse path."""
+    from klog_spark.pipeline import Pipeline
+
+    direct = {tuple(r) for r in Pipeline(spark, fixture_dir).group_lag().collect()}
+    staged = Pipeline(spark, fixture_dir).stage(str(tmp_path / "staging"))
+    assert {tuple(r) for r in staged.group_lag().collect()} == direct and direct
+
+
 def test_spark_matches_python_oracle_on_fixture(parsed_df, oracle_parsed):
     """Field-level parity on the seeded fixture's consumer-offsets lines."""
     got = {
