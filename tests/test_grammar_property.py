@@ -60,6 +60,51 @@ def snapshot_lines(draw):
     )
 
 
+gname = st.text(alphabet="abcdef-_.0123456789", max_size=10)
+
+
+@st.composite
+def offset_commit_lines(draw):
+    grp, topic = draw(gname), draw(gname)
+    kind = draw(st.sampled_from(["commit", "tombstone", "bad"]))
+    if kind == "tombstone":
+        payload = "<DELETE>"
+    elif kind == "bad":  # digit-free: can never match the payload grammar
+        payload = draw(st.text(alphabet="abc=,x ", max_size=15))
+    else:
+        le = draw(st.sampled_from(["Optional.empty", f"Optional[{draw(st.integers(0, 2**31 - 1))}]"]))
+        exp = draw(st.sampled_from(["None", str(draw(nat))]))
+        payload = (
+            f"offset={draw(nat)},leader_epoch={le},metadata={draw(st.text(alphabet='abcz-0123456789', max_size=8))},"
+            f"commit_timestamp={draw(nat)},expire_timestamp={exp}"
+        )
+    return (
+        f"| offset: {draw(nat)} CreateTime: {draw(nat)} keySize: {draw(i32)} valueSize: {draw(i32)} "
+        f"sequence: {draw(i32)} headerKeys: [{draw(hdr)}] "
+        f"key: offset_commit::group={grp},topic={topic},partition={draw(st.integers(0, 2**31 - 1))} "
+        f"payload: {payload}"
+    )
+
+
+@st.composite
+def group_metadata_lines(draw):
+    kind = draw(st.sampled_from(["meta", "tombstone", "bad"]))
+    if kind == "tombstone":
+        payload = "<DELETE>"
+    elif kind == "bad":
+        payload = draw(st.text(alphabet="abc=, x", max_size=15))
+    else:
+        payload = (
+            f"protocolType={draw(gname)},generation={draw(st.integers(0, 2**31 - 1))},"
+            f"protocol={draw(gname)},leader={draw(gname)},members={draw(st.integers(0, 2**31 - 1))}"
+        )
+    return (
+        f"| offset: {draw(nat)} CreateTime: {draw(nat)} keySize: {draw(i32)} valueSize: {draw(i32)} "
+        f"sequence: {draw(i32)} headerKeys: [{draw(hdr)}] "
+        f"key: group_metadata::group={draw(gname)} payload: {payload}"
+    )
+
+
 def _parse_lines(lines):
     docs = [f"f.log.dump.txt:{i + 3}" for i in range(len(lines))]
     src = "/tmp/kafka-logs/t-0/00000000000000000000.log"
@@ -78,8 +123,9 @@ def _parse_lines(lines):
     return out, want
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=60, deadline=None)
 @given(st.lists(st.one_of(batch_lines(), data_lines(), snapshot_lines(),
+                          offset_commit_lines(), group_metadata_lines(),
                           st.text(alphabet="abc|: 0123456789", max_size=40)), min_size=1, max_size=20))
 def test_parse_matches_oracle_on_random_lines(lines):
     out, want = _parse_lines(lines)
