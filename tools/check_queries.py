@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -50,7 +51,19 @@ def main(names=None):
     import __spark_entry__ as entry
     from klog_spark.session import get_spark
 
-    spark = get_spark(app_name="check-queries", master="local[8]", shuffle_partitions=8)
+    # KLOG_CHECK_TZ: run the whole gate under a hostile session timezone to
+    # prove every query is TZ-independent (the driver's harness makes no TZ
+    # promise; VERDICT r3 #1/#2). Default stays UTC.
+    extra = {}
+    tz = os.environ.get("KLOG_CHECK_TZ")
+    if tz:
+        extra["spark.sql.session.timeZone"] = tz
+        print(f"  [session timeZone pinned to {tz}]")
+    spark = get_spark(
+        app_name="check-queries", master="local[8]", shuffle_partitions=8, extra_conf=extra
+    )
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
