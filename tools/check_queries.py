@@ -68,8 +68,10 @@ def main(names=None):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
-    qs = entry.queries()
-    oss = entry.oracle_sql()
+    # driver-gate registry (50 rows) + the locally-verified extras: the
+    # local gate always checks the FULL surface
+    qs = {**entry.queries(), **entry.extra_queries()}
+    oss = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
     selected = names or list(qs)
     failures = []
     for name in selected:
