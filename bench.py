@@ -5,6 +5,13 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 The klog pipeline queries run over the seeded fixture at the matching scale
 (generated/cached under data/klog/); the datapipe queries run over the
 driver-provided tables in $SPARK_GRAFT_SF_DIR.
+
+Noise protocol (VERDICT r3 #4): this VM's wall-clock varies up to 3x run to
+run, so the suite executes $KLOG_BENCH_RUNS times (default 3) in one session
+and reports the per-query MINIMUM (the least-contended observation of the
+same fixed plan). The JSON also carries every run's total and the max/min
+spread so a round-over-round delta can be judged against the measured noise
+floor instead of a single sample.
 """
 
 from __future__ import annotations
@@ -44,6 +51,8 @@ def main() -> None:
     n_rows = seq.count()
     parse_sequences(seq).filter("record_class='batch'").count()  # warm python workers
 
+    n_runs = max(1, int(os.environ.get("KLOG_BENCH_RUNS", "3")))
+    all_runs: list[dict[str, float]] = []
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
@@ -55,76 +64,89 @@ def main() -> None:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out_dir = tempfile.mkdtemp(prefix="klog-bench-", dir=shm)
     try:
-        # the product execution shape: parse ONCE into the routed staging
-        # table, then every downstream query is a partition-pruned columnar
-        # read (Pipeline.stage). klog_parse_route measures the raw parse;
-        # klog_routed_write is the one full parse+write the suite pays.
-        # parse kernel in isolation: full materialization into a noop sink —
-        # no shuffle, no collect, so kernel-speed commits show up here
-        # undiluted by the groupBy/driver noise in klog_parse_route
-        timed("klog_parse_only",
-              lambda: parse_sequences(seq).write.format("noop").mode("overwrite").save())
-        timed("klog_parse_route", lambda: parse_sequences(seq).groupBy("record_class").count().collect())
         from klog_spark.operators.route import write_routed
 
-        # warm the write path (parquet writer + committer class loading —
+        # warm the write path ONCE (parquet writer + committer class loading —
         # measured ~2-5s of pure first-write JVM cost at sf0.1): a tiny
         # throwaway write so klog_routed_write times the engine, not classloading
         write_routed(apply_validity_routing(parse_sequences(seq.limit(500))),
                      f"{out_dir}/warmup", write_tasks=2)
-        # write_tasks=16: this VM's syscall/IPC concurrency ceiling (see
-        # BENCH/BASELINE.md); on a real cluster leave the default
-        timed(
-            "klog_routed_write",
-            lambda: write_routed(apply_validity_routing(parse_sequences(seq)),
-                                 f"{out_dir}/routed", write_tasks=16),
-        )
-        staged = spark.read.parquet(f"{out_dir}/routed")
-        # per-query class pruning: the partition filter must hit the scan
-        # BEFORE routed_as_parsed rewrites record_class into an expression
-        txn_view = routed_as_parsed(staged, classes=["batch", "control_msg"])
-        timed("klog_txn_stats", lambda: aggregates.txn_stats(txn_view).collect())
-        timed("klog_batches_per_epoch",
-              lambda: aggregates.batches_per_epoch(routed_as_parsed(staged, classes=["batch"])).count())
         meta = spark.read.parquet(f"{fx}/producer_meta.parquet")
-        timed(
-            "klog_enrich_team",
-            lambda: enrich_with_producer_meta(
-                staged.filter(
-                    (F.col("record_class") == "batch") & (F.col("segment_type") == "data")
-                    & (F.col("producer_id") != -1)
-                ),
-                meta,
-            ).groupBy("team").agg(F.count("*").alias("n"), F.countDistinct("producer_id").alias("p")).collect(),
-        )
-        timed("klog_state_machine",
-              lambda: checks.state_machine_violations(routed_as_parsed(staged, classes=["txn_state"])).count())
-        timed("dedup_exact", lambda: eq.q_dedup_exact(spark, sf_dir).count())
-        # throughput path (xxhash64); the java32 oracle variant is gate-verified
-        timed(
-            "dedup_minhash_lsh",
-            lambda: minhash_dedup(_dup_corpus(spark, sf_dir), num_hashes=64, bands=16,
-                                  threshold=0.5, hash_fn="xxhash64").count(),
-        )
-        timed("dedup_embedding_lsh", lambda: eq.q_dedup_embedding_lsh(spark, sf_dir).count())
-        timed("ann_cosine_topk", lambda: eq.q_ann_topk(spark, sf_dir).count())
-        timed("text_quality", lambda: eq.q_text_quality(spark, sf_dir).count())
-        timed("events_daily", lambda: eq.q_events_daily(spark, sf_dir).count())
+
+        for run in range(n_runs):
+            timings = {}
+            # the product execution shape: parse ONCE into the routed staging
+            # table, then every downstream query is a partition-pruned columnar
+            # read (Pipeline.stage). klog_parse_route measures the raw parse;
+            # klog_routed_write is the one full parse+write the suite pays.
+            # parse kernel in isolation: full materialization into a noop sink —
+            # no shuffle, no collect, so kernel-speed commits show up here
+            # undiluted by the groupBy/driver noise in klog_parse_route
+            timed("klog_parse_only",
+                  lambda: parse_sequences(seq).write.format("noop").mode("overwrite").save())
+            timed("klog_parse_route", lambda: parse_sequences(seq).groupBy("record_class").count().collect())
+            # write_tasks=16: this VM's syscall/IPC concurrency ceiling (see
+            # BENCH/BASELINE.md); on a real cluster leave the default
+            routed_dir = f"{out_dir}/routed{run}"
+            timed(
+                "klog_routed_write",
+                lambda: write_routed(apply_validity_routing(parse_sequences(seq)),
+                                     routed_dir, write_tasks=16),
+            )
+            staged = spark.read.parquet(routed_dir)
+            # per-query class pruning: the partition filter must hit the scan
+            # BEFORE routed_as_parsed rewrites record_class into an expression
+            txn_view = routed_as_parsed(staged, classes=["batch", "control_msg"])
+            timed("klog_txn_stats", lambda: aggregates.txn_stats(txn_view).collect())
+            timed("klog_batches_per_epoch",
+                  lambda: aggregates.batches_per_epoch(routed_as_parsed(staged, classes=["batch"])).count())
+            timed(
+                "klog_enrich_team",
+                lambda: enrich_with_producer_meta(
+                    staged.filter(
+                        (F.col("record_class") == "batch") & (F.col("segment_type") == "data")
+                        & (F.col("producer_id") != -1)
+                    ),
+                    meta,
+                ).groupBy("team").agg(F.count("*").alias("n"), F.countDistinct("producer_id").alias("p")).collect(),
+            )
+            timed("klog_state_machine",
+                  lambda: checks.state_machine_violations(routed_as_parsed(staged, classes=["txn_state"])).count())
+            timed("dedup_exact", lambda: eq.q_dedup_exact(spark, sf_dir).count())
+            # throughput path (xxhash64); the java32 oracle variant is gate-verified
+            timed(
+                "dedup_minhash_lsh",
+                lambda: minhash_dedup(_dup_corpus(spark, sf_dir), num_hashes=64, bands=16,
+                                      threshold=0.5, hash_fn="xxhash64").count(),
+            )
+            timed("dedup_embedding_lsh", lambda: eq.q_dedup_embedding_lsh(spark, sf_dir).count())
+            timed("ann_cosine_topk", lambda: eq.q_ann_topk(spark, sf_dir).count())
+            timed("text_quality", lambda: eq.q_text_quality(spark, sf_dir).count())
+            timed("events_daily", lambda: eq.q_events_daily(spark, sf_dir).count())
+            all_runs.append(timings)
+            shutil.rmtree(routed_dir, ignore_errors=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
+    # best-of-N per query: the minimum is the least-noise observation of the
+    # same deterministic plan on an anti-scaling, contention-prone VM
+    best = {q: min(r[q] for r in all_runs) for q in all_runs[0]}
+    run_totals = [round(sum(r.values()), 3) for r in all_runs]
+    total = round(sum(best.values()), 3)
     # three logical passes over the table (class counts, staged write,
     # txn-stat) — the parse itself runs twice, staged reads are parse-free
-    pipeline_s = timings["klog_parse_route"] + timings["klog_txn_stats"] + timings["klog_routed_write"]
+    pipeline_s = best["klog_parse_route"] + best["klog_txn_stats"] + best["klog_routed_write"]
     print(json.dumps({
-        "metric": "headline query suite wall time (parse/route/aggregate + datapipe)",
+        "metric": "headline query suite wall time (parse/route/aggregate + datapipe; best-of-N)",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": best,
         "sf": sf,
         "klog_rows": n_rows,
         "klog_pipeline_rows_per_sec": round(n_rows * 3 / pipeline_s, 1),
+        "runs": n_runs,
+        "run_totals": run_totals,
+        "noise_spread": round(max(run_totals) / min(run_totals), 3),
     }))
 
 
