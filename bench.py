@@ -85,13 +85,15 @@ def main() -> None:
             timed("klog_parse_only",
                   lambda: parse_sequences(seq).write.format("noop").mode("overwrite").save())
             timed("klog_parse_route", lambda: parse_sequences(seq).groupBy("record_class").count().collect())
-            # write_tasks=16: this VM's syscall/IPC concurrency ceiling (see
-            # BENCH/BASELINE.md); on a real cluster leave the default
+            # adaptive layout: direct write in local[32] (the in-process
+            # shuffle anti-scales past ~16 threads — measured A/B: direct
+            # 10.3-10.7s vs repartition(16) 13.7-22.1s vs pre-shuffle
+            # 11.8-22.6s at sf0.1), weighted pre-shuffle on real clusters
             routed_dir = f"{out_dir}/routed{run}"
             timed(
                 "klog_routed_write",
                 lambda: write_routed(apply_validity_routing(parse_sequences(seq)),
-                                     routed_dir, write_tasks=16),
+                                     routed_dir),
             )
             staged = spark.read.parquet(routed_dir)
             # per-query class pruning: the partition filter must hit the scan

@@ -111,13 +111,14 @@ def run_incremental(spark: SparkSession, input_path: str, out_dir: str,
 
     parsed = apply_validity_routing(parse_sequences(df))
     out_path = str(Path(out_dir) / "routed")
-    # pre-shuffle onto (record_class, bucket): one sink per write task — see
-    # route.write_routed for the measured scaling/file-count rationale
+    # weighted (record_class, bucket) pre-shuffle — the same scheme as
+    # route.write_routed (run_id is constant per call, so it adds no keys)
+    from .operators.route import pre_shuffle_for_write
+
     n = spark.sparkContext.defaultParallelism
-    buckets = max(1, n // 8)
-    parsed.withColumn("run_id", F.lit(run_id)).repartition(
-        n, F.col("record_class"), F.pmod(F.xxhash64("doc_id"), F.lit(buckets))
-    ).write.mode("append").partitionBy("record_class", "run_id").parquet(out_path)
+    pre_shuffle_for_write(parsed.withColumn("run_id", F.lit(run_id)), 3 * n).write.mode(
+        "append"
+    ).partitionBy("record_class", "run_id").parquet(out_path)
 
     routed = spark.read.parquet(out_path).filter(F.col("run_id") == run_id)
     per_file = {

@@ -127,6 +127,44 @@ CLASS_WEIGHTS = {
 }
 
 
+def resolve_pre_shuffle(spark, pre_shuffle: bool | None) -> tuple[bool, int]:
+    """Adaptive pre-shuffle decision shared by the batch and streaming sinks:
+    pre-shuffle when ``defaultParallelism >= PRE_SHUFFLE_MIN_PARALLELISM``,
+    except in single-JVM local mode above
+    ``PRE_SHUFFLE_LOCAL_MAX_PARALLELISM`` threads (see both constants'
+    notes). Returns (decision, defaultParallelism)."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if pre_shuffle is None:
+        is_local = spark.sparkContext.master.startswith("local")
+        pre_shuffle = parallelism >= PRE_SHUFFLE_MIN_PARALLELISM and not (
+            is_local and parallelism > PRE_SHUFFLE_LOCAL_MAX_PARALLELISM
+        )
+    return pre_shuffle, parallelism
+
+
+def prepare_routed_write(parsed: DataFrame, write_tasks: int | None = None,
+                         pre_shuffle: bool | None = None) -> DataFrame:
+    """Partition layout ahead of a per-class partitioned write — the shared
+    core of the batch ``write_routed`` and the streaming ``start_routed_sink``.
+
+    Pre-shuffled: (record_class, weighted bucket) keys, ~write_tasks files.
+    Direct with explicit ``write_tasks``: a plain round-robin
+    ``repartition(write_tasks)`` — it keeps upstream parse parallelism (a
+    shuffle boundary, unlike coalesce) and caps the writer-task count, at the
+    cost of up to write_tasks x classes-present files (ADVICE r3: the
+    argument used to be silently ignored on this path).
+    """
+    ps, parallelism = resolve_pre_shuffle(parsed.sparkSession, pre_shuffle)
+    if ps:
+        # 3 tasks per core: one skewed (class, bucket) key then costs ~1/3
+        # of a core-slot instead of stalling a whole level — the scheduler
+        # load-balances the remainder. File count stays ~write_tasks.
+        return pre_shuffle_for_write(parsed, write_tasks or 3 * parallelism)
+    if write_tasks is not None:
+        return parsed.repartition(write_tasks)
+    return parsed
+
+
 def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
                  write_tasks: int | None = None,
                  pre_shuffle: bool | None = None) -> None:
@@ -139,27 +177,11 @@ def write_routed(parsed: DataFrame, out_dir: str, mode: str = "overwrite",
     classic small-files problem at 100 TB). With the pre-shuffle the write
     scales at 0.81 on the same input and the file count is ~write_tasks.
 
-    ``pre_shuffle``: None (default) chooses adaptively — pre-shuffle when
-    ``defaultParallelism >= PRE_SHUFFLE_MIN_PARALLELISM``, except in
-    single-JVM local mode above ``PRE_SHUFFLE_LOCAL_MAX_PARALLELISM``
-    threads, where the in-process shuffle is a measured net loss (see both
-    constants' notes). Pass True/False to pin the plan (scaling comparisons
-    must pin it so both parallelism levels run the same plan).
+    ``pre_shuffle``: None (default) chooses adaptively (resolve_pre_shuffle).
+    Pass True/False to pin the plan (scaling comparisons must pin it so both
+    parallelism levels run the same plan).
     """
-    spark = parsed.sparkSession
-    parallelism = spark.sparkContext.defaultParallelism
-    if pre_shuffle is None:
-        is_local = spark.sparkContext.master.startswith("local")
-        pre_shuffle = parallelism >= PRE_SHUFFLE_MIN_PARALLELISM and not (
-            is_local and parallelism > PRE_SHUFFLE_LOCAL_MAX_PARALLELISM
-        )
-    if pre_shuffle:
-        # 3 tasks per core: one skewed (class, bucket) key then costs ~1/3
-        # of a core-slot instead of stalling a whole level — the scheduler
-        # load-balances the remainder. File count stays ~write_tasks.
-        df = pre_shuffle_for_write(parsed, write_tasks or 3 * parallelism)
-    else:
-        df = parsed
+    df = prepare_routed_write(parsed, write_tasks, pre_shuffle)
     df.write.mode(mode).partitionBy("record_class").parquet(out_dir)
 
 
