@@ -295,6 +295,13 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     distributed ``isEmpty`` on the except-diff, and ``localCheckpoint``
     keeps the per-round plan flat. Tested against a chain 10x longer than
     label propagation's old round budget (tests/test_datapipe.py).
+
+    Contract note (changed in round 3): self-pairs (id1 == id2) are dropped
+    before edge-building, so a doc appearing ONLY in self-pairs is absent
+    from the output — it is not a near-duplicate of anything. LSH/banding
+    candidate generators never emit self-pairs; a caller feeding a raw pair
+    list who wants such docs as singleton clusters should union them back
+    with ``cluster_id = doc_id``.
     """
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))

@@ -1543,12 +1543,20 @@ WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= {threshold}
 SQL_DEDUP_EMBEDDING_LSH = _sql_dedup_embedding_lsh()
 
 
+def _ann_query_set(emb):
+    """The 5-vector probe set shared by the ANN gate queries — a bounded
+    driver collect (fixed 5 rows, never corpus-scaled)."""
+    return [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+
+
 def q_ann_topk(spark, sf_dir):
     from .datapipe.similarity import brute_force_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.filter(F.col("vec_id") < 5).collect()]
-    return brute_force_topk(emb, queries, k=10).select("qid", "vec_id", "rank")
+    return brute_force_topk(emb, _ann_query_set(emb), k=10).select("qid", "vec_id", "rank")
 
 
 SQL_ANN_TOPK = """
@@ -1573,8 +1581,9 @@ def q_ann_lsh(spark, sf_dir):
     from .datapipe.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.filter(F.col("vec_id") < 5).collect()]
-    return lsh_topk(emb, queries, k=10, n_planes=8, seed=7, multiprobe=1).select("qid", "vec_id", "rank")
+    return lsh_topk(emb, _ann_query_set(emb), k=10, n_planes=8, seed=7, multiprobe=1).select(
+        "qid", "vec_id", "rank"
+    )
 
 
 def _sql_ann_lsh(k: int = 10, n_planes: int = 8, seed: int = 7) -> str:
@@ -1616,8 +1625,9 @@ def q_ann_ivf(spark, sf_dir):
     from .datapipe.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.filter(F.col("vec_id") < 5).collect()]
-    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=2).select("qid", "vec_id", "rank")
+    return ivf_topk(emb, _ann_query_set(emb), k=10, n_centroids=16, n_probe=2).select(
+        "qid", "vec_id", "rank"
+    )
 
 
 def _sql_ann_ivf(k: int = 10, n_centroids: int = 16, n_probe: int = 2) -> str:
