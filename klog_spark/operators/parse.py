@@ -203,7 +203,11 @@ def _decode_tokens(col) -> tuple:
         col = col.combine_chunks()
     la = col
     offsets = la.offsets.to_numpy()
-    values = la.values.to_numpy(zero_copy_only=False).astype(np.uint32, copy=False)
+    # int32 view is fine: the raw little-endian bytes are what utf-32-le
+    # decodes, and signedness never changes them (an astype(uint32) here
+    # measured 4.6-11.8s per sf0.1 batch — a 535 MB elementwise cast for
+    # nothing)
+    values = la.values.to_numpy(zero_copy_only=False)
     start = offsets[0]
     text = values[start:offsets[-1]].tobytes().decode("utf-32-le")
     rel = offsets - start
