@@ -75,12 +75,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": eq.q_ann_lsh,
         "ann_ivf_topk": eq.q_ann_ivf,                      # inverted-file scale path
         "knn_label_eval": eq.q_knn_label_eval,             # embedding-quality eval
-        "doc_fingerprint": eq.q_doc_fingerprint,
         "corpus_clean": eq.q_corpus_clean,                 # quality->dedup->keep-best composed
-        "text_quality": eq.q_text_quality,
         "text_lang_id": eq.q_text_lang_id,
         "source_quality": eq.q_source_quality,             # per-source corpus report
-        "token_freq_topk": eq.q_token_freq_topk,           # vocab stats on tokens
+        "corpus_pack": eq.q_corpus_pack,                   # token-budget sequence packing
+        "contamination_check": eq.q_contamination_check,   # train->test shingle leakage scan
+        "doc_repetition": eq.q_doc_repetition,             # Gopher-style repetition metrics
         "seq_len_percentiles": eq.q_seq_len_percentiles,   # exact p50/p90/p99
         "multimodal_features": eq.q_multimodal_features,
         # telemetry/event analytics (engine-robustness fixed in round 4:
@@ -110,6 +110,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_eval": eq.q_lang_id_eval,                       # eval view of text_lang_id row
         "seq_len_histogram": eq.q_seq_len_hist,                  # subsumed by seq_len_percentiles row
         "tpch_pricing_summary": eq.q_tpch_pricing_summary,       # agg shape covered by events_daily row
+        "doc_fingerprint": eq.q_doc_fingerprint,                 # javahash fold; test_checks.py + minhash rows
+        "text_quality": eq.q_text_quality,                       # per-doc detail of source_quality row
+        "token_freq_topk": eq.q_token_freq_topk,                 # vocab top-k; seq stats keep the driver row
     }
 
 
@@ -159,12 +162,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": eq.SQL_ANN_LSH,
         "ann_ivf_topk": eq.SQL_ANN_IVF,
         "knn_label_eval": eq.SQL_KNN_LABEL_EVAL,
-        "doc_fingerprint": eq.SQL_DOC_FINGERPRINT,
         "corpus_clean": eq.SQL_CORPUS_CLEAN,
-        "text_quality": eq.SQL_TEXT_QUALITY,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
         "source_quality": eq.SQL_SOURCE_QUALITY,
-        "token_freq_topk": eq.SQL_TOKEN_FREQ_TOPK,
+        "corpus_pack": eq.SQL_CORPUS_PACK,
+        "contamination_check": eq.SQL_CONTAMINATION_CHECK,
+        "doc_repetition": eq.SQL_DOC_REPETITION,
         "seq_len_percentiles": eq.SQL_SEQ_LEN_PERCENTILES,
         "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
         "events_daily": eq.SQL_EVENTS_DAILY,
@@ -190,4 +193,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "lang_id_eval": eq.SQL_LANG_ID_EVAL,
         "seq_len_histogram": eq.SQL_SEQ_LEN_HIST,
         "tpch_pricing_summary": eq.SQL_TPCH_PRICING_SUMMARY,
+        "doc_fingerprint": eq.SQL_DOC_FINGERPRINT,
+        "text_quality": eq.SQL_TEXT_QUALITY,
+        "token_freq_topk": eq.SQL_TOKEN_FREQ_TOPK,
     }

@@ -445,3 +445,42 @@ def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95, dim: int = 
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def contamination_report(docs: DataFrame, split: DataFrame, n: int = 5,
+                         min_common: int = 3, max_df: int | None = None,
+                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Train->test contamination scan: for every TEST document, count the
+    distinct word n-gram shingles it shares with the TRAIN side and how many
+    train documents it touches; report docs at or above ``min_common``.
+
+    This is the eval-integrity check a training pipeline runs before
+    publishing a benchmark number: exact duplicates are already forced into
+    one split by ``leakage_safe_split`` (content-hash split), so what this
+    catches is near-copies and boilerplate-bridged overlaps that cross the
+    split boundary.
+
+    Scale: one shingle equi-join (test side x train side), with hot
+    boilerplate shingles capped via ``max_df`` exactly like
+    ``shingle_candidates`` — never an all-pairs comparison; the aggregate is
+    map-side combinable on (test doc, shingle)/(test doc, train doc).
+    """
+    sh = _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, n).join(
+        split, "doc_id"
+    )
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle").drop("_df")
+    test_sh = sh.filter(F.col("split") == "test").select(F.col("doc_id").alias("test_doc"), "shingle")
+    train_sh = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("test_doc")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_common)
+    )

@@ -87,3 +87,38 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col(id_col).alias("doc_id"),
         java_string_hash(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def repetition_scores(docs: DataFrame, n: int = 2, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition metrics: the fraction of word
+    n-grams (and words) that are repeats of an earlier occurrence — the
+    classic low-quality/boilerplate signal (high repetition => drop).
+
+    All JVM higher-order-function expressions: no explode, no shuffle — a
+    pure map over documents, trivially 100 TB-shaped. Ratios are exact
+    integer->double divisions (deterministic across engines)."""
+    words = _WORDS(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    n_words = F.size(words)
+    n_grams = F.when(F.size(words) >= n, F.size(words) - (n - 1)).otherwise(F.lit(0))
+    dup_words = n_words - F.size(F.array_distinct(words))
+    # when size >= n the grams array has exactly size-(n-1) = n_grams slots;
+    # shorter docs produce one partial-gram slot, masked by the n_grams=0 arm
+    dup_grams = F.when(n_grams > 0, n_grams - F.size(F.array_distinct(grams))).otherwise(F.lit(0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        dup_words.cast("long").alias("n_dup_words"),
+        F.when(n_words > 0, dup_words.cast("double") / n_words).otherwise(F.lit(0.0)).alias(
+            "dup_word_frac"
+        ),
+        n_grams.cast("long").alias("n_grams"),
+        dup_grams.cast("long").alias("n_dup_grams"),
+        F.when(n_grams > 0, dup_grams.cast("double") / n_grams).otherwise(F.lit(0.0)).alias(
+            "dup_gram_frac"
+        ),
+    )

@@ -2241,3 +2241,117 @@ def q_batches_per_epoch_salted(spark, sf_dir):
     from .operators.skew import salted_batches_per_epoch
 
     return salted_batches_per_epoch(load_parsed_raw(spark, sf_dir), salt_buckets=16)
+
+
+# --- round-4 training-pipeline extensions: packing / contamination / repetition
+
+
+def q_corpus_pack(spark, sf_dir):
+    """Token-budget sequence packing over the tokenized table (the trainer
+    batch-construction step): per-pack rollup with exact fill ratios. Packs
+    are prefix-sum assignments within the input shard (file) — no global
+    sort, shard-independent at 10^12 sequences."""
+    from .tokens import pack_stats
+
+    fx = klog_fixture(sf_dir)
+    seq = spark.read.parquet(f"{fx}/sequences.parquet")
+    return pack_stats(seq, budget=4096)
+
+
+SQL_CORPUS_PACK = f"""
+WITH s AS (
+  SELECT regexp_extract(doc_id, '^(.*):([0-9]+)$', 1) AS file,
+         TRY_CAST(regexp_extract(doc_id, '^(.*):([0-9]+)$', 2) AS INT) AS line_no,
+         length(line) AS n_tok
+  FROM read_parquet('{FX}/sequences_text.parquet')
+),
+p AS (
+  SELECT file, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY file ORDER BY line_no
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM s
+)
+SELECT file, CAST(FLOOR(prior / 4096) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_seqs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) / 4096.0 AS fill_ratio
+FROM p GROUP BY file, pack_id
+"""
+
+
+def q_contamination_check(spark, sf_dir):
+    """Train->test contamination scan over the dup corpus: test docs sharing
+    >= 3 distinct 5-gram shingles with any train doc. Exact copies are
+    split-safe by construction (leakage_safe_split keys on content digest);
+    what this surfaces is near-copies crossing the split boundary."""
+    from .datapipe.dedup import contamination_report, leakage_safe_split
+
+    corpus = _dup_corpus(spark, sf_dir)
+    split = leakage_safe_split(corpus, train_pct=80)
+    return contamination_report(corpus, split, n=5, min_common=3, max_df=50)
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH {SQL_DUP_CORPUS},
+spl AS (
+  SELECT doc_id,
+         CASE WHEN {_sql_java_u32('sha256(text)')} % 100 < 80 THEN 'train' ELSE 'test' END AS split
+  FROM corpus
+),
+w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM corpus
+),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct([
+           array_to_string(list_slice(words, i + 1, i + 5), ' ')
+           for i in range(0, greatest(len(words) - 5, 0) + 1)
+         ])) AS shingle
+  FROM w
+),
+shj AS (SELECT sh0.doc_id, sh0.shingle, spl.split FROM sh0 JOIN spl USING (doc_id)),
+capped AS (
+  SELECT * FROM shj
+  WHERE shingle IN (SELECT shingle FROM shj GROUP BY shingle HAVING COUNT(*) <= 50)
+),
+hits AS (
+  SELECT t.doc_id AS test_doc, t.shingle, tr.doc_id AS train_doc
+  FROM capped t JOIN capped tr USING (shingle)
+  WHERE t.split = 'test' AND tr.split = 'train'
+)
+SELECT test_doc, COUNT(DISTINCT shingle) AS n_shared_shingles,
+       COUNT(DISTINCT train_doc) AS n_train_docs
+FROM hits GROUP BY test_doc HAVING COUNT(DISTINCT shingle) >= 3
+"""
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition metrics (duplicate word /
+    2-gram fractions) — pure per-row JVM expressions, no shuffle."""
+    from .datapipe.textstats import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir), n=2)
+
+
+SQL_DOC_REPETITION = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    len(words) - len(list_distinct(words)) AS n_dup_words,
+    CASE WHEN len(words) >= 2 THEN len(words) - 1 ELSE 0 END AS n_grams,
+    [array_to_string(list_slice(words, i + 1, i + 2), ' ')
+     for i in range(0, greatest(len(words) - 2, 0) + 1)] AS grams
+  FROM w
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_dup_words AS BIGINT) AS n_dup_words,
+  CASE WHEN n_words > 0 THEN CAST(n_dup_words AS DOUBLE) / n_words ELSE 0.0 END AS dup_word_frac,
+  CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(CASE WHEN n_grams > 0 THEN n_grams - len(list_distinct(grams)) ELSE 0 END AS BIGINT) AS n_dup_grams,
+  CASE WHEN n_grams > 0
+       THEN CAST(n_grams - len(list_distinct(grams)) AS DOUBLE) / n_grams
+       ELSE 0.0 END AS dup_gram_frac
+FROM m
+"""

@@ -370,3 +370,80 @@ def test_leakage_safe_split_keeps_dups_together(dup_corpus):
         assert split[d] == split[d - 1000000], d
     frac = sum(1 for s in split.values() if s == "train") / len(split)
     assert 0.7 <= frac <= 0.9, frac
+
+
+def test_pack_sequences_python_oracle(spark):
+    """Packing assignment must equal the sequential prefix-sum oracle, and
+    per-file token totals must be conserved."""
+    import random
+
+    from klog_spark.tokens import pack_sequences, pack_stats
+
+    rng = random.Random("pack-test")
+    rows = []
+    for f in ("fa", "fb"):
+        for i in range(1, 200):
+            rows.append((f"{f}:{i}", rng.randrange(0, 900)))
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    budget = 1000
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    # sequential oracle
+    want = {}
+    for f in ("fa", "fb"):
+        cum = 0
+        for i in range(1, 200):
+            did = f"{f}:{i}"
+            n = dict(rows)[did]
+            want[did] = cum // budget
+            cum += n
+    assert got == want
+    stats = pack_stats(df, budget=budget).collect()
+    per_file = {}
+    for r in stats:
+        per_file[r["file"]] = per_file.get(r["file"], 0) + r["pack_tokens"]
+        assert r["fill_ratio"] == r["pack_tokens"] / budget
+    for f in ("fa", "fb"):
+        assert per_file[f] == sum(n for d, n in rows if d.startswith(f))
+
+
+def test_contamination_report_detects_cross_split_copy(spark):
+    from klog_spark.datapipe.dedup import contamination_report
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # train original
+            (2, base + " extra"),            # test near-copy -> contaminated
+            (3, "totally different words with no overlap at all here"),  # test clean
+        ],
+        "doc_id long, text string",
+    )
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "test")], "doc_id long, split string"
+    )
+    rows = {r["test_doc"]: r for r in contamination_report(docs, split, n=5, min_common=3).collect()}
+    assert set(rows) == {2}
+    # doc 2 shares every 5-gram of the 10-word base: 6 shingles
+    assert rows[2]["n_shared_shingles"] == 6
+    assert rows[2]["n_train_docs"] == 1
+
+
+def test_repetition_scores_exact(spark):
+    from klog_spark.datapipe.textstats import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs, n=2).collect()}
+    r1 = got[1]  # words [a,a,a,b]: dup_words=2; grams [a a, a a, a b]: dup=1
+    assert (r1["n_words"], r1["n_dup_words"], r1["n_grams"], r1["n_dup_grams"]) == (4, 2, 3, 1)
+    assert r1["dup_word_frac"] == 2 / 4 and r1["dup_gram_frac"] == 1 / 3
+    r2 = got[2]  # single word: no grams
+    assert (r2["n_words"], r2["n_dup_words"], r2["n_grams"], r2["n_dup_grams"]) == (1, 0, 0, 0)
+    assert r2["dup_gram_frac"] == 0.0
+    r3 = got[3]
+    assert (r3["n_dup_words"], r3["n_dup_grams"]) == (0, 0)
