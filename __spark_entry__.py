@@ -59,8 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # __consumer_offsets decode — BEYOND the reference surface (the
         # reference leaves it a TODO, Segment.java:28)
         "klog_group_offsets": eq.q_sink_group_offsets,
+        "klog_group_offsets_read_committed": eq.q_group_offsets_read_committed,
         "klog_group_lag": eq.q_group_lag,
-        "klog_group_metadata": eq.q_group_metadata,
         "klog_group_commit_rates": eq.q_group_commit_rates,
         # training-data pipeline (dedup / similarity / text / multimodal)
         "dedup_exact": eq.q_dedup_exact,
@@ -113,6 +113,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": eq.q_doc_fingerprint,                 # javahash fold; test_checks.py + minhash rows
         "text_quality": eq.q_text_quality,                       # per-doc detail of source_quality row
         "token_freq_topk": eq.q_token_freq_topk,                 # vocab top-k; seq stats keep the driver row
+        "klog_group_metadata": eq.q_group_metadata,              # compaction twin of klog_group_offsets row
     }
 
 
@@ -147,8 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "klog_cat_render": eq.SQL_CAT_RENDER,
         "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
         "klog_group_offsets": eq.SQL_SINK_GROUP_OFFSETS,
+        "klog_group_offsets_read_committed": eq.SQL_GROUP_OFFSETS_READ_COMMITTED,
         "klog_group_lag": eq.SQL_GROUP_LAG,
-        "klog_group_metadata": eq.SQL_GROUP_METADATA,
         "klog_group_commit_rates": eq.SQL_GROUP_COMMIT_RATES,
         "dedup_exact": eq.SQL_DEDUP_EXACT,
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
@@ -196,4 +197,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_fingerprint": eq.SQL_DOC_FINGERPRINT,
         "text_quality": eq.SQL_TEXT_QUALITY,
         "token_freq_topk": eq.SQL_TOKEN_FREQ_TOPK,
+        "klog_group_metadata": eq.SQL_GROUP_METADATA,
     }

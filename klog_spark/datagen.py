@@ -368,14 +368,23 @@ def _render_group_metadata_msg(rng: random.Random, *, offset: int, t_ms: int, gr
 
 def _gen_consumer_offsets(seed: int, n_lines_budget: int):
     """__consumer_offsets-<N> segment dumps: offset commits, group-metadata
-    updates, tombstones, and planted malformed payloads. Each group's
-    records land in partition abs(hashCode(group)) % N_CO_PARTITIONS."""
+    updates, tombstones, planted malformed payloads, and (version 8)
+    TRANSACTIONAL offset commits — sendOffsetsToTransaction flows where the
+    commits sit in an isTransactional batch and a later control batch from
+    the same producer carries the COMMIT/ABORT marker (possibly in a later
+    segment file; some transactions are left open). Each group's records
+    land in partition abs(hashCode(group)) % N_CO_PARTITIONS."""
     rng = random.Random(f"{seed}-consumeroffsets")
     part_of = {grp: abs(_java_string_hash(grp)) % N_CO_PARTITIONS for grp in CO_GROUPS}
     committed: dict[tuple[str, str, int], int] = {}
     generation: dict[str, int] = {grp: 1 for grp in CO_GROUPS}
     state = {p: {"offset": 0, "position": 0, "file_base": 0, "lines": []}
              for p in sorted(set(part_of.values()))}
+    # transactional-producer state per coordinator partition: pid/epoch per
+    # group, and the set of currently-open transactions awaiting a marker
+    txn_pid = {grp: 5000 + i for i, grp in enumerate(CO_GROUPS)}
+    txn_epoch = dict.fromkeys(CO_GROUPS, 0)
+    open_txns: dict[int, list[str]] = {p: [] for p in state}  # p -> [group,...]
     t_ms = T0_MS
     files = []
     emitted = 0
@@ -399,43 +408,89 @@ def _gen_consumer_offsets(seed: int, n_lines_budget: int):
         p = part_of[grp]
         st = state[p]
         size = rng.randrange(90, 220)
-        st["lines"].append(_render_batch(rng, base_offset=st["offset"], count=1, pid=-1, epoch=-1,
-                                         leader_epoch=0, transactional=False, control=False,
-                                         position=st["position"], t_ms=t_ms, size=size,
-                                         variant3x=False))
         r = rng.random()
-        if r < 0.82:  # offset commit
-            tpart = rng.randrange(0, N_PARTITIONS)
-            key = (grp, TOPIC, tpart)
-            committed[key] = committed.get(key, 0) + rng.randrange(1, 50)
-            le = None if rng.random() < 0.2 else rng.randrange(0, 6)
-            st["lines"].append(_render_offset_commit_msg(
-                rng, offset=st["offset"], t_ms=t_ms, group=grp, topic=TOPIC, part=tpart,
-                committed=committed[key], leader_epoch=le))
-        elif r < 0.86:  # offset tombstone
-            tpart = rng.randrange(0, N_PARTITIONS)
-            committed.pop((grp, TOPIC, tpart), None)
-            st["lines"].append(_render_offset_commit_msg(
-                rng, offset=st["offset"], t_ms=t_ms, group=grp, topic=TOPIC, part=tpart,
-                committed=None))
-        elif r < 0.92:  # group-metadata update (rebalance)
-            generation[grp] += 1
-            st["lines"].append(_render_group_metadata_msg(
-                rng, offset=st["offset"], t_ms=t_ms, group=grp,
-                generation=generation[grp], members=rng.randrange(1, 9)))
-        elif r < 0.94:  # group-metadata tombstone
-            st["lines"].append(_render_group_metadata_msg(
-                rng, offset=st["offset"], t_ms=t_ms, group=grp, generation=None))
-        elif r < 0.97:  # malformed offset payload -> corrupt sink
-            st["lines"].append(_render_offset_commit_msg(
-                rng, offset=st["offset"], t_ms=t_ms, group=grp, topic=TOPIC,
-                part=rng.randrange(0, N_PARTITIONS), committed=0, corrupt=True))
-        else:  # malformed group-metadata payload -> corrupt sink
-            st["lines"].append(_render_group_metadata_msg(
-                rng, offset=st["offset"], t_ms=t_ms, group=grp, generation=1, corrupt=True))
-        st["offset"] += 1
-        st["position"] += size
-        emitted += 2
+        grp_open = any(g == grp for g, _ in open_txns[p])
+        if r < 0.14 and not grp_open:
+            # BEGIN transactional commit flow: one isTransactional batch
+            # carrying 1-3 offset commits; the marker arrives later (a pid
+            # has at most one open transaction, as in Kafka)
+            k = rng.randrange(1, 4)
+            pid, ep = txn_pid[grp], txn_epoch[grp]
+            st["lines"].append(_render_batch(rng, base_offset=st["offset"], count=k, pid=pid,
+                                             epoch=ep, leader_epoch=0, transactional=True,
+                                             control=False, position=st["position"], t_ms=t_ms,
+                                             size=size, variant3x=False))
+            pend = []
+            for j in range(k):
+                tpart = rng.randrange(0, N_PARTITIONS)
+                key = (grp, TOPIC, tpart)
+                val = committed.get(key, 0) + rng.randrange(1, 50)
+                le = None if rng.random() < 0.2 else rng.randrange(0, 6)
+                st["lines"].append(_render_offset_commit_msg(
+                    rng, offset=st["offset"] + j, t_ms=t_ms, group=grp, topic=TOPIC,
+                    part=tpart, committed=val, leader_epoch=le))
+                pend.append((key, val))
+            open_txns[p].append((grp, pend))
+            st["offset"] += k
+            st["position"] += size
+            emitted += k + 1
+        elif r < 0.22 and open_txns[p]:
+            # END a pending transaction: control batch (isTransactional +
+            # isControl, same pid/epoch) + COMMIT/ABORT marker message
+            grp2, pend = open_txns[p].pop(rng.randrange(len(open_txns[p])))
+            pid, ep = txn_pid[grp2], txn_epoch[grp2]
+            commit = rng.random() < 0.7
+            st["lines"].append(_render_batch(rng, base_offset=st["offset"], count=1, pid=pid,
+                                             epoch=ep, leader_epoch=0, transactional=True,
+                                             control=True, position=st["position"], t_ms=t_ms,
+                                             size=size, variant3x=False))
+            st["lines"].append(_render_control_msg(rng, offset=st["offset"], t_ms=t_ms,
+                                                   commit=commit))
+            if commit:
+                for key, val in pend:
+                    committed[key] = val
+            if rng.random() < 0.15:
+                txn_epoch[grp2] += 1  # producer re-epoch after the txn
+            st["offset"] += 1
+            st["position"] += size
+            emitted += 2
+        else:
+            st["lines"].append(_render_batch(rng, base_offset=st["offset"], count=1, pid=-1,
+                                             epoch=-1, leader_epoch=0, transactional=False,
+                                             control=False, position=st["position"], t_ms=t_ms,
+                                             size=size, variant3x=False))
+            if r < 0.82:  # offset commit
+                tpart = rng.randrange(0, N_PARTITIONS)
+                key = (grp, TOPIC, tpart)
+                committed[key] = committed.get(key, 0) + rng.randrange(1, 50)
+                le = None if rng.random() < 0.2 else rng.randrange(0, 6)
+                st["lines"].append(_render_offset_commit_msg(
+                    rng, offset=st["offset"], t_ms=t_ms, group=grp, topic=TOPIC, part=tpart,
+                    committed=committed[key], leader_epoch=le))
+            elif r < 0.86:  # offset tombstone
+                tpart = rng.randrange(0, N_PARTITIONS)
+                committed.pop((grp, TOPIC, tpart), None)
+                st["lines"].append(_render_offset_commit_msg(
+                    rng, offset=st["offset"], t_ms=t_ms, group=grp, topic=TOPIC, part=tpart,
+                    committed=None))
+            elif r < 0.92:  # group-metadata update (rebalance)
+                generation[grp] += 1
+                st["lines"].append(_render_group_metadata_msg(
+                    rng, offset=st["offset"], t_ms=t_ms, group=grp,
+                    generation=generation[grp], members=rng.randrange(1, 9)))
+            elif r < 0.94:  # group-metadata tombstone
+                st["lines"].append(_render_group_metadata_msg(
+                    rng, offset=st["offset"], t_ms=t_ms, group=grp, generation=None))
+            elif r < 0.97:  # malformed offset payload -> corrupt sink
+                st["lines"].append(_render_offset_commit_msg(
+                    rng, offset=st["offset"], t_ms=t_ms, group=grp, topic=TOPIC,
+                    part=rng.randrange(0, N_PARTITIONS), committed=0, corrupt=True))
+            else:  # malformed group-metadata payload -> corrupt sink
+                st["lines"].append(_render_group_metadata_msg(
+                    rng, offset=st["offset"], t_ms=t_ms, group=grp, generation=1, corrupt=True))
+            st["offset"] += 1
+            st["position"] += size
+            emitted += 2
         if len(st["lines"]) >= 800:
             flush(p)
     for p in state:
@@ -483,7 +538,7 @@ def generate_fixture(sf: float, out_dir: str | Path, seed: int = 42, force: bool
     """Generate the fixture at scale factor ``sf`` into ``out_dir`` (cached)."""
     out = Path(out_dir)
     marker = out / "_GENERATED.json"
-    spec = {"sf": sf, "seed": seed, "version": 7}
+    spec = {"sf": sf, "seed": seed, "version": 8}
     if marker.exists() and not force:
         try:
             if json.loads(marker.read_text()) == spec:

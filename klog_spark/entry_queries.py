@@ -2355,3 +2355,66 @@ SELECT doc_id,
        ELSE 0.0 END AS dup_gram_frac
 FROM m
 """
+
+
+def q_group_offsets_read_committed(spark, sf_dir):
+    """READ_COMMITTED compaction of __consumer_offsets: transactional offset
+    commits (sendOffsetsToTransaction) are visible only when the nearest
+    following control marker from the same (producer, epoch) is COMMIT —
+    aborted and still-open transactions hide theirs. Beyond the reference
+    surface (Segment.java:28 TODO) and beyond round 3's read_uncommitted
+    view."""
+    from .operators.group_offsets import read_committed_group_offsets
+
+    return read_committed_group_offsets(load_parsed(spark, sf_dir))
+
+
+SQL_GROUP_OFFSETS_READ_COMMITTED = f"""
+WITH {klog_base_cte()},
+co_ev AS (
+  SELECT partition, file, line_no, record_class,
+    CASE WHEN record_class = 'batch'
+         THEN TRY_CAST(regexp_extract(line, ' producerId: (-?[0-9]+)', 1) AS BIGINT) END AS b_pid,
+    CASE WHEN record_class = 'batch'
+         THEN TRY_CAST(regexp_extract(line, ' producerEpoch: (-?[0-9]+)', 1) AS SMALLINT) END AS b_epoch,
+    CASE WHEN record_class = 'batch'
+         THEN regexp_extract(line, 'isTransactional: (true|false)', 1) = 'true' END AS b_txn,
+    CASE WHEN record_class = 'control_msg'
+         THEN regexp_extract(line, ' endTxnMarker: (COMMIT|ABORT)', 1) = 'COMMIT' END AS marker
+  FROM classified
+  WHERE segment_type = 'consumer_offsets'
+    AND record_class IN ('batch', 'offset_commit', 'control_msg')
+),
+par AS (
+  SELECT *,
+    LAST_VALUE(b_pid IGNORE NULLS) OVER w AS p_pid,
+    LAST_VALUE(b_epoch IGNORE NULLS) OVER w AS p_epoch,
+    LAST_VALUE(b_txn IGNORE NULLS) OVER w AS p_txn
+  FROM co_ev
+  WINDOW w AS (PARTITION BY partition ORDER BY file, line_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+marked AS (
+  SELECT *, LAST_VALUE(marker IGNORE NULLS) OVER (
+      PARTITION BY partition, p_pid, p_epoch ORDER BY file DESC, line_no DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_marker
+  FROM par WHERE p_txn
+),
+visible AS (
+  SELECT file, line_no FROM par
+  WHERE record_class = 'offset_commit' AND NOT COALESCE(p_txn, false)
+  UNION ALL
+  SELECT file, line_no FROM marked
+  WHERE record_class = 'offset_commit' AND next_marker
+),
+latest AS (
+  SELECT group_id, commit_topic, commit_partition, is_deletion, committed_offset,
+         committed_leader_epoch, commit_timestamp_ms,
+         row_number() OVER (PARTITION BY group_id, commit_topic, commit_partition
+                            ORDER BY o.file DESC, o.line_no DESC) AS rn
+  FROM oc_msgs o JOIN visible v ON o.file = v.file AND o.line_no = v.line_no
+)
+SELECT group_id, commit_topic, commit_partition, committed_offset,
+       committed_leader_epoch, commit_timestamp_ms
+FROM latest WHERE rn = 1 AND NOT is_deletion
+"""

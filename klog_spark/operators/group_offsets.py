@@ -15,16 +15,14 @@ driver-side or all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def latest_group_offsets(parsed: DataFrame) -> DataFrame:
-    """Last offset-commit event per (group, topic, partition), in segment
-    order (file name, then line) — Kafka's compaction semantics: the newest
-    record wins, and a tombstone (`is_deletion`) deletes the key.
-    """
-    oc = parsed.filter(F.col("record_class") == "offset_commit")
+def _compact_latest(oc: DataFrame) -> DataFrame:
+    """Kafka compaction over offset-commit events: newest record per
+    (group, topic, partition) in segment order (file name, then line) wins;
+    a tombstone (`is_deletion`) deletes the key."""
     ordkey = F.struct(F.col("file"), F.col("line_no"))
     last = oc.groupBy("group_id", "commit_topic", "commit_partition").agg(
         F.max_by(
@@ -41,6 +39,72 @@ def latest_group_offsets(parsed: DataFrame) -> DataFrame:
         F.col("last.committed_leader_epoch").alias("committed_leader_epoch"),
         F.col("last.commit_timestamp_ms").alias("commit_timestamp_ms"),
     )
+
+
+def latest_group_offsets(parsed: DataFrame) -> DataFrame:
+    """Compacted latest commit per (group, topic, partition) —
+    read_uncommitted isolation: every offset-commit record counts,
+    transactional or not."""
+    return _compact_latest(parsed.filter(F.col("record_class") == "offset_commit"))
+
+
+def read_committed_group_offsets(parsed: DataFrame) -> DataFrame:
+    """Compacted latest commit per (group, topic, partition) under
+    READ_COMMITTED isolation — the consumer-visible truth when offsets are
+    committed via ``sendOffsetsToTransaction``.
+
+    An offset commit whose parent batch is transactional is visible only if
+    the transaction COMMITTED: its marker is the nearest FOLLOWING
+    control-message line from the same (producer, epoch) in the same
+    coordinator partition, in (file, line_no) segment order. ABORT markers
+    and markerless (still-open) transactions hide their commits.
+    Non-transactional commits (parent pid == -1) are always visible. A
+    producer has at most one open transaction at a time (Kafka invariant),
+    so nearest-following-marker attribution is exact.
+
+    Scale shape: two windows — parent-batch attribution runs per
+    coordinator partition in segment order (the same bounded-by-segment key
+    the klog cursor uses), marker attribution runs per
+    (partition, producer, epoch) over only the transactional rows. No
+    joins, no driver state; the compaction shuffle stays one row per live
+    group-partition.
+    """
+    co = parsed.filter(
+        (F.col("segment_type") == "consumer_offsets")
+        & F.col("record_class").isin("batch", "offset_commit", "control_msg")
+    )
+    w_parent = Window.partitionBy("topic", "partition").orderBy("file", "line_no")
+    parent = F.last(
+        F.when(
+            F.col("record_class") == "batch",
+            F.struct("producer_id", "producer_epoch", "is_transactional"),
+        ),
+        ignorenulls=True,
+    ).over(w_parent.rowsBetween(Window.unboundedPreceding, 0))
+    ev = co.withColumn("_parent", parent)
+
+    plain = ev.filter(
+        (F.col("record_class") == "offset_commit")
+        & ~F.coalesce(F.col("_parent.is_transactional"), F.lit(False))
+    )
+
+    txn_ev = ev.filter(F.col("_parent.is_transactional"))
+    # DESC order turns "nearest following marker" into an incremental
+    # running last() — no O(n^2) unbounded-following frame
+    w_marker = Window.partitionBy(
+        "topic", "partition", F.col("_parent.producer_id"), F.col("_parent.producer_epoch")
+    ).orderBy(F.col("file").desc(), F.col("line_no").desc())
+    next_marker = F.last(
+        F.when(F.col("record_class") == "control_msg", F.col("commit")),
+        ignorenulls=True,
+    ).over(w_marker.rowsBetween(Window.unboundedPreceding, -1))
+    committed_oc = (
+        txn_ev.withColumn("_next_marker", next_marker)
+        .filter((F.col("record_class") == "offset_commit") & F.col("_next_marker"))
+        .drop("_next_marker")
+    )
+
+    return _compact_latest(plain.unionByName(committed_oc).drop("_parent"))
 
 
 def group_lag(parsed: DataFrame) -> DataFrame:

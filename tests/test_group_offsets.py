@@ -164,3 +164,66 @@ def test_spark_matches_python_oracle_on_fixture(parsed_df, oracle_parsed):
         if p.record_class in ("offset_commit", "group_metadata")
     }
     assert got == want and len(got) > 100
+
+
+def _txn_batch(base, t, pos, pid, epoch, count=1, control=False):
+    return (f"baseOffset: {base} lastOffset: {base + count - 1} count: {count} "
+            f"baseSequence: 0 lastSequence: {count - 1} producerId: {pid} "
+            f"producerEpoch: {epoch} partitionLeaderEpoch: 0 "
+            f"isTransactional: true isControl: {str(control).lower()} "
+            f"position: {pos} CreateTime: {t} size: 100 magic: 2 "
+            f"compresscodec: none crc: 77 isvalid: true")
+
+
+def _ctl(off, t, commit):
+    marker = "COMMIT" if commit else "ABORT"
+    return (f"| offset: {off} CreateTime: {t} keySize: 4 valueSize: 6 "
+            f"sequence: -1 headerKeys: [] endTxnMarker: {marker} coordinatorEpoch: 1")
+
+
+def test_read_committed_semantics(spark):
+    """Planted flows: committed txn visible, aborted hidden, open hidden,
+    COMMIT marker honored across a segment-file boundary."""
+    from klog_spark.operators.group_offsets import (
+        latest_group_offsets, read_committed_group_offsets,
+    )
+
+    src_a = "/tmp/kafka-logs/__consumer_offsets-5/00000000000000000000.log"
+    file_a_lines = [
+        f"Dumping {src_a}",
+        "Log starting offset: 0",
+        _batch_line(0, 1000, 0),
+        _msg(0, 1000, "g1", "t", 0, committed=10),          # plain: visible
+        _txn_batch(1, 2000, 100, pid=7, epoch=0, count=2),
+        _msg(1, 2000, "g1", "t", 0, committed=50),
+        _msg(2, 2000, "g1", "t", 1, committed=60),
+        _txn_batch(3, 3000, 200, pid=7, epoch=0, control=True),
+        _ctl(3, 3000, commit=True),                          # commits 50/60
+        _txn_batch(4, 4000, 300, pid=7, epoch=0),
+        _msg(4, 4000, "g1", "t", 0, committed=99),
+        _txn_batch(5, 5000, 400, pid=7, epoch=0, control=True),
+        _ctl(5, 5000, commit=False),                         # aborts the 99
+        _txn_batch(6, 6000, 500, pid=8, epoch=0),
+        _msg(6, 6000, "g1", "t", 2, committed=70),           # never resolved
+        _txn_batch(7, 7000, 600, pid=9, epoch=0),
+        _msg(7, 7000, "g1", "t", 3, committed=80),           # marker in file B
+    ]
+    src_b = "/tmp/kafka-logs/__consumer_offsets-5/00000000000000000008.log"
+    file_b_lines = [
+        f"Dumping {src_b}",
+        "Log starting offset: 8",
+        _txn_batch(8, 8000, 0, pid=9, epoch=0, control=True),
+        _ctl(8, 8000, commit=True),                          # commits the 80
+    ]
+    fa = "__consumer_offsets-5-00000000000000000000.log.dump.txt"
+    fb = "__consumer_offsets-5-00000000000000000008.log.dump.txt"
+    rows = [(f"{fa}:{i + 1}", ln, src_a) for i, ln in enumerate(file_a_lines)]
+    rows += [(f"{fb}:{i + 1}", ln, src_b) for i, ln in enumerate(file_b_lines)]
+    parsed = _parse_lines(spark, rows)
+
+    rc = {(r["group_id"], r["commit_partition"]): r["committed_offset"]
+          for r in read_committed_group_offsets(parsed).collect()}
+    assert rc == {("g1", 0): 50, ("g1", 1): 60, ("g1", 3): 80}
+    ru = {(r["group_id"], r["commit_partition"]): r["committed_offset"]
+          for r in latest_group_offsets(parsed).collect()}
+    assert ru == {("g1", 0): 99, ("g1", 1): 60, ("g1", 2): 70, ("g1", 3): 80}

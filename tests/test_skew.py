@@ -34,4 +34,7 @@ def test_salted_join_parity(spark, fixture_dir, parsed_df):
     b = parsed_df.filter((F.col("record_class") == "batch") & (F.col("producer_id") != -1))
     via_broadcast = broadcast_or_salted_join(b, meta, ["producer_id"]).groupBy("team").count()
     via_salted = broadcast_or_salted_join(b, meta, ["producer_id"], salt_buckets=4).groupBy("team").count()
-    assert sorted(map(tuple, via_broadcast.collect())) == sorted(map(tuple, via_salted.collect()))
+    # set equality: fixture v8 adds consumer-offsets transactional pids with
+    # no meta row, so the left join emits a (None, n) group that Python's
+    # tuple sort cannot order against strings
+    assert set(map(tuple, via_broadcast.collect())) == set(map(tuple, via_salted.collect()))
