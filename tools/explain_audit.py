@@ -106,6 +106,15 @@ def main() -> None:
     gl = eq.q_group_lag(spark, SF_DIR)
     sections.append(("group lag (broadcast log-end)", plan_of(gl), ["BroadcastHashJoin"]))
 
+    # 8c. read-committed offsets: window-only visibility resolution — the
+    #     marker attribution must be Window operators (running last() over
+    #     DESC order), never a per-row self-join or nested loop
+    rc = eq.q_group_offsets_read_committed(spark, SF_DIR)
+    rc_plan = plan_of(rc, "simple")
+    sections.append(("read-committed group offsets", plan_of(rc), ["Window"]))
+    assert "CartesianProduct" not in rc_plan and "BroadcastNestedLoopJoin" not in rc_plan, \
+        "read-committed visibility must stay window-based, no all-pairs stage"
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
