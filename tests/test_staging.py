@@ -115,3 +115,49 @@ def test_write_routed_bounds_file_count(spark, fixture_dir, tmp_path):
     assert 0 < len(parquet_files) <= 16, parquet_files
     # read-back integrity
     assert spark.read.parquet(out).count() == parsed.count()
+
+
+def test_bucketed_staging_shuffle_free_join(spark, parsed_df):
+    """Bucketed staging: the producer correlation must (a) equal the same
+    computation over the unbucketed parsed view and (b) compile to a plan
+    with ZERO Exchange operators once broadcast is disabled — the co-located
+    big-big join story at 10^12 rows."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from klog_spark.sources.bucketed import producer_correlation, stage_bucketed
+
+    prefix = "t_bucketed_stage"
+    tables = stage_bucketed(parsed_df, prefix, buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        corr = producer_correlation(spark, prefix)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            corr.explain("simple")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, f"bucketed join must be shuffle-free:\n{plan}"
+        got = {r["producer_id"]: tuple(r)[1:] for r in corr.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in tables.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # reference computation over the unbucketed parsed view
+    b = (
+        parsed_df.filter((F.col("record_class") == "batch") & (F.col("producer_id") != -1))
+        .groupBy("producer_id")
+        .agg(F.count("*").alias("n_batches"), F.max("last_offset").alias("mlo"),
+             F.max("producer_epoch").alias("mbe"))
+    )
+    s = (
+        parsed_df.filter(F.col("record_class") == "producer_state")
+        .groupBy("producer_id")
+        .agg(F.count("*").alias("n_snapshots"), F.max("producer_epoch").alias("mse"),
+             F.max("coordinator_epoch").alias("mce"))
+    )
+    want = {r["producer_id"]: tuple(r)[1:] for r in b.join(s, "producer_id").collect()}
+    assert got == want and got
