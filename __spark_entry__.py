@@ -88,7 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": eq.q_events_daily,
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
         "events_rolling_7d": eq.q_events_rolling,          # trailing-window metric
-        "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,  # multi-join broadcast
+        "corpus_mixture_sample": eq.q_corpus_mixture_sample,  # deterministic domain-mixture curation
     }
 
 
@@ -114,6 +114,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": eq.q_text_quality,                       # per-doc detail of source_quality row
         "token_freq_topk": eq.q_token_freq_topk,                 # vocab top-k; seq stats keep the driver row
         "klog_group_metadata": eq.q_group_metadata,              # compaction twin of klog_group_offsets row
+        "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,   # join shape covered by klog_enrich/group_lag rows
     }
 
 
@@ -174,7 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": eq.SQL_EVENTS_DAILY,
         "event_sessions": eq.SQL_EVENT_SESSIONS,
         "events_rolling_7d": eq.SQL_EVENTS_ROLLING,
-        "tpch_revenue_by_nation": eq.SQL_TPCH_REVENUE_BY_NATION,
+        "corpus_mixture_sample": eq.SQL_CORPUS_MIXTURE_SAMPLE,
     }
 
 
@@ -198,4 +199,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_quality": eq.SQL_TEXT_QUALITY,
         "token_freq_topk": eq.SQL_TOKEN_FREQ_TOPK,
         "klog_group_metadata": eq.SQL_GROUP_METADATA,
+        "tpch_revenue_by_nation": eq.SQL_TPCH_REVENUE_BY_NATION,
     }

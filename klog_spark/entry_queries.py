@@ -2418,3 +2418,40 @@ SELECT group_id, commit_topic, commit_partition, committed_offset,
        committed_leader_epoch, commit_timestamp_ms
 FROM latest WHERE rn = 1 AND NOT is_deletion
 """
+
+
+def q_corpus_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixture curation: sample each source to a target
+    share of a 30k-char budget, greedy in content-hash order (engine- and
+    run-stable — no RNG). src0/src1/src2 get explicit shares, the rest split
+    a default share."""
+    from .datapipe.mixture import mixture_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source", "n_chars")
+    return mixture_sample(
+        docs,
+        weights={"src0": 0.25, "src1": 0.15, "src2": 0.10},
+        total_chars=30000,
+        default_weight=0.5 / 17,
+    )
+
+
+SQL_CORPUS_MIXTURE_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         {_sql_java_u32('sha256(text)')} % 1000000000 AS _h,
+         -- integer literals = python int(w * total): decimal-vs-float
+         -- literal arithmetic must never decide a budget boundary
+         CASE source WHEN 'src0' THEN 7500
+                     WHEN 'src1' THEN 4500
+                     WHEN 'src2' THEN 3000
+                     ELSE 882 END AS budget
+  FROM documents
+),
+p AS (
+  SELECT *, COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY _h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM h
+)
+SELECT doc_id, source, n_chars FROM p WHERE prior < budget
+"""

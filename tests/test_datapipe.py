@@ -447,3 +447,25 @@ def test_repetition_scores_exact(spark):
     assert r2["dup_gram_frac"] == 0.0
     r3 = got[3]
     assert (r3["n_dup_words"], r3["n_dup_grams"]) == (0, 0)
+
+
+def test_mixture_sample_budgets_and_determinism(spark):
+    from klog_spark.datapipe.mixture import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with text", "a" if i < 20 else "b", 100) for i in range(40)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    out = mixture_sample(docs, weights={"a": 0.5}, total_chars=1000,
+                         default_weight=0.25).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    # budget a: 500 chars / 100 each -> 5 docs; greedy crossing rule adds none
+    # extra because sizes divide evenly. budget b: 250 -> prior<250 admits 3
+    # (0,100,200): the crossing doc IS included
+    assert len(per_src["a"]) == 5 and len(per_src["b"]) == 3
+    # deterministic: same selection on re-run
+    out2 = mixture_sample(docs, weights={"a": 0.5}, total_chars=1000,
+                          default_weight=0.25).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
