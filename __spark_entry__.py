@@ -6,10 +6,11 @@ independent DuckDB recomputation (see klog_spark/entry_queries.py — the
 Spark side consumes only the tokenized input, the oracle only the text
 rendition of the same seeded fixture).
 
-The driver's correctness gate budgets ~50 rows per round; with 63 verified
-query/oracle pairs, 13 were always formally stale (VERDICT r3 "missing" #1).
-``queries()`` therefore registers the 50 highest-value pairs — one per
-distinct operator — and the 13 near-duplicate/subsumed variants live in
+The driver's correctness gate budgets ~50 rows per round; with more
+verified query/oracle pairs than that, some were always formally stale
+(VERDICT r3 "missing" #1). ``queries()`` therefore registers the 50
+highest-value pairs — one per distinct operator — and the
+near-duplicate/subsumed/composed variants live in
 ``extra_queries()``/``extra_oracle_sql()``: identical contract, still run
 against their DuckDB oracles on every local gate pass
 (``tools/check_queries.py``), just not competing for driver rows. Every
@@ -75,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": eq.q_ann_lsh,
         "ann_ivf_topk": eq.q_ann_ivf,                      # inverted-file scale path
         "knn_label_eval": eq.q_knn_label_eval,             # embedding-quality eval
-        "corpus_clean": eq.q_corpus_clean,                 # quality->dedup->keep-best composed
+        "dedup_incremental": eq.q_dedup_incremental,       # append-only ingestion screen
         "text_lang_id": eq.q_text_lang_id,
         "source_quality": eq.q_source_quality,             # per-source corpus report
         "corpus_pack": eq.q_corpus_pack,                   # token-budget sequence packing
@@ -115,6 +116,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq_topk": eq.q_token_freq_topk,                 # vocab top-k; seq stats keep the driver row
         "klog_group_metadata": eq.q_group_metadata,              # compaction twin of klog_group_offsets row
         "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,   # join shape covered by klog_enrich/group_lag rows
+        "corpus_clean": eq.q_corpus_clean,                       # composition of three driver-gated ops
     }
 
 
@@ -164,7 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": eq.SQL_ANN_LSH,
         "ann_ivf_topk": eq.SQL_ANN_IVF,
         "knn_label_eval": eq.SQL_KNN_LABEL_EVAL,
-        "corpus_clean": eq.SQL_CORPUS_CLEAN,
+        "dedup_incremental": eq.SQL_DEDUP_INCREMENTAL,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
         "source_quality": eq.SQL_SOURCE_QUALITY,
         "corpus_pack": eq.SQL_CORPUS_PACK,
@@ -200,4 +202,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "token_freq_topk": eq.SQL_TOKEN_FREQ_TOPK,
         "klog_group_metadata": eq.SQL_GROUP_METADATA,
         "tpch_revenue_by_nation": eq.SQL_TPCH_REVENUE_BY_NATION,
+        "corpus_clean": eq.SQL_CORPUS_CLEAN,
     }

@@ -484,3 +484,26 @@ def contamination_report(docs: DataFrame, split: DataFrame, n: int = 5,
         )
         .filter(F.col("n_shared_shingles") >= min_common)
     )
+
+
+def incremental_exact_dups(incoming: DataFrame, corpus: DataFrame,
+                           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """New-batch-vs-corpus exact dedup: which incoming documents already
+    exist (by content digest) in the indexed corpus — the check an
+    append-only ingestion pipeline runs before admitting documents.
+
+    Returns (doc_id, dup_of): the incoming id and its canonical corpus
+    match (min corpus id per digest). At 100 TB the corpus side is the
+    pre-computed digest index (32 B/row, bucketable by digest); the join
+    shuffles digests, never text, and the incoming side is the small batch
+    — broadcastable when it fits."""
+    inc = incoming.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("digest")
+    )
+    idx = (
+        corpus.select(F.sha2(F.col(text_col), 256).alias("digest"),
+                      F.col(id_col).alias("corpus_id"))
+        .groupBy("digest")
+        .agg(F.min("corpus_id").alias("dup_of"))
+    )
+    return inc.join(idx, "digest").select("doc_id", "dup_of")

@@ -2455,3 +2455,27 @@ p AS (
 )
 SELECT doc_id, source, n_chars FROM p WHERE prior < budget
 """
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Append-only ingestion check: the planted duplicate batch (ids >=
+    1,000,000 in the dup corpus) screened against the base documents table —
+    exact copies are flagged with their canonical corpus id, near-copies
+    (' zq' suffix) pass through."""
+    from .datapipe.dedup import incremental_exact_dups
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    incoming = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") >= 1000000)
+    return incremental_exact_dups(incoming, corpus)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {SQL_DUP_CORPUS},
+idx AS (
+  SELECT sha256(text) AS digest, MIN(doc_id) AS dup_of FROM documents GROUP BY 1
+),
+inc AS (
+  SELECT doc_id, sha256(text) AS digest FROM corpus WHERE doc_id >= 1000000
+)
+SELECT inc.doc_id, idx.dup_of FROM inc JOIN idx USING (digest)
+"""

@@ -12,6 +12,16 @@ Window-based sessionization (A5-A7) is NOT offered on streams: klog's
 open/empty-transaction semantics are inherently order-of-arrival and the
 batch pipeline (checkpoint.run_incremental) is the correct way to get them
 incrementally; pretending otherwise would silently change results.
+
+The same boundary applies to READ_COMMITTED group offsets
+(group_offsets.read_committed_group_offsets): visibility of a
+transactional commit depends on its parent batch line and a later control
+marker — cross-line, cross-file context that a row-sharded stream cannot
+attribute exactly (micro-batches split dump files across arbitrary row
+boundaries). ``latest_group_offsets_stream`` below is therefore
+explicitly the READ_UNCOMMITTED view; for exact read-committed results
+incrementally, run checkpoint.run_incremental (whole-file granules,
+per-file lineage) and query the staged table.
 """
 
 from __future__ import annotations
