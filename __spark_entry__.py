@@ -73,8 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": eq.q_dedup_simhash,
         "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,   # scale path (no O(n^2))
         "ann_cosine_topk": eq.q_ann_topk,
-        "ann_lsh_topk": eq.q_ann_lsh,
         "ann_ivf_topk": eq.q_ann_ivf,                      # inverted-file scale path
+        "ann_ivfpq_topk": eq.q_ann_ivfpq,                  # product-quantized scale path (8 B/vector)
         "knn_label_eval": eq.q_knn_label_eval,             # embedding-quality eval
         "dedup_incremental": eq.q_dedup_incremental,       # append-only ingestion screen
         "text_lang_id": eq.q_text_lang_id,
@@ -117,6 +117,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_group_metadata": eq.q_group_metadata,              # compaction twin of klog_group_offsets row
         "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,   # join shape covered by klog_enrich/group_lag rows
         "corpus_clean": eq.q_corpus_clean,                       # composition of three driver-gated ops
+        "ann_lsh_topk": eq.q_ann_lsh,                            # hyperplane-bucket twin of ann_ivf row; recall pytest
     }
 
 
@@ -163,8 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
         "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
         "ann_cosine_topk": eq.SQL_ANN_TOPK,
-        "ann_lsh_topk": eq.SQL_ANN_LSH,
         "ann_ivf_topk": eq.SQL_ANN_IVF,
+        "ann_ivfpq_topk": eq.SQL_ANN_IVFPQ,
         "knn_label_eval": eq.SQL_KNN_LABEL_EVAL,
         "dedup_incremental": eq.SQL_DEDUP_INCREMENTAL,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
@@ -203,4 +204,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "klog_group_metadata": eq.SQL_GROUP_METADATA,
         "tpch_revenue_by_nation": eq.SQL_TPCH_REVENUE_BY_NATION,
         "corpus_clean": eq.SQL_CORPUS_CLEAN,
+        "ann_lsh_topk": eq.SQL_ANN_LSH,
     }

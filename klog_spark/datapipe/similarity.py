@@ -263,3 +263,134 @@ def lsh_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10
         .filter(F.col("rank") <= k)
         .select("qid", F.col("cid").alias("vec_id"), "rank", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def pq_codebooks(sample: np.ndarray, m: int, ksub: int, n_iter: int = 10,
+                 seed: int = 7) -> np.ndarray:
+    """Per-subspace PQ codebooks via the same bounded-sample Lloyd trainer
+    as the IVF coarse quantizer. Returns (m, ksub, dsub)."""
+    dim = sample.shape[1]
+    dsub = dim // m
+    return np.stack([
+        kmeans_centroids(sample[:, j * dsub:(j + 1) * dsub], ksub,
+                         n_iter=n_iter, seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def ivfpq_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
+               n_centroids: int = 16, n_probe: int = 2, m: int = 8, ksub: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               train: str = "first_n", sample_size: int = 4096, seed: int = 7) -> DataFrame:
+    """IVF-PQ ANN — the memory-compressed scale path past IVF-Flat.
+
+    The corpus is coarse-quantized into ``n_centroids`` inverted cells (as
+    in ivf_topk) and each vector is product-quantized: split into ``m``
+    subspaces, each encoded as the id of its nearest codebook entry
+    (``ksub`` entries/subspace). Storage per vector drops from dim x 8 bytes
+    to ``m`` bytes (64x at dim=64/m=8) — the difference between an index
+    that fits in cluster RAM at 10^12 vectors and one that does not.
+
+    Scoring is cosine(query, decode(codes)) — algebraically the ADC
+    approximation (dot(q, decode(v)) = sum of per-subspace LUT entries),
+    written as a decode + exact fold so both engines (and the DuckDB gate
+    oracle) evaluate the identical sequential float expression. Like
+    ivf_topk, ``train='first_n'`` derives codebooks from the first ``ksub``
+    corpus vectors (oracle-replicable); ``train='kmeans'`` is the scale
+    path (per-subspace Lloyd on the bounded sample).
+
+    No residual encoding (faiss by_residual=False flavor): codes are
+    cell-independent, so re-probing never re-encodes.
+    """
+    dim = len(queries[0][1])
+    dsub = dim // m
+    spark = emb.sparkSession
+
+    # --- coarse quantizer (shared shape with ivf_topk)
+    if train == "kmeans":
+        sample = np.array(
+            [r[vec_col] for r in
+             emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()],
+            dtype=np.float64,
+        )
+        cmat = kmeans_centroids(sample, n_centroids, seed=seed)
+        cids = np.arange(len(cmat), dtype=np.int64)
+        cb = pq_codebooks(sample, m, ksub, seed=seed)
+    else:
+        first = [
+            (r[id_col], np.asarray(r[vec_col], dtype=np.float64))
+            for r in emb.select(id_col, vec_col).orderBy(id_col)
+            .limit(max(n_centroids, ksub)).collect()
+        ]
+        cids = np.array([c[0] for c in first[:n_centroids]], dtype=np.int64)
+        cmat = np.stack([c[1] for c in first[:n_centroids]])
+        base = np.stack([c[1] for c in first[:ksub]])  # (ksub, dim)
+        cb = np.stack([base[:, j * dsub:(j + 1) * dsub] for j in range(m)])  # (m, ksub, dsub)
+
+    bc = spark.sparkContext.broadcast((cids, cmat, cb))
+
+    enc_schema = StructType(
+        [StructField("cid_", LongType()), StructField("cell", LongType()),
+         StructField("codes", ArrayType(IntegerType()))]
+    )
+
+    def encode(it):
+        ids_, mat, books = bc.value
+        c_sq = (mat * mat).sum(axis=1)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cell = ids_[np.argmin(c_sq[None, :] - 2.0 * (v @ mat.T), axis=1)]
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub:(j + 1) * dsub]
+                bj = books[j]
+                d = (bj * bj).sum(axis=1)[None, :] - 2.0 * (sub @ bj.T)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame({
+                "cid_": pdf[id_col].to_numpy(),
+                "cell": cell,
+                "codes": list(codes),
+            })
+
+    encoded = emb.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+
+    # --- query probes (identical to ivf_topk)
+    c_sq = (cmat * cmat).sum(axis=1)
+    qrows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        d = c_sq - 2.0 * (cmat @ v)
+        order = np.lexsort((cids, d))
+        qrows.append((qid, [float(x) for x in v], [int(cids[i]) for i in order[:n_probe]]))
+    qdf = spark.createDataFrame(qrows, "qid: long, qvec: array<double>, probes: array<long>")
+    qdf = qdf.select("qid", "qvec", F.explode("probes").alias("cell"))
+
+    cand = encoded.join(F.broadcast(qdf), "cell")
+
+    # --- decode: codebook as a nested literal; decoded[j*dsub + t] =
+    # cb[j][codes[j]][t]. Flatten over j ascending = the encode order.
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in cb[j][c]]) for c in range(ksub)])
+        for j in range(m)
+    ])
+    decoded = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.element_at(cb_lit, j + 1), F.element_at(F.col("codes"), j + 1) + 1
+            ),
+        )
+    )
+    cand = cand.withColumn("dvec", decoded)
+    qn = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, x: a + x * x))
+    dn = F.sqrt(F.aggregate("dvec", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(F.zip_with("qvec", "dvec", lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z)
+    scored = cand.withColumn("cosine", dot / (qn * dn))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid_"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid_").alias("vec_id"), "rank")
+    )

@@ -2479,3 +2479,78 @@ inc AS (
 )
 SELECT inc.doc_id, idx.dup_of FROM inc JOIN idx USING (digest)
 """
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (inverted cells + product-quantized codes, m=8 subspaces x
+    16 codes = 8 bytes/vector vs 512): rank by cosine against the DECODED
+    vector — algebraically the ADC approximation, written as the same
+    sequential fold on both engines. Gate variant keeps the
+    oracle-replicable first-N coarse cells and codebooks."""
+    from .datapipe.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(emb, _ann_query_set(emb), k=10, n_centroids=16, n_probe=2,
+                      m=8, ksub=16)
+
+
+def _sql_ann_ivfpq(k: int = 10, n_centroids: int = 16, n_probe: int = 2,
+                   m: int = 8, dsub: int = 8, ksub: int = 16) -> str:
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+),
+base AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, CAST(embedding AS DOUBLE[]) AS bvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {ksub})
+),
+cb AS (
+  SELECT t.j, base.code, list_slice(base.bvec, t.j * {dsub} + 1, (t.j + 1) * {dsub}) AS cbvec
+  FROM base CROSS JOIN (SELECT range AS j FROM range(0, {m})) t
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), c.cell) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT e.vec_id, cb.j, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+             ORDER BY list_distance(
+               list_slice(CAST(e.embedding AS DOUBLE[]), cb.j * {dsub} + 1, (cb.j + 1) * {dsub}),
+               cb.cbvec), cb.code) AS rn
+    FROM embeddings e CROSS JOIN cb) WHERE rn = 1
+),
+decoded AS (
+  SELECT vec_id, flatten(list(cbvec ORDER BY j)) AS dvec
+  FROM codes JOIN cb USING (j, code) GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 5),
+qprobe AS (
+  SELECT qid, qvec, cell FROM (
+    SELECT q.qid, q.qvec, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY list_distance(q.qvec, c.cvec), c.cell) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT p.qid, p.qvec, a.vec_id FROM qprobe p JOIN assign a USING (cell)
+),
+scored AS (
+  SELECT qid, vec_id, list_cosine_similarity(qvec, d.dvec) AS cosine
+  FROM cand JOIN decoded d USING (vec_id)
+),
+ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVFPQ = _sql_ann_ivfpq()

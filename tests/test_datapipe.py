@@ -469,3 +469,41 @@ def test_mixture_sample_budgets_and_determinism(spark):
     out2 = mixture_sample(docs, weights={"a": 0.5}, total_chars=1000,
                           default_weight=0.25).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+
+def test_ivfpq_shape_and_codebook_trainer(spark):
+    """IVF-PQ: (a) output is exactly k ranked rows per query, deterministic
+    across runs; (b) the per-subspace Lloyd codebooks reconstruct the sample
+    with LOWER quantization error than first-N codebooks — the trainer earns
+    its keep."""
+    import numpy as np
+
+    from klog_spark.datapipe.similarity import ivfpq_topk, pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = [(r["vec_id"], list(r["embedding"]))
+          for r in emb.filter("vec_id < 3").collect()]
+    out = ivfpq_topk(emb, qs, k=10, n_centroids=16, n_probe=4, m=8, ksub=16).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2}
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+    out2 = ivfpq_topk(emb, qs, k=10, n_centroids=16, n_probe=4, m=8, ksub=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    sample = np.array([r["embedding"] for r in emb.limit(400).collect()], dtype=np.float64)
+    m, ksub, dsub = 8, 16, sample.shape[1] // 8
+
+    def recon_err(books):
+        err = 0.0
+        for j in range(m):
+            sub = sample[:, j * dsub:(j + 1) * dsub]
+            bj = books[j]
+            d = ((sub[:, None, :] - bj[None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err
+
+    trained = pq_codebooks(sample, m, ksub)
+    first_n = np.stack([sample[:ksub, j * dsub:(j + 1) * dsub] for j in range(m)])
+    assert recon_err(trained) < recon_err(first_n)
