@@ -118,6 +118,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,   # join shape covered by klog_enrich/group_lag rows
         "corpus_clean": eq.q_corpus_clean,                       # composition of three driver-gated ops
         "ann_lsh_topk": eq.q_ann_lsh,                            # hyperplane-bucket twin of ann_ivf row; recall pytest
+        "klog_group_offset_rewinds": eq.q_group_offset_rewinds,  # incident-signal view over the group_offsets row
     }
 
 
@@ -205,4 +206,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "tpch_revenue_by_nation": eq.SQL_TPCH_REVENUE_BY_NATION,
         "corpus_clean": eq.SQL_CORPUS_CLEAN,
         "ann_lsh_topk": eq.SQL_ANN_LSH,
+        "klog_group_offset_rewinds": eq.SQL_GROUP_OFFSET_REWINDS,
     }

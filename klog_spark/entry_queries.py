@@ -2554,3 +2554,28 @@ SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 
 
 SQL_ANN_IVFPQ = _sql_ann_ivfpq()
+
+
+def q_group_offset_rewinds(spark, sf_dir):
+    """Committed-offset regression (rewind) detection per consumer
+    group-partition — the reset-to-earliest / zombie-member incident
+    signal; tombstones legitimately reset the chain."""
+    from .operators.group_offsets import offset_rewinds
+
+    return offset_rewinds(load_parsed(spark, sf_dir))
+
+
+SQL_GROUP_OFFSET_REWINDS = f"""
+WITH {klog_base_cte()},
+p AS (
+  SELECT group_id, commit_topic, commit_partition, file, line_no, is_deletion,
+         committed_offset,
+         LAG(committed_offset) OVER (PARTITION BY group_id, commit_topic, commit_partition
+                                     ORDER BY file, line_no) AS prev_offset
+  FROM oc_msgs
+)
+SELECT group_id, commit_topic, commit_partition, file, line_no,
+       committed_offset, prev_offset
+FROM p
+WHERE NOT is_deletion AND prev_offset IS NOT NULL AND committed_offset < prev_offset
+"""

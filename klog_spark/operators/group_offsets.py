@@ -156,3 +156,32 @@ def latest_group_metadata(parsed: DataFrame) -> DataFrame:
         F.col("last.leader").alias("leader"),
         F.col("last.num_members").alias("num_members"),
     )
+
+
+def offset_rewinds(parsed: DataFrame) -> DataFrame:
+    """Committed-offset regressions per (group, topic, partition): commits
+    whose offset is LOWER than the previous commit's, in segment order —
+    the classic consumer-group incident signal (reset-to-earliest, zombie
+    member, manual seek). Tombstones break the comparison chain: a
+    recommit after deletion is a legitimate reset, not a rewind.
+
+    One LAG window per group-partition key (bounded, high-cardinality);
+    output is the anomaly rows only. Implementation: lag over ALL commit
+    events INCLUDING tombstones — a commit whose immediately-previous event
+    is a tombstone compares against NULL offset and never flags, which is
+    exactly the chain reset.
+    """
+    oc = parsed.filter(F.col("record_class") == "offset_commit")
+    w = Window.partitionBy("group_id", "commit_topic", "commit_partition").orderBy(
+        "file", "line_no"
+    )
+    prev = oc.withColumn("prev_offset", F.lag("committed_offset").over(w))
+    return (
+        prev.filter(
+            ~F.col("is_deletion")
+            & F.col("prev_offset").isNotNull()
+            & (F.col("committed_offset") < F.col("prev_offset"))
+        )
+        .select("group_id", "commit_topic", "commit_partition", "file", "line_no",
+                "committed_offset", "prev_offset")
+    )
