@@ -83,7 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": eq.q_contamination_check,   # train->test shingle leakage scan
         "doc_repetition": eq.q_doc_repetition,             # Gopher-style repetition metrics
         "seq_len_percentiles": eq.q_seq_len_percentiles,   # exact p50/p90/p99
-        "multimodal_features": eq.q_multimodal_features,
+        "multimodal_decode": eq.q_multimodal_decode,       # REAL stdlib PNG/WAV decode vs first-principles oracle
         # telemetry/event analytics (engine-robustness fixed in round 4:
         # NTZ timestamps, pinned NULL ordering, tie-free exact averages)
         "events_daily": eq.q_events_daily,
@@ -119,6 +119,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": eq.q_corpus_clean,                       # composition of three driver-gated ops
         "ann_lsh_topk": eq.q_ann_lsh,                            # hyperplane-bucket twin of ann_ivf row; recall pytest
         "klog_group_offset_rewinds": eq.q_group_offset_rewinds,  # incident-signal view over the group_offsets row
+        "multimodal_features": eq.q_multimodal_features,         # opaque-blob plumbing twin of multimodal_decode row
     }
 
 
@@ -175,7 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": eq.SQL_CONTAMINATION_CHECK,
         "doc_repetition": eq.SQL_DOC_REPETITION,
         "seq_len_percentiles": eq.SQL_SEQ_LEN_PERCENTILES,
-        "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
+        "multimodal_decode": eq.SQL_MULTIMODAL_DECODE,
         "events_daily": eq.SQL_EVENTS_DAILY,
         "event_sessions": eq.SQL_EVENT_SESSIONS,
         "events_rolling_7d": eq.SQL_EVENTS_ROLLING,
@@ -207,4 +208,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_clean": eq.SQL_CORPUS_CLEAN,
         "ann_lsh_topk": eq.SQL_ANN_LSH,
         "klog_group_offset_rewinds": eq.SQL_GROUP_OFFSET_REWINDS,
+        "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
     }

@@ -2,12 +2,25 @@
 
 The Spark-side machinery is real and tested — schema, Arrow batch shape,
 partition-friendly ``mapInPandas`` feature extraction, frame-sampling
-layout. The actual media decode is STUBBED (`decode_media`) because no
-image/audio libraries exist in this environment; `_FakeDecoder` provides a
-deterministic stand-in so the distributed plumbing is exercised end-to-end.
+layout. Since round 4 the image and audio decodes are REAL, pure-stdlib
+implementations (no PIL/torchaudio needed):
+
+* PNG — chunk walk + IHDR parse + zlib-inflate + full scanline unfiltering
+  (filters 0-4 incl. Paeth), 8-bit gray/RGB/RGBA non-interlaced;
+* WAV — stdlib ``wave`` + PCM16 frames.
+
+Video stays honestly stubbed (`decode_media` raises for ``video/*``): there
+is no stdlib video codec, and faking one would be worse than saying so.
+``_FakeDecoder`` remains for opaque-blob plumbing tests over arbitrary
+bytes.
 """
 
 from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -48,12 +61,137 @@ FEATURE_SCHEMA = StructType(
 FRAME_BYTES = 1024  # stand-in "frame" granule for frame-sampling layout
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> channels (8-bit only)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (stdlib zlib/struct): 8-bit gray (h,w) or
+    RGB/RGBA (h,w,3|4), non-interlaced, one filter type for every scanline
+    (0=None, 1=Sub, 2=Up — enough to exercise the decoder's unfiltering)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    arr = arr.astype(np.uint8)
+    stride = w * c
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int64)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub: minus pixel to the left
+            left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+            filt = (row - left) % 256
+        elif filter_type == 2:  # Up: minus the pixel above
+            filt = (row - prev) % 256
+        else:
+            raise ValueError(f"encoder supports filters 0-2, got {filter_type}")
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder: returns (h, w, channels) uint8. Supports
+    8-bit grayscale/RGB/RGBA, non-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth per the PNG spec §9)."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = []
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos:pos + 4])
+        typ = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+                raise ValueError(f"unsupported PNG variant: depth={depth} "
+                                 f"color={color_type} interlace={interlace}")
+            c = _PNG_CHANNELS[color_type]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        line = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+        ftype, filt = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:
+            out[y] = filt
+        elif ftype == 2:  # Up
+            out[y] = (filt + prior) % 256
+        else:  # Sub / Average / Paeth need the in-row left neighbor
+            rec = out[y]
+            for i in range(stride):
+                a = rec[i - c] if i >= c else 0
+                b = prior[i]
+                cc = prior[i - c] if i >= c else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                rec[i] = (filt[i] + pred) % 256
+    return out.astype(np.uint8).reshape(h, w, c)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono PCM16 WAV via the stdlib ``wave`` module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int, int]:
+    """Stdlib WAV decode: (samples int16 (n, channels), sample_rate,
+    channels). PCM16 only."""
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        n, ch, sr = wf.getnframes(), wf.getnchannels(), wf.getframerate()
+        samples = np.frombuffer(wf.readframes(n), dtype="<i2").reshape(n, ch)
+    return samples, sr, ch
+
+
 def decode_media(blob: bytes, media_type: str):
-    """Real decode entry point — requires PIL/torchaudio/decord, which are
-    not available in this container."""
+    """Real decode dispatch. Returns a feature dict per modality; raises for
+    media types with no stdlib codec (video)."""
+    if media_type == "image/png":
+        arr = decode_png(bytes(blob))
+        h, w, c = arr.shape
+        return {"width": w, "height": h, "channels": c,
+                "pixel_sum": int(arr.astype(np.int64).sum())}
+    if media_type == "audio/wav":
+        samples, sr, ch = decode_wav(bytes(blob))
+        return {"sample_rate": sr, "channels": ch, "n_samples": samples.shape[0],
+                "sample_abs_sum": int(np.abs(samples.astype(np.int64)).sum())}
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; use _FakeDecoder for plumbing tests"
+        f"no stdlib codec for {media_type!r} (video decode requires external "
+        "libraries not present in this environment)"
     )
 
 
@@ -108,3 +246,79 @@ def documents_as_media(docs: DataFrame, text_col: str = "text", id_col: str = "d
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_abs_sum", LongType()),
+    ]
+)
+
+
+def synthetic_media_table(spark, n: int = 200) -> DataFrame:
+    """Deterministic REAL media blobs, generated distributed (mapInPandas
+    over a range): even ids get an RGB PNG with pixel[y][x][ch] =
+    (x*7 + y*13 + ch*29 + id*31) % 256 at (8 + id%5) x (6 + id%7); odd ids
+    get a mono PCM16 WAV with sample[t] = ((t * (id%13 + 3)) % 2001) - 1000
+    over 64 + (id%37)*8 samples @ 8kHz. The closed-form content is what
+    lets an engine-independent oracle verify the DECODERS (not just the
+    plumbing) value-for-value."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("media", BinaryType()),
+         StructField("media_type", StringType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = {"doc_id": [], "media": [], "media_type": []}
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h = 8 + i % 5, 6 + i % 7
+                    x = np.arange(w)[None, :, None]
+                    y = np.arange(h)[:, None, None]
+                    ch = np.arange(3)[None, None, :]
+                    arr = ((x * 7 + y * 13 + ch * 29 + i * 31) % 256).astype(np.uint8)
+                    rows["media"].append(encode_png(arr, filter_type=i % 3))
+                    rows["media_type"].append("image/png")
+                else:
+                    t = np.arange(64 + (i % 37) * 8, dtype=np.int64)
+                    samples = (t * (i % 13 + 3)) % 2001 - 1000
+                    rows["media"].append(encode_wav_pcm16(samples))
+                    rows["media_type"].append("audio/wav")
+                rows["doc_id"].append(i)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema)
+
+
+def extract_decoded_features(media_df: DataFrame) -> DataFrame:
+    """REAL decode over the media column: per-modality typed features
+    (image dimensions + exact pixel sum, audio rate/length + exact
+    abs-amplitude sum). Arrow-batched mapInPandas; decode never leaves the
+    executors."""
+    cols = ["doc_id", "media_type", "width", "height", "channels",
+            "pixel_sum", "sample_rate", "n_samples", "sample_abs_sum"]
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = {k: [] for k in cols}
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], pdf["media_type"]):
+                feats = decode_media(bytes(blob), mt)
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                for k in cols[2:]:
+                    rows[k].append(feats.get(k))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(gen, DECODED_SCHEMA)

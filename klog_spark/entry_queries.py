@@ -2579,3 +2579,45 @@ SELECT group_id, commit_topic, commit_partition, file, line_no,
 FROM p
 WHERE NOT is_deletion AND prev_offset IS NOT NULL AND committed_offset < prev_offset
 """
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """REAL media decode, verified from first principles: the synthetic
+    media table carries genuine PNG and WAV blobs whose content is a closed
+    form of doc_id; Spark DECODES THE BYTES (stdlib zlib/struct/wave
+    decoders, executor-side) while the oracle recomputes the same features
+    from the generation formula — agreement proves the decoders, not just
+    the plumbing."""
+    from .datapipe.multimodal import extract_decoded_features, synthetic_media_table
+
+    return extract_decoded_features(synthetic_media_table(spark, n=200))
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH ids AS (SELECT range AS i FROM range(0, 200)),
+png AS (
+  SELECT i AS doc_id, 'image/png' AS media_type,
+         CAST(8 + i % 5 AS INT) AS width, CAST(6 + i % 7 AS INT) AS height,
+         CAST(3 AS INT) AS channels,
+         CAST((SELECT SUM((x.range * 7 + y.range * 13 + ch.range * 29 + i * 31) % 256)
+               FROM range(0, 12) x, range(0, 12) y, range(0, 3) ch
+               WHERE x.range < 8 + i % 5 AND y.range < 6 + i % 7)
+              AS BIGINT) AS pixel_sum,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS BIGINT) AS sample_abs_sum
+  FROM ids WHERE i % 2 = 0
+),
+wav AS (
+  SELECT i AS doc_id, 'audio/wav' AS media_type,
+         CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+         CAST(1 AS INT) AS channels,
+         CAST(NULL AS BIGINT) AS pixel_sum,
+         CAST(8000 AS INT) AS sample_rate,
+         CAST(64 + (i % 37) * 8 AS INT) AS n_samples,
+         CAST((SELECT SUM(ABS((t.range * (i % 13 + 3)) % 2001 - 1000))
+               FROM range(0, 352) t WHERE t.range < 64 + (i % 37) * 8)
+              AS BIGINT) AS sample_abs_sum
+  FROM ids WHERE i % 2 = 1
+)
+SELECT * FROM png UNION ALL SELECT * FROM wav
+"""

@@ -507,3 +507,74 @@ def test_ivfpq_shape_and_codebook_trainer(spark):
     trained = pq_codebooks(sample, m, ksub)
     first_n = np.stack([sample[:ksub, j * dsub:(j + 1) * dsub] for j in range(m)])
     assert recon_err(trained) < recon_err(first_n)
+
+
+def test_png_decoder_all_filters_and_wav_roundtrip():
+    """Pure-stdlib codecs: decode must invert every PNG scanline filter
+    (None/Sub/Up/Average/Paeth) — rows 3/4 are hand-filtered per the spec
+    since the encoder only writes 0-2 — and WAV PCM16 must round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from klog_spark.datapipe.multimodal import (
+        _PNG_SIG, decode_png, decode_wav, encode_png, encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = arr[y].reshape(-1).astype(np.int64)
+        filt = np.empty_like(row)
+        for i in range(len(row)):
+            a = row[i - c] if i >= c else 0
+            b = prev[i]
+            cc = prev[i - c] if i >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[i] = (row[i] - pred) % 256
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    blob = (_PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines))) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(blob), arr)
+
+    # encoder round-trips for its own filters, gray + RGBA variants
+    for ft in (0, 1, 2):
+        assert np.array_equal(decode_png(encode_png(arr, filter_type=ft)), arr)
+    gray = rng.integers(0, 256, size=(4, 7), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(gray))[:, :, 0], gray)
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+    samples = rng.integers(-30000, 30000, size=777).astype(np.int64)
+    dec, sr, ch = decode_wav(encode_wav_pcm16(samples, 16000))
+    assert sr == 16000 and ch == 1 and np.array_equal(dec[:, 0], samples)
+
+
+def test_media_decode_video_stays_honest():
+    import pytest as _pytest
+
+    from klog_spark.datapipe.multimodal import decode_media
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "video/mp4")
