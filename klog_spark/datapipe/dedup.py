@@ -157,7 +157,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .withColumn("n_common", F.size(F.array_intersect("s1", "s2")))
         .withColumn("jaccard", F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+        .select("id1", "id2", "jaccard")  # exact int/int division: no ROUND
     )
 
 
@@ -242,7 +242,9 @@ def minhash_dedup(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
         .withColumn("est_jaccard", F.col("n_agree") / F.size("sig1"))
         .filter(F.col("est_jaccard") >= threshold)
     )
-    return est.select("id1", "id2", F.round("est_jaccard", 6).alias("est_jaccard"))
+    # no ROUND: both engines divide the same exact ints -> bit-identical
+    # doubles; rounding identical doubles is the only way they can diverge
+    return est.select("id1", "id2", "est_jaccard")
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -1278,7 +1278,7 @@ common AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id1, id2,
-       ROUND(n_common / (s1.n_shingles + s2.n_shingles - n_common), 6) AS jaccard
+       n_common / (s1.n_shingles + s2.n_shingles - n_common) AS jaccard
 FROM common
 JOIN sizes s1 ON s1.doc_id = id1
 JOIN sizes s2 ON s2.doc_id = id2
@@ -1395,7 +1395,7 @@ cands AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id
 )
-SELECT id1, id2, ROUND(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+SELECT id1, id2, ({agree}) / {num_hashes}.0 AS est_jaccard
 FROM cands JOIN sig s1 ON s1.doc_id = id1 JOIN sig s2 ON s2.doc_id = id2
 WHERE ({agree}) / {num_hashes}.0 >= {threshold}
 """
