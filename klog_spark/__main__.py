@@ -1,0 +1,220 @@
+"""klog-compatible CLI backed by the Spark engine.
+
+The reference is a CLI (`klog segment cat|txn-stat`, `klog snapshot
+cat|abort-cmd` — segment/cli/*.java, snapshot/cli/*.java); this module maps
+those commands (plus the beyond-reference ``group`` analytics and the
+``route`` fan-out) onto the distributed operators, so a klog user can point
+the same commands at the same dump files and get the same output — computed
+by Spark instead of a single-threaded visitor walk.
+
+INPUT is either a directory/glob of `kafka-dump-log` text output
+(``sources.dump_files.read_dump_files``) or a parquet path/directory of
+tokenized sequences (the engine's native table). Results stream through
+``toLocalIterator`` — the driver never holds a whole dump in memory.
+
+Usage::
+
+    python -m klog_spark segment cat DUMP_DIR [--pid N] [--producer-epoch N]
+                                     [--leader-epoch N] [--no-color]
+                                     [--filename] [--line-numbers]
+    python -m klog_spark segment txn-stat DUMP_DIR
+    python -m klog_spark snapshot cat DUMP_DIR [--pid N] [--producer-epoch N]
+    python -m klog_spark snapshot abort-cmd DUMP_DIR --pid N --producer-epoch N
+    python -m klog_spark group offsets|lag|metadata|rewinds DUMP_DIR
+                                     [--read-committed]
+    python -m klog_spark route DUMP_DIR --out OUT_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _input_df(spark: SparkSession, path: str) -> DataFrame:
+    """Dump-text directory/glob OR tokenized-sequence parquet -> input table."""
+    from .sources.dump_files import read_dump_files
+
+    if path.endswith(".parquet") or glob.glob(os.path.join(path, "*.parquet")):
+        return spark.read.parquet(path)
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.dump.txt")
+    return read_dump_files(spark, path)
+
+
+def _parsed(spark: SparkSession, path: str) -> DataFrame:
+    from .operators.parse import parse_sequences
+
+    return parse_sequences(_input_df(spark, path))
+
+
+def _routed(spark: SparkSession, path: str) -> DataFrame:
+    from .operators.route import apply_validity_routing
+
+    return apply_validity_routing(_parsed(spark, path))
+
+
+def _print_rows(df: DataFrame, col: str | None = None) -> int:
+    n = 0
+    for row in df.toLocalIterator():
+        print(row[col] if col else " ".join(f"{k}={row[k]}" for k in row.asDict()))
+        n += 1
+    return n
+
+
+def cmd_segment_cat(spark, args) -> int:
+    from .operators.aggregates import attach_parent_batch
+    from .operators.render import render_cat_lines
+
+    parsed = _parsed(spark, args.input)
+    batch_filters = {
+        "pid": args.pid, "producer_epoch": args.producer_epoch,
+        "leader_epoch": args.leader_epoch,
+    }
+    active = {k: v for k, v in batch_filters.items() if v is not None}
+    if active or args.transactional_id is not None:
+        # the reference's predicate semantics: a selected BATCH prints with
+        # its records; --transactional-id selects txn-state records
+        cond = F.lit(True)
+        col_of = {"pid": "producer_id", "producer_epoch": "producer_epoch",
+                  "leader_epoch": "partition_leader_epoch"}
+        with_parent = attach_parent_batch(parsed)
+        keep = F.lit(True)
+        for k, v in active.items():
+            c = col_of[k]
+            keep = keep & (
+                F.when(F.col("record_class") == "batch", F.col(c) == v)
+                .otherwise(F.col(f"parent.{c}") == v)
+            )
+        if args.transactional_id is not None:
+            keep = keep & F.col("record_class").isin("txn_state", "txn_deletion") & (
+                F.col("transactional_id") == args.transactional_id
+            )
+        parsed = with_parent.filter(keep).drop("parent")
+    lines = render_cat_lines(
+        parsed, color=not args.no_color,
+        show_filename=args.filename, show_line_numbers=args.line_numbers,
+    ).orderBy("file", "line_no")
+    _print_rows(lines, "display")
+    return 0
+
+
+def cmd_segment_txn_stat(spark, args) -> int:
+    from .operators.aggregates import txn_stats
+
+    row = txn_stats(_parsed(spark, args.input)).collect()[0]
+    for k, v in row.asDict().items():
+        print(f"{k}: {v}")
+    return 0
+
+
+def cmd_snapshot_cat(spark, args) -> int:
+    from .operators.filters import cat_producer_states
+
+    df = cat_producer_states(
+        _routed(spark, args.input), pid=args.pid, producer_epoch=args.producer_epoch
+    ).orderBy("file", "line_no")
+    _print_rows(df.drop("file", "line_no"))
+    return 0
+
+
+def cmd_snapshot_abort_cmd(spark, args) -> int:
+    from .operators.enrich import abort_commands_for
+
+    df = abort_commands_for(_routed(spark, args.input), args.pid, args.producer_epoch)
+    _print_rows(df, "abort_command")
+    return 0
+
+
+def cmd_group(spark, args) -> int:
+    from .operators.group_offsets import (
+        group_lag, latest_group_metadata, latest_group_offsets,
+        offset_rewinds, read_committed_group_offsets,
+    )
+
+    routed = _routed(spark, args.input)
+    if args.view == "offsets":
+        df = (read_committed_group_offsets(routed) if args.read_committed
+              else latest_group_offsets(routed))
+        df = df.orderBy("group_id", "commit_topic", "commit_partition")
+    elif args.view == "lag":
+        df = group_lag(routed).orderBy("group_id", "commit_topic", "commit_partition")
+    elif args.view == "metadata":
+        df = latest_group_metadata(routed).orderBy("group_id")
+    else:
+        df = offset_rewinds(routed).orderBy("group_id", "file", "line_no")
+    _print_rows(df)
+    return 0
+
+
+def cmd_route(spark, args) -> int:
+    from .operators.route import sink_counts, write_routed
+
+    routed = _routed(spark, args.input)
+    write_routed(routed, args.out, write_tasks=args.write_tasks)
+    _print_rows(sink_counts(spark.read.parquet(args.out)))
+    print(f"routed staging written to {args.out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="klog-spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    seg = sub.add_parser("segment").add_subparsers(dest="sub", required=True)
+    cat = seg.add_parser("cat")
+    cat.add_argument("input")
+    cat.add_argument("--pid", type=int)
+    cat.add_argument("--producer-epoch", type=int, dest="producer_epoch")
+    cat.add_argument("--leader-epoch", type=int, dest="leader_epoch")
+    cat.add_argument("--transactional-id", dest="transactional_id")
+    cat.add_argument("--no-color", action="store_true")
+    cat.add_argument("--filename", action="store_true")
+    cat.add_argument("--line-numbers", action="store_true", dest="line_numbers")
+    cat.set_defaults(fn=cmd_segment_cat)
+    ts = seg.add_parser("txn-stat")
+    ts.add_argument("input")
+    ts.set_defaults(fn=cmd_segment_txn_stat)
+
+    snap = sub.add_parser("snapshot").add_subparsers(dest="sub", required=True)
+    scat = snap.add_parser("cat")
+    scat.add_argument("input")
+    scat.add_argument("--pid", type=int)
+    scat.add_argument("--producer-epoch", type=int, dest="producer_epoch")
+    scat.set_defaults(fn=cmd_snapshot_cat)
+    sab = snap.add_parser("abort-cmd")
+    sab.add_argument("input")
+    sab.add_argument("--pid", type=int, required=True)
+    sab.add_argument("--producer-epoch", type=int, dest="producer_epoch", required=True)
+    sab.set_defaults(fn=cmd_snapshot_abort_cmd)
+
+    grp = sub.add_parser("group")
+    grp.add_argument("view", choices=["offsets", "lag", "metadata", "rewinds"])
+    grp.add_argument("input")
+    grp.add_argument("--read-committed", action="store_true", dest="read_committed")
+    grp.set_defaults(fn=cmd_group)
+
+    rt = sub.add_parser("route")
+    rt.add_argument("input")
+    rt.add_argument("--out", required=True)
+    rt.add_argument("--write-tasks", type=int, dest="write_tasks")
+    rt.set_defaults(fn=cmd_route)
+    return ap
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark(app_name="klog-spark-cli")
+    return args.fn(spark, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

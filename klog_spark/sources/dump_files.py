@@ -1,0 +1,89 @@
+"""Raw `kafka-dump-log` output as an engine input source.
+
+The reference CLI consumes directories of dump-text files directly
+(SegmentDumpReader walks `*.log.dump.txt`); the engine's native input is
+the tokenized sequence table. This source bridges them: point it at a
+directory/glob of dump files and it produces the exact (doc_id, tokens,
+n_tok, source) table the rest of the pipeline consumes — so a klog user
+can run every query against the files they already have, no offline
+tokenization step.
+
+IMPORTANT pitfall this source exists to avoid: Spark's Hadoop-based text
+readers apply the hidden-file filter, which SILENTLY DROPS any file whose
+name starts with ``_`` — and Kafka's internal topics
+(``__consumer_offsets``, ``__transaction_state``) produce exactly such
+dump-file names. Files are therefore listed explicitly (driver-side glob,
+the same listing Spark's own file index does) and opened on the
+executors, one task per dump file — a file is one segment dump, bounded
+by segment size, the same granule checkpoint.py uses for lineage.
+
+The line-split + codepoint encoding is one C-level UTF-32 pass per file
+(tokens.texts_to_token_arrays), no per-line Python beyond O(lines)
+slicing. ``source`` is taken from the file's ``Dumping <path>`` header —
+the same path the reference's segment-type and topic inference read —
+with the file name as fallback.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType, IntegerType, StringType, StructField, StructType,
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def read_dump_files(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/glob of dump-text files -> the tokenized sequence table."""
+    from ..tokens import texts_to_token_arrays
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "*.dump.txt")
+    paths = sorted(_glob.glob(path))
+    if not paths:
+        raise FileNotFoundError(f"no dump files match {path!r}")
+    parallelism = spark.sparkContext.defaultParallelism
+    pdf = spark.createDataFrame([(p,) for p in paths], "path: string").repartition(
+        min(len(paths), parallelism)
+    )
+
+    def explode(it):
+        for chunk in it:
+            for fpath in chunk["path"]:
+                name = os.path.basename(fpath)
+                with open(fpath, encoding="utf-8") as fh:
+                    lines = fh.read().split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()
+                if not lines:
+                    continue
+                source = (
+                    lines[0][len("Dumping "):].strip()
+                    if lines[0].startswith("Dumping ")
+                    else name
+                )
+                values, offsets = texts_to_token_arrays(lines)
+                toks = [values[offsets[i]:offsets[i + 1]] for i in range(len(lines))]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [f"{name}:{i + 1}" for i in range(len(lines))],
+                        "tokens": toks,
+                        "n_tok": np.asarray(offsets[1:] - offsets[:-1], dtype=np.int32),
+                        "source": source,
+                    }
+                )
+
+    return pdf.mapInPandas(explode, OUT_SCHEMA)

@@ -1,0 +1,98 @@
+"""Dump-text file source + the klog-compatible CLI.
+
+Reconstructs real dump-text files from the fixture's text rendition, then
+demands (a) the file source reproduces the tokenized table exactly and
+(b) the CLI commands produce the same results as the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dump_dir(fixture_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("dumps")
+    rows = duckdb.sql(
+        f"""SELECT regexp_extract(doc_id, '^(.*):([0-9]+)$', 1) AS file,
+                   CAST(regexp_extract(doc_id, '^(.*):([0-9]+)$', 2) AS INT) AS line_no,
+                   line
+            FROM read_parquet('{fixture_dir}/sequences_text.parquet')
+            ORDER BY file, line_no"""
+    ).fetchall()
+    files: dict[str, list[str]] = {}
+    for fname, _ln, line in rows:
+        files.setdefault(fname, []).append(line)
+    for fname, lines in files.items():
+        (out / fname).write_text("\n".join(lines) + "\n")
+    return str(out)
+
+
+def test_dump_file_source_reproduces_tokenized_table(spark, fixture_dir, dump_dir):
+    from klog_spark.sources.dump_files import read_dump_files
+
+    got = read_dump_files(spark, f"{dump_dir}/*.dump.txt")
+    want = spark.read.parquet(f"{fixture_dir}/sequences.parquet")
+    # token-array equality per doc_id — the per-row invariant of the whole
+    # engine, now holding across the text->tokens bridge
+    diff = (
+        got.select("doc_id", F.col("tokens").alias("t1"), "source")
+        .join(want.select("doc_id", F.col("tokens").alias("t2"),
+                          F.col("source").alias("s2")), "doc_id", "full")
+        .filter((F.col("t1") != F.col("t2")) | F.col("t1").isNull() | F.col("t2").isNull()
+                | (F.col("source") != F.col("s2")))
+    )
+    assert diff.count() == 0
+    assert got.count() == want.count()
+
+
+def test_txn_stats_parity_from_dump_files(spark, fixture_dir, dump_dir):
+    from klog_spark.operators.aggregates import txn_stats
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.sources.dump_files import read_dump_files
+
+    via_files = txn_stats(parse_sequences(read_dump_files(spark, dump_dir + "/*.dump.txt"))).collect()[0]
+    via_parquet = txn_stats(
+        parse_sequences(spark.read.parquet(f"{fixture_dir}/sequences.parquet"))
+    ).collect()[0]
+    assert via_files.asDict() == via_parquet.asDict()
+
+
+def test_cli_commands(spark, dump_dir, capsys, tmp_path):
+    from klog_spark.__main__ import main
+
+    # txn-stat over the dump directory
+    assert main(["segment", "txn-stat", dump_dir], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "num_committed:" in out and "num_open_txn:" in out
+
+    # filtered cat: only pid-1 batches and their records, uncolored
+    assert main(["segment", "cat", dump_dir, "--pid", "1", "--no-color"],
+                spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "producerId=1," in out
+    assert "producerId=-1" not in out
+
+    # group analytics incl. read-committed view
+    assert main(["group", "offsets", dump_dir, "--read-committed"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "group_id=" in out and "committed_offset=" in out
+
+    # snapshot abort-cmd formatting
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.sources.dump_files import read_dump_files
+
+    parsed = parse_sequences(read_dump_files(spark, dump_dir + "/*.dump.txt"))
+    snap = parsed.filter(F.col("record_class") == "producer_state").first()
+    assert main(["snapshot", "abort-cmd", dump_dir, "--pid", str(snap["producer_id"]),
+                 "--producer-epoch", str(snap["producer_epoch"])], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "kafka-transactions.sh" in out and f"--producer-id {snap['producer_id']}" in out
+
+    # route fan-out writes the partitioned staging
+    dest = str(tmp_path / "routed_cli")
+    assert main(["route", dump_dir, "--out", dest], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "record_class=batch" in out and "routed staging written" in out
