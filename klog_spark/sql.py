@@ -1,0 +1,92 @@
+"""The whole analysis surface as Spark SQL views.
+
+``register_views(spark, input)`` publishes the engine as a set of
+temp views so an analyst can work purely in ``spark.sql`` — the
+Spark-idiomatic twin of the CLI:
+
+base tables (lazily parsed, Catalyst prunes/pushes through them):
+  <p>_parsed, <p>_batches, <p>_data_msgs, <p>_control_msgs, <p>_txn_state,
+  <p>_producer_states, <p>_offset_commits, <p>_group_metadata, <p>_corrupt
+analytic views:
+  <p>_txn_stats, <p>_open_txns, <p>_empty_txns, <p>_offset_gaps,
+  <p>_batches_per_epoch, <p>_state_machine_violations, <p>_group_offsets,
+  <p>_group_offsets_read_committed, <p>_group_lag, <p>_group_metadata_latest,
+  <p>_group_offset_rewinds
+
+Views are DataFrame-backed (createOrReplaceTempView), so every SQL query
+plans through the same operators the API uses — one parse, partition
+pruning, broadcast joins and windows included. ``input`` is a DataFrame,
+a tokenized-parquet path, or a dump-text directory (sources.dump_files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.route import SINK_PROJECTIONS
+
+_CLASS_VIEWS = {
+    "batches": "batch",
+    "data_msgs": "data_msg",
+    "control_msgs": "control_msg",
+    "txn_state": "txn_state",
+    "producer_states": "producer_state",
+    "offset_commits": "offset_commit",
+    "group_metadata": "group_metadata",
+    "corrupt": "corrupt",
+}
+
+
+def register_views(spark: SparkSession, input_data, prefix: str = "klog") -> list[str]:
+    """Register the view surface; returns the list of view names."""
+    from .operators import aggregates, checks, group_offsets
+    from .operators.parse import parse_sequences
+    from .operators.route import apply_validity_routing
+
+    if isinstance(input_data, DataFrame):
+        seq = input_data
+    elif str(input_data).endswith(".parquet"):
+        seq = spark.read.parquet(str(input_data))
+    else:
+        import glob
+        import os
+
+        p = str(input_data)
+        if os.path.isdir(p) and glob.glob(os.path.join(p, "*.parquet")):
+            seq = spark.read.parquet(p)
+        else:
+            from .sources.dump_files import read_dump_files
+
+            seq = read_dump_files(spark, p)
+
+    parsed = parse_sequences(seq)          # raw: txn aggregates consume this
+    routed = apply_validity_routing(parsed)  # sink view: corrupt re-routed
+
+    views: dict[str, DataFrame] = {"parsed": routed}
+    for view, cls in _CLASS_VIEWS.items():
+        df = routed.filter(F.col("record_class") == cls)
+        cols = SINK_PROJECTIONS.get(cls)
+        views[view] = df.select(*cols) if cols else df
+
+    views.update(
+        {
+            "txn_stats": aggregates.txn_stats(parsed),
+            "open_txns": aggregates.open_txns(parsed),
+            "empty_txns": aggregates.empty_txns(parsed),
+            "offset_gaps": aggregates.offset_gaps(parsed),
+            "batches_per_epoch": aggregates.batches_per_epoch(parsed),
+            "state_machine_violations": checks.state_machine_violations(parsed),
+            "group_offsets": group_offsets.latest_group_offsets(routed),
+            "group_offsets_read_committed": group_offsets.read_committed_group_offsets(routed),
+            "group_lag": group_offsets.group_lag(routed),
+            "group_metadata_latest": group_offsets.latest_group_metadata(routed),
+            "group_offset_rewinds": group_offsets.offset_rewinds(routed),
+        }
+    )
+    names = []
+    for view, df in views.items():
+        name = f"{prefix}_{view}"
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names

@@ -96,3 +96,30 @@ def test_cli_commands(spark, dump_dir, capsys, tmp_path):
     assert main(["route", dump_dir, "--out", dest], spark=spark) == 0
     out = capsys.readouterr().out
     assert "record_class=batch" in out and "routed staging written" in out
+
+
+def test_sql_view_surface(spark, fixture_dir):
+    """register_views publishes the engine for pure-SQL use: analytic views
+    match the API, base views compose in joins, plans stay pruned."""
+    from klog_spark.operators.aggregates import txn_stats
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.sql import register_views
+
+    names = register_views(spark, f"{fixture_dir}/sequences.parquet", prefix="t1")
+    assert "t1_txn_stats" in names and "t1_group_lag" in names
+
+    got = spark.sql("SELECT * FROM t1_txn_stats").collect()[0]
+    want = txn_stats(parse_sequences(
+        spark.read.parquet(f"{fixture_dir}/sequences.parquet"))).collect()[0]
+    assert got.asDict() == want.asDict()
+
+    # cross-view SQL join: lag vs latest metadata per group
+    joined = spark.sql("""
+        SELECT l.group_id, l.lag, m.generation
+        FROM t1_group_lag l JOIN t1_group_metadata_latest m USING (group_id)
+    """).collect()
+    assert joined and all(r["generation"] >= 1 for r in joined)
+
+    # the batches view carries only the batch projection
+    cols = set(spark.sql("SELECT * FROM t1_batches LIMIT 1").columns)
+    assert "base_offset" in cols and "committed_offset" not in cols
