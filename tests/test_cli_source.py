@@ -123,3 +123,30 @@ def test_sql_view_surface(spark, fixture_dir):
     # the batches view carries only the batch projection
     cols = set(spark.sql("SELECT * FROM t1_batches LIMIT 1").columns)
     assert "base_offset" in cols and "committed_offset" not in cols
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# arbitrary unicode lines (no newlines/surrogates), including empty ones
+line_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\n\r"),
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(line_st, min_size=1, max_size=20))
+def test_dump_source_tokenizes_arbitrary_text(spark, tmp_path_factory, lines):
+    """Property: for ANY text content, the file source's token arrays are
+    exactly the per-line code points — the bridge never mangles unicode,
+    empty lines, or the trailing newline."""
+    from klog_spark.sources.dump_files import read_dump_files
+
+    d = tmp_path_factory.mktemp("prop_dumps")
+    (d / "x.log.dump.txt").write_text("\n".join(lines) + "\n", encoding="utf-8")
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in read_dump_files(spark, str(d) + "/*.dump.txt").collect()}
+    want = {f"x.log.dump.txt:{i + 1}": [ord(c) for c in ln]
+            for i, ln in enumerate(lines)}
+    assert got == want
