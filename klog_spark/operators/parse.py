@@ -198,7 +198,14 @@ class _Cols:
 
 def _decode_tokens(col) -> tuple:
     """ListArray<int32> -> (lines, n_tok) via one UTF-32 decode of the flat
-    value buffer (zero-copy token access)."""
+    value buffer (zero-copy token access).
+
+    Poison-token hardening: a token that is not a valid code point (negative,
+    surrogate, > U+10FFFF) must not kill the decode — and at 10^12 rows one
+    WILL exist. The validity mask is one vectorized pass; offending tokens
+    become U+FFFD, whose line then fails every grammar and routes to the
+    corrupt sink like any other malformed input (never silently parses:
+    FFFD appears in no grammar)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     la = col
@@ -208,6 +215,13 @@ def _decode_tokens(col) -> tuple:
     # measured 4.6-11.8s per sf0.1 batch — a 535 MB elementwise cast for
     # nothing)
     values = la.values.to_numpy(zero_copy_only=False)
+    # fast screen: two reduces; the full mask only runs when a token could
+    # be invalid (log text is overwhelmingly < U+D800)
+    if len(values) and (int(values.min()) < 0 or int(values.max()) >= 0xD800):
+        u = values.view(np.uint32)
+        bad = (u > 0x10FFFF) | ((u - np.uint32(0xD800)) < np.uint32(0x800))
+        if bad.any():
+            values = np.where(bad, np.int32(0xFFFD), values)
     start = offsets[0]
     text = values[start:offsets[-1]].tobytes().decode("utf-32-le")
     rel = offsets - start

@@ -227,3 +227,30 @@ def test_int64_fields_exact_past_2_53(spark):
     assert r["producer_id"] == 2**53 + 1
     assert r["position"] == big
     assert r["create_time_ms"] == 2**53 + 3
+
+
+def test_poison_tokens_route_to_corrupt(spark):
+    """A token that is not a valid code point (surrogate, negative,
+    > U+10FFFF) must never kill the job: its line decodes with U+FFFD,
+    fails every grammar, and routes to the corrupt sink; valid rows in the
+    same batch are untouched."""
+    from pyspark.sql import functions as F
+
+    from klog_spark.operators.parse import parse_sequences
+
+    good = "baseOffset: 0 lastOffset: 0 count: 1 baseSequence: -1 lastSequence: -1 " \
+           "producerId: -1 producerEpoch: -1 partitionLeaderEpoch: 0 " \
+           "isTransactional: false isControl: false position: 0 CreateTime: 5 " \
+           "size: 10 magic: 2 compresscodec: none crc: 1 isvalid: true"
+    rows = [
+        ("f.dump.txt:1", [ord(c) for c in good], "/tmp/kafka-logs/t-0/x.log"),
+        ("f.dump.txt:2", [ord(c) for c in good[:20]] + [0xD800, -5, 0x110000, 2**31 - 1],
+         "/tmp/kafka-logs/t-0/x.log"),
+        ("f.dump.txt:3", [ord(c) for c in good], "/tmp/kafka-logs/t-0/x.log"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+    parsed = parse_sequences(df).select("doc_id", "record_class").collect()
+    by_id = {r["doc_id"]: r["record_class"] for r in parsed}
+    assert by_id["f.dump.txt:1"] == "batch"
+    assert by_id["f.dump.txt:3"] == "batch"
+    assert by_id["f.dump.txt:2"] == "corrupt"
