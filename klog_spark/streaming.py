@@ -225,3 +225,30 @@ def latest_group_offsets_stream(stream: DataFrame) -> DataFrame:
     return oc.groupBy("group_id", "commit_topic", "commit_partition").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def group_lag_stream(stream: DataFrame, log_end: DataFrame) -> DataFrame:
+    """Live consumer-lag monitor: the stateful offset compaction
+    (latest_group_offsets_stream) stream-static joined against a log-end
+    table — every micro-batch emits refreshed lag for the group-partitions
+    it touched. ``log_end`` is the tiny (topic, partition, log_end_offset)
+    dimension (from the batch pipeline or a metadata service); Spark
+    broadcasts it into each micro-batch.
+
+    Tombstone updates ARE emitted (``is_deletion`` true, null lag): a
+    monitor that never hears about deletions would keep showing the stale
+    pre-tombstone lag forever. Consumers keep the newest row per key by
+    the carried (file, line_no) order and drop deleted keys."""
+    latest = latest_group_offsets_stream(stream)
+    joined = latest.join(
+        F.broadcast(log_end),
+        (latest["commit_topic"] == log_end["topic"])
+        & (latest["commit_partition"] == log_end["partition"]),
+    )
+    return joined.select(
+        "group_id", "commit_topic", "commit_partition", "file", "line_no",
+        "is_deletion", "committed_offset", "log_end_offset",
+        F.when(
+            ~F.col("is_deletion"), F.col("log_end_offset") - F.col("committed_offset")
+        ).alias("lag"),
+    )

@@ -153,3 +153,42 @@ def test_streaming_sink_file_count_tracks_write_tasks(spark, stream_input, tmp_p
     for d in class_dirs:
         n = len(list(d.glob("*.parquet")))
         assert n <= buckets[d.name.split("=", 1)[1]], (d.name, n)
+
+
+def test_group_lag_stream_matches_batch(spark, fixture_dir, stream_input, tmp_path):
+    """Stream-static lag: the final emission per group-partition must equal
+    the batch group_lag, across multiple out-of-order micro-batches."""
+    from klog_spark.operators.group_offsets import group_lag
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.operators.route import apply_validity_routing
+    from klog_spark.streaming import group_lag_stream, read_sequence_stream
+
+    batch_parsed = apply_validity_routing(
+        parse_sequences(spark.read.parquet(f"{fixture_dir}/sequences.parquet"))
+    )
+    log_end = (
+        batch_parsed.filter((F.col("record_class") == "batch") & (F.col("segment_type") == "data"))
+        .groupBy("topic", "partition")
+        .agg((F.max("last_offset") + F.lit(1)).alias("log_end_offset"))
+    )
+    q = (
+        group_lag_stream(read_sequence_stream(spark, stream_input, max_files_per_trigger=2), log_end)
+        .writeStream.format("memory").queryName("gls_test").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lag"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # compact the emissions per key by the carried segment order, drop keys
+    # whose newest update is a tombstone — the documented consumer contract
+    final = {}
+    for r in spark.sql("select * from gls_test").collect():
+        key = (r["group_id"], r["commit_topic"], r["commit_partition"])
+        cand = (r["file"], r["line_no"], r["is_deletion"], r["lag"])
+        if key not in final or (cand[0], cand[1]) > (final[key][0], final[key][1]):
+            final[key] = cand
+    got = {k: v[3] for k, v in final.items() if not v[2]}
+    want = {
+        (r["group_id"], r["commit_topic"], r["commit_partition"]): r["lag"]
+        for r in group_lag(batch_parsed).collect()
+    }
+    assert got == want and got
