@@ -80,7 +80,6 @@ def cmd_segment_cat(spark, args) -> int:
     if active or args.transactional_id is not None:
         # the reference's predicate semantics: a selected BATCH prints with
         # its records; --transactional-id selects txn-state records
-        cond = F.lit(True)
         col_of = {"pid": "producer_id", "producer_epoch": "producer_epoch",
                   "leader_epoch": "partition_leader_epoch"}
         with_parent = attach_parent_batch(parsed)

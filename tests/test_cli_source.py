@@ -150,3 +150,24 @@ def test_dump_source_tokenizes_arbitrary_text(spark, tmp_path_factory, lines):
     want = {f"x.log.dump.txt:{i + 1}": [ord(c) for c in ln]
             for i, ln in enumerate(lines)}
     assert got == want
+
+
+def test_cli_cat_transactional_id(spark, dump_dir, capsys):
+    """--transactional-id selects txn-state records only (the reference
+    restricts the flag to TRANSACTION_STATE dumps; here it is enforced by
+    the record-class filter)."""
+    from klog_spark.__main__ import main
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.sources.dump_files import read_dump_files
+
+    parsed = parse_sequences(read_dump_files(spark, dump_dir + "/*.dump.txt"))
+    txn_id = parsed.filter(F.col("transactional_id").isNotNull()).first()["transactional_id"]
+    assert main(["segment", "cat", dump_dir, "--transactional-id", txn_id,
+                 "--no-color"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    want = parsed.filter(
+        F.col("record_class").isin("txn_state", "txn_deletion")
+        & (F.col("transactional_id") == txn_id)
+    ).count()
+    assert len(out) == want and want > 0
+    assert all(ln.lstrip().startswith("TransactionState") for ln in out)
