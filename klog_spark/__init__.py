@@ -14,3 +14,28 @@ hash aggregations, and the fan-out that klog does with a visitor
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API: the heavyweight imports (pyspark session machinery)
+    load on first use, keeping `import klog_spark` cheap for tooling."""
+    if name == "Pipeline":
+        from .pipeline import Pipeline
+
+        return Pipeline
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    if name == "register_views":
+        from .sql import register_views
+
+        return register_views
+    if name == "read_dump_files":
+        from .sources.dump_files import read_dump_files
+
+        return read_dump_files
+    raise AttributeError(f"module 'klog_spark' has no attribute {name!r}")
+
+
+__all__ = ["Pipeline", "get_spark", "register_views", "read_dump_files", "__version__"]
