@@ -115,6 +115,23 @@ def main() -> None:
     assert "CartesianProduct" not in rc_plan and "BroadcastNestedLoopJoin" not in rc_plan, \
         "read-committed visibility must stay window-based, no all-pairs stage"
 
+    # 8d. round-4 operators: packing is a per-shard window (no global sort),
+    #     contamination is capped equi-joins (no cartesian), IVF-PQ probes
+    #     broadcast the query side and never nest loops
+    pk = eq.q_corpus_pack(spark, SF_DIR)
+    pk_plan = plan_of(pk, "simple")
+    sections.append(("token-budget packing", plan_of(pk), ["Window"]))
+    assert "Sort [" not in pk_plan.split("Window")[0] or "hashpartitioning(file" in pk_plan, \
+        "packing must window per file shard, not globally sort"
+    cont = eq.q_contamination_check(spark, SF_DIR)
+    cont_plan = plan_of(cont, "simple")
+    sections.append(("contamination scan", plan_of(cont), ["Join"]))
+    assert "CartesianProduct" not in cont_plan and "BroadcastNestedLoopJoin" not in cont_plan
+    pq = eq.q_ann_ivfpq(spark, SF_DIR)
+    pq_plan = plan_of(pq, "simple")
+    sections.append(("IVF-PQ ANN", plan_of(pq), ["BroadcastHashJoin"]))
+    assert "CartesianProduct" not in pq_plan and "BroadcastNestedLoopJoin" not in pq_plan
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
