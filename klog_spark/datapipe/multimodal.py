@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -259,6 +260,7 @@ DECODED_SCHEMA = StructType(
         StructField("sample_rate", IntegerType()),
         StructField("n_samples", IntegerType()),
         StructField("sample_abs_sum", LongType()),
+        StructField("decode_ok", BooleanType()),
     ]
 )
 
@@ -304,7 +306,13 @@ def extract_decoded_features(media_df: DataFrame) -> DataFrame:
     """REAL decode over the media column: per-modality typed features
     (image dimensions + exact pixel sum, audio rate/length + exact
     abs-amplitude sum). Arrow-batched mapInPandas; decode never leaves the
-    executors."""
+    executors.
+
+    Poison-blob hardening: a corpus-scale media table ALWAYS contains
+    corrupt blobs; a decode failure yields a row with ``decode_ok = false``
+    and null features instead of killing the batch (the same route-don't-
+    throw principle as the parse's corrupt sink). Unsupported media types
+    (video) still raise — that is a schema error, not a data error."""
     cols = ["doc_id", "media_type", "width", "height", "channels",
             "pixel_sum", "sample_rate", "n_samples", "sample_abs_sum"]
 
@@ -313,10 +321,18 @@ def extract_decoded_features(media_df: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             rows = {k: [] for k in cols}
+            rows["decode_ok"] = []
             for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], pdf["media_type"]):
-                feats = decode_media(bytes(blob), mt)
+                try:
+                    feats = decode_media(bytes(blob), mt)
+                    ok = True
+                except NotImplementedError:
+                    raise
+                except Exception:  # noqa: BLE001 - any data-level decode error
+                    feats, ok = {}, False
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(mt)
+                rows["decode_ok"].append(ok)
                 for k in cols[2:]:
                     rows[k].append(feats.get(k))
             yield pd.DataFrame(rows)

@@ -2604,7 +2604,7 @@ png AS (
                WHERE x.range < 8 + i % 5 AND y.range < 6 + i % 7)
               AS BIGINT) AS pixel_sum,
          CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
-         CAST(NULL AS BIGINT) AS sample_abs_sum
+         CAST(NULL AS BIGINT) AS sample_abs_sum, true AS decode_ok
   FROM ids WHERE i % 2 = 0
 ),
 wav AS (
@@ -2616,7 +2616,7 @@ wav AS (
          CAST(64 + (i % 37) * 8 AS INT) AS n_samples,
          CAST((SELECT SUM(ABS((t.range * (i % 13 + 3)) % 2001 - 1000))
                FROM range(0, 352) t WHERE t.range < 64 + (i % 37) * 8)
-              AS BIGINT) AS sample_abs_sum
+              AS BIGINT) AS sample_abs_sum, true AS decode_ok
   FROM ids WHERE i % 2 = 1
 )
 SELECT * FROM png UNION ALL SELECT * FROM wav

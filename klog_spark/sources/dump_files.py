@@ -64,7 +64,10 @@ def read_dump_files(spark: SparkSession, path: str) -> DataFrame:
         for chunk in it:
             for fpath in chunk["path"]:
                 name = os.path.basename(fpath)
-                with open(fpath, encoding="utf-8") as fh:
+                # errors="replace": junk bytes in a dump become U+FFFD, the
+                # poisoned line fails its grammar and routes to the corrupt
+                # sink — one bad byte must never kill a 10^12-row job
+                with open(fpath, encoding="utf-8", errors="replace") as fh:
                     lines = fh.read().split("\n")
                 if lines and lines[-1] == "":
                     lines.pop()

@@ -171,3 +171,19 @@ def test_cli_cat_transactional_id(spark, dump_dir, capsys):
     ).count()
     assert len(out) == want and want > 0
     assert all(ln.lstrip().startswith("TransactionState") for ln in out)
+
+
+def test_dump_source_survives_junk_bytes(spark, tmp_path_factory):
+    """Non-UTF8 bytes in a dump file become U+FFFD lines that classify as
+    corrupt — the read never raises."""
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.sources.dump_files import read_dump_files
+
+    d = tmp_path_factory.mktemp("junk_dumps")
+    (d / "j.log.dump.txt").write_bytes(
+        b"Dumping /tmp/kafka-logs/t-0/x.log\n\xff\xfe garbage \x80\n"
+    )
+    parsed = parse_sequences(read_dump_files(spark, str(d) + "/*.dump.txt"))
+    classes = {r["doc_id"]: r["record_class"] for r in parsed.collect()}
+    assert classes["j.log.dump.txt:1"] == "header"
+    assert classes["j.log.dump.txt:2"] == "corrupt"

@@ -578,3 +578,24 @@ def test_media_decode_video_stays_honest():
 
     with _pytest.raises(NotImplementedError):
         decode_media(b"\x00\x01", "video/mp4")
+
+
+def test_corrupt_media_blob_routes_not_raises(spark):
+    """A corrupt blob yields decode_ok=false with null features; the batch
+    survives. Video (no stdlib codec) still raises — schema error."""
+    import pandas as pd
+
+    from klog_spark.datapipe.multimodal import (
+        encode_wav_pcm16, extract_decoded_features,
+    )
+    import numpy as np
+
+    good = encode_wav_pcm16(np.arange(10, dtype=np.int64), 8000)
+    rows = [(1, bytearray(good), "audio/wav"),
+            (2, bytearray(b"\x89PNG\r\n\x1a\nGARBAGE"), "image/png"),
+            (3, bytearray(b"not media at all"), "audio/wav")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary, media_type string")
+    out = {r["doc_id"]: r for r in extract_decoded_features(df).collect()}
+    assert out[1]["decode_ok"] and out[1]["n_samples"] == 10
+    assert not out[2]["decode_ok"] and out[2]["pixel_sum"] is None
+    assert not out[3]["decode_ok"]
