@@ -7,6 +7,8 @@ implementations (no PIL/torchaudio needed):
 
 * PNG — chunk walk + IHDR parse + zlib-inflate + full scanline unfiltering
   (filters 0-4 incl. Paeth), 8-bit gray/RGB/RGBA non-interlaced;
+* BMP — 24-bit uncompressed (bottom-up/top-down, BGR, row padding);
+* PPM — binary P6 with comment-tolerant headers;
 * WAV — stdlib ``wave`` + PCM16 frames.
 
 Video stays honestly stubbed (`decode_media` raises for ``video/*``): there
@@ -186,6 +188,16 @@ def decode_media(blob: bytes, media_type: str):
         h, w, c = arr.shape
         return {"width": w, "height": h, "channels": c,
                 "pixel_sum": int(arr.astype(np.int64).sum())}
+    if media_type in ("image/x-portable-pixmap", "image/ppm"):
+        arr = decode_ppm(bytes(blob))
+        h, w, c = arr.shape
+        return {"width": w, "height": h, "channels": c,
+                "pixel_sum": int(arr.astype(np.int64).sum())}
+    if media_type == "image/bmp":
+        arr = decode_bmp(bytes(blob))
+        h, w, c = arr.shape
+        return {"width": w, "height": h, "channels": c,
+                "pixel_sum": int(arr.astype(np.int64).sum())}
     if media_type == "audio/wav":
         samples, sr, ch = decode_wav(bytes(blob))
         return {"sample_rate": sr, "channels": ch, "n_samples": samples.shape[0],
@@ -338,3 +350,71 @@ def extract_decoded_features(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(gen, DECODED_SCHEMA)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255): the simplest real image container."""
+    h, w, c = arr.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """P6 PPM decode (whitespace/comment-tolerant header per the netpbm
+    spec), returns (h, w, 3) uint8."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if blob[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    pos += 1  # single whitespace after maxval
+    data = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (bottom-up rows, BGR, 4-byte row padding)."""
+    h, w, c = arr.shape
+    assert c == 3
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        arr[y, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + body
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP decode, returns (h, w, 3) uint8 RGB."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        line = np.frombuffer(blob, dtype=np.uint8, count=row, offset=data_off + i * stride)
+        out[y] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return out

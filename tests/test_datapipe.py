@@ -599,3 +599,20 @@ def test_corrupt_media_blob_routes_not_raises(spark):
     assert out[1]["decode_ok"] and out[1]["n_samples"] == 10
     assert not out[2]["decode_ok"] and out[2]["pixel_sum"] is None
     assert not out[3]["decode_ok"]
+
+
+def test_bmp_ppm_codecs_roundtrip():
+    import numpy as np
+
+    from klog_spark.datapipe.multimodal import (
+        decode_bmp, decode_media, decode_ppm, encode_bmp, encode_ppm,
+    )
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)  # odd width: padding
+    assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    assert decode_media(encode_bmp(arr), "image/bmp")["pixel_sum"] == int(arr.sum())
+    # comment-tolerant PPM header
+    blob = b"P6\n# a comment\n5 7\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(blob), arr)
