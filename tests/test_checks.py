@@ -136,3 +136,51 @@ def test_monotonic_checks_flag_planted_violations(spark):
     assert [(r["line_no"], r["position"], r["prev_position"]) for r in pv] == [(5, 50, 100)]
     lv = checks.leader_epoch_monotonic_violations(parsed).collect()
     assert [(r["line_no"], r["partition_leader_epoch"], r["prev_le"]) for r in lv] == [(6, 0, 1)]
+
+
+def test_incremental_staging_gives_exact_read_committed(spark, fixture_dir, tmp_path):
+    """The documented claim (streaming.py): for order-sensitive semantics,
+    checkpoint.run_incremental is the exact incremental path. Stage the
+    corpus in TWO file batches, then read-committed group offsets over the
+    staged table must equal the single-pass batch result — even though
+    some transactions' markers land in the second batch."""
+    from pyspark.sql import functions as F
+
+    from klog_spark.checkpoint import Checkpoint, run_incremental
+    from klog_spark.operators.group_offsets import read_committed_group_offsets
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.operators.route import apply_validity_routing, routed_as_parsed
+
+    full = spark.read.parquet(f"{fixture_dir}/sequences.parquet")
+    files = sorted(
+        r["f"] for r in full.select(
+            F.regexp_extract("doc_id", r"^(.*):[0-9]+$", 1).alias("f")
+        ).distinct().collect()
+    )
+    first_half = set(files[: len(files) // 2])
+    part1 = str(tmp_path / "part1.parquet")
+    full.filter(
+        F.regexp_extract("doc_id", r"^(.*):[0-9]+$", 1).isin(*first_half)
+    ).write.parquet(part1)
+
+    out = tmp_path / "inc_out"
+    ckpt = Checkpoint(out / "_checkpoint")
+    r1 = run_incremental(spark, part1, str(out), ckpt)
+    r2 = run_incremental(spark, f"{fixture_dir}/sequences.parquet", str(out), ckpt)
+    assert r1["n_files"] > 0 and r2["n_files"] > 0
+
+    staged = routed_as_parsed(
+        spark.read.parquet(str(out / "routed")),
+        classes=["batch", "offset_commit", "control_msg"],
+    )
+    got = {
+        (r["group_id"], r["commit_topic"], r["commit_partition"]): r["committed_offset"]
+        for r in read_committed_group_offsets(staged).collect()
+    }
+    want = {
+        (r["group_id"], r["commit_topic"], r["commit_partition"]): r["committed_offset"]
+        for r in read_committed_group_offsets(
+            apply_validity_routing(parse_sequences(full))
+        ).collect()
+    }
+    assert got == want and got
