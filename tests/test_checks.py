@@ -149,7 +149,7 @@ def test_incremental_staging_gives_exact_read_committed(spark, fixture_dir, tmp_
     from klog_spark.checkpoint import Checkpoint, run_incremental
     from klog_spark.operators.group_offsets import read_committed_group_offsets
     from klog_spark.operators.parse import parse_sequences
-    from klog_spark.operators.route import apply_validity_routing, routed_as_parsed
+    from klog_spark.operators.route import apply_validity_routing
 
     full = spark.read.parquet(f"{fixture_dir}/sequences.parquet")
     files = sorted(
@@ -169,9 +169,10 @@ def test_incremental_staging_gives_exact_read_committed(spark, fixture_dir, tmp_
     r2 = run_incremental(spark, f"{fixture_dir}/sequences.parquet", str(out), ckpt)
     assert r1["n_files"] > 0 and r2["n_files"] > 0
 
-    staged = routed_as_parsed(
-        spark.read.parquet(str(out / "routed")),
-        classes=["batch", "offset_commit", "control_msg"],
+    # post-routing staged view, classes pre-filtered for partition pruning —
+    # the operator's input contract (no corrupt-restore here)
+    staged = spark.read.parquet(str(out / "routed")).filter(
+        F.col("record_class").isin("batch", "offset_commit", "control_msg")
     )
     got = {
         (r["group_id"], r["commit_topic"], r["commit_partition"]): r["committed_offset"]
