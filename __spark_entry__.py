@@ -120,6 +120,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": eq.q_ann_lsh,                            # hyperplane-bucket twin of ann_ivf row; recall pytest
         "klog_group_offset_rewinds": eq.q_group_offset_rewinds,  # incident-signal view over the group_offsets row
         "multimodal_features": eq.q_multimodal_features,         # opaque-blob plumbing twin of multimodal_decode row
+        "klog_batch_state_asof": eq.q_batch_state_asof,          # generic AS-OF join operator (operators/asof.py)
     }
 
 
@@ -209,4 +210,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": eq.SQL_ANN_LSH,
         "klog_group_offset_rewinds": eq.SQL_GROUP_OFFSET_REWINDS,
         "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
+        "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
     }
