@@ -121,6 +121,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_group_offset_rewinds": eq.q_group_offset_rewinds,  # incident-signal view over the group_offsets row
         "multimodal_features": eq.q_multimodal_features,         # opaque-blob plumbing twin of multimodal_decode row
         "klog_batch_state_asof": eq.q_batch_state_asof,          # generic AS-OF join operator (operators/asof.py)
+        "event_session_interval_join": eq.q_event_session_interval_join,  # generic range/containment join
     }
 
 
@@ -211,4 +212,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "klog_group_offset_rewinds": eq.SQL_GROUP_OFFSET_REWINDS,
         "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
         "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
+        "event_session_interval_join": eq.SQL_EVENT_SESSION_INTERVAL_JOIN,
     }

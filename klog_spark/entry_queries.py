@@ -2691,3 +2691,58 @@ SELECT doc_id, producer_id, ts_ms,
        carried.o AS snap_last_offset, carried.e AS snap_coordinator_epoch
 FROM c WHERE tag = 1
 """
+
+
+def q_event_session_interval_join(spark, sf_dir):
+    """Range join (operators/asof.interval_join): every event re-attached to
+    its session's [start, end] interval via bucketed containment join, then
+    counted per session. The oracle recomputes with a naive BETWEEN theta
+    join over the same session CTEs — agreement proves the bucketed scale
+    path implements containment semantics exactly. Null-ts events have no
+    position and are excluded on both engines."""
+    from .operators.asof import interval_join
+
+    sessions = q_event_sessions(spark, sf_dir).select(
+        "user_id", "session_id", "session_start_ms", "session_end_ms"
+    )
+    pts = _read_events(spark, sf_dir).select(
+        "user_id", "event_id", _ts_ms_ntz("ts").alias("ts_ms")
+    ).filter(F.col("ts_ms").isNotNull())
+    joined = interval_join(
+        pts, sessions, point_ts="ts_ms", start="session_start_ms",
+        end="session_end_ms", by=["user_id"], bucket_width=1800 * 1000,
+    )
+    return joined.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_located_events")
+    )
+
+
+SQL_EVENT_SESSION_INTERVAL_JOIN = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+),
+g AS (
+  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id
+                     ORDER BY ts_ms NULLS FIRST, event_id NULLS FIRST) > 1800000
+                 THEN 1 ELSE 0 END AS gap
+  FROM e
+),
+s AS (
+  SELECT user_id, event_id, ts_ms,
+         SUM(gap) OVER (PARTITION BY user_id
+                        ORDER BY ts_ms NULLS FIRST, event_id NULLS FIRST
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_id,
+         MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
+  FROM s GROUP BY user_id, session_id
+)
+SELECT p.user_id, sess.session_id, COUNT(*) AS n_located_events
+FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE ts IS NOT NULL) p
+JOIN sess ON p.user_id = sess.user_id
+         AND p.ts_ms BETWEEN sess.session_start_ms AND sess.session_end_ms
+GROUP BY p.user_id, sess.session_id
+"""

@@ -63,3 +63,37 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *left.columns,
         *[F.col(f"_carried.{c}").alias(c) for c in right_cols],
     )
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
+                  start: str, end: str, by: list[str],
+                  bucket_width: int) -> DataFrame:
+    """Containment (range) join: each point row attached to the interval
+    rows with ``start <= point_ts <= end`` within the ``by`` keys.
+
+    Scalable construction: time-bucket binning. Every interval is
+    replicated into the buckets it covers (replication factor =
+    length/bucket_width + 1 — pick ``bucket_width`` near the typical
+    interval length), points land in exactly one bucket, and the join is a
+    plain equi-join on (by, bucket) followed by the exact BETWEEN filter.
+    No O(points x intervals) stage ever materializes, and because a point
+    has exactly one bucket, no dedup pass is needed.
+    """
+    b_pts = points.withColumn("_b", F.floor(F.col(point_ts) / bucket_width))
+    b_iv = (
+        intervals
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / bucket_width),
+                    F.floor(F.col(end) / bucket_width),
+                )
+            ),
+        )
+    )
+    return (
+        b_pts.join(b_iv, [*by, "_b"])
+        .filter(F.col(point_ts).between(F.col(start), F.col(end)))
+        .drop("_b")
+    )

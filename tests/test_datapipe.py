@@ -654,3 +654,25 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             for r in merged.itertuples()
         }
         assert got == want
+
+
+def test_interval_join_semantics(spark):
+    """Bucketed containment join: inclusive boundaries, multi-bucket
+    intervals, no duplicates, non-matching points dropped."""
+    from klog_spark.operators.asof import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 25), (3, "k", 99), (4, "k", 100), (5, "k", 101),
+         (6, "x", 50)],
+        "pid long, k string, ts long",
+    )
+    ivs = spark.createDataFrame(
+        [("k", 10, 100, "A"),   # spans many width-7 buckets; 10 and 100 inclusive
+         ("k", 24, 26, "B"),    # nested: point 25 matches both A and B
+         ("x", 0, 10, "C")],
+        "k string, s long, e long, name string",
+    )
+    out = interval_join(pts, ivs, point_ts="ts", start="s", end="e",
+                        by=["k"], bucket_width=7)
+    got = sorted((r["pid"], r["name"]) for r in out.collect())
+    assert got == [(1, "A"), (2, "A"), (2, "B"), (3, "A"), (4, "A")]
