@@ -122,6 +122,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": eq.q_multimodal_features,         # opaque-blob plumbing twin of multimodal_decode row
         "klog_batch_state_asof": eq.q_batch_state_asof,          # generic AS-OF join operator (operators/asof.py)
         "event_session_interval_join": eq.q_event_session_interval_join,  # generic range/containment join
+        "events_hypertable": eq.q_events_hypertable,             # multi-resolution continuous aggregate
+        "kmv_distinct_users": eq.q_kmv_distinct_users,           # deterministic bottom-k distinct sketch
     }
 
 
@@ -213,4 +215,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
         "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
         "event_session_interval_join": eq.SQL_EVENT_SESSION_INTERVAL_JOIN,
+        "events_hypertable": eq.SQL_EVENTS_HYPERTABLE,
+        "kmv_distinct_users": eq.SQL_KMV_DISTINCT_USERS,
     }

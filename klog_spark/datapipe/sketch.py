@@ -1,0 +1,70 @@
+"""K-minimum-values (KMV) distinct-count sketch.
+
+The classic bottom-k sketch (Bar-Yossef et al. 2002): hash every value to
+a uniform fraction, keep the k smallest DISTINCT hashes per group, and
+estimate distinct count as (k-1) / kth_smallest_fraction (exact count
+when fewer than k distinct hashes exist). Unlike HLL implementations
+(approx_count_distinct), every step here is deterministic and
+engine-replicable — the DuckDB gate oracle reproduces the estimate
+bit-for-bit via the same java-hash fold — while keeping the sketch's
+defining properties: fixed k-size state, mergeable by union+re-min.
+
+Scale shape: stage 1 computes per-partition bottom-k candidates inside
+Arrow batches (state per group never exceeds k), so the shuffle carries
+at most k x partitions rows per group instead of the distinct-value set;
+stage 2 is one bounded window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+HASH_SPACE = float(1 << 32)
+
+
+def kmv_distinct(df: DataFrame, value_col: str, by: list[str], k: int = 64) -> DataFrame:
+    """Per-``by``-group KMV estimate: (\\*by, n_hashes, kth_hash,
+    kmv_estimate). ``kmv_estimate`` is exact when the group has fewer than
+    ``k`` distinct values."""
+    from ..javahash import java_hash_u32_expr
+
+    hashed = df.select(*by, java_hash_u32_expr(F.col(value_col).cast("string")).alias("_h"))
+
+    out_fields = [StructField(c, StringType()) for c in by]
+    schema = StructType(out_fields + [StructField("_h", LongType())])
+
+    def partial(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            grouped = pdf.groupby(by, sort=False)["_h"]
+            frames = []
+            for key, hs in grouped:
+                uniq = np.unique(hs.to_numpy())[:k]  # sorted unique, bottom-k
+                fr = pd.DataFrame({"_h": uniq})
+                key = key if isinstance(key, tuple) else (key,)
+                for c, v in zip(by, key):
+                    fr[c] = v
+                frames.append(fr[[*by, "_h"]])
+            yield pd.concat(frames, ignore_index=True)
+
+    candidates = hashed.mapInPandas(partial, schema)
+    w = Window.partitionBy(*by).orderBy("_h")
+    bottomk = (
+        candidates.dropDuplicates([*by, "_h"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    return bottomk.groupBy(*by).agg(
+        F.count("*").alias("n_hashes"),
+        F.max("_h").alias("kth_hash"),
+    ).select(
+        *by, "n_hashes", "kth_hash",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / F.lit(HASH_SPACE)))
+        .alias("kmv_estimate"),
+    )

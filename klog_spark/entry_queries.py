@@ -2746,3 +2746,84 @@ JOIN sess ON p.user_id = sess.user_id
          AND p.ts_ms BETWEEN sess.session_start_ms AND sess.session_end_ms
 GROUP BY p.user_id, sess.session_id
 """
+
+
+def q_events_hypertable(spark, sf_dir):
+    """Hypertable rollup: event volume/value at 10-minute, 1-hour and 1-day
+    resolutions per event type — the coarser levels RE-AGGREGATED from the
+    finer rollup (one raw scan total), while the oracle computes every level
+    independently from raw rows; agreement proves lossless re-aggregation.
+    Value is summed in exact micro-units (no float accumulation)."""
+    from .operators.asof import hypertable_rollup
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_type", _ts_ms_ntz("ts").alias("ts_ms"),
+        (F.col("value").cast("decimal(28,6)") * 1000000).cast("long").alias("v_micro"),
+    ).filter(F.col("ts_ms").isNotNull())
+    return hypertable_rollup(
+        ev, ts_ms="ts_ms", by=["event_type"], value="v_micro",
+        resolutions_ms=[600_000, 3_600_000, 86_400_000],
+    )
+
+
+SQL_EVENTS_HYPERTABLE = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS v_micro
+  FROM events WHERE ts IS NOT NULL
+),
+lv AS (
+  SELECT res.r AS resolution_ms,
+         CAST(FLOOR(ts_ms / res.r) * res.r AS BIGINT) AS bucket_start_ms,
+         event_type,
+         COUNT(*) AS n_events, CAST(SUM(v_micro) AS BIGINT) AS sum_value,
+         MIN(v_micro) AS min_value, MAX(v_micro) AS max_value
+  FROM e CROSS JOIN (VALUES (600000), (3600000), (86400000)) res(r)
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM lv
+"""
+
+
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV bottom-k distinct sketch: estimated distinct users per event
+    type at k=16, alongside the exact count — deterministic java-hash
+    fractions make the ESTIMATE itself oracle-replicable (an HLL's is
+    not), and small groups fall back to exact."""
+    from .datapipe.sketch import kmv_distinct
+
+    ev = _read_events(spark, sf_dir).select("event_type", "user_id")
+    sk = kmv_distinct(ev, value_col="user_id", by=["event_type"], k=16)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "n_hashes", "kth_hash", "kmv_estimate", "exact_distinct"
+    )
+
+
+SQL_KMV_DISTINCT_USERS = f"""
+WITH vals AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events
+),
+hashed AS (
+  SELECT event_type, {_sql_java_u32('v')} AS h FROM vals
+),
+bk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM (SELECT DISTINCT event_type, h FROM hashed)
+),
+sk AS (
+  SELECT event_type, COUNT(*) AS n_hashes, MAX(h) AS kth_hash
+  FROM bk WHERE rn <= 16 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1
+)
+SELECT sk.event_type, sk.n_hashes, sk.kth_hash,
+       CASE WHEN sk.n_hashes < 16 THEN CAST(sk.n_hashes AS DOUBLE)
+            ELSE 15.0 / (CAST(sk.kth_hash AS DOUBLE) / 4294967296.0) END AS kmv_estimate,
+       exact.exact_distinct
+FROM sk JOIN exact USING (event_type)
+"""

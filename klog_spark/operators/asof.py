@@ -97,3 +97,43 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
         .filter(F.col(point_ts).between(F.col(start), F.col(end)))
         .drop("_b")
     )
+
+
+def hypertable_rollup(events: DataFrame, ts_ms: str, by: list[str],
+                      value: str, resolutions_ms: list[int]) -> DataFrame:
+    """Multi-resolution continuous aggregate (the hypertable rollup
+    pattern): bucket counts/sums/min/max at the finest resolution, then
+    derive every coarser level BY RE-AGGREGATING THE FINER ROLLUP — the
+    raw table is scanned exactly once no matter how many resolutions are
+    materialized, which is the whole point at 10^12 events.
+
+    ``resolutions_ms`` must be sorted ascending and each must divide the
+    next (1m -> 1h -> 1d); all emitted aggregates (count, sum, min, max —
+    and avg derived from sum/count) re-aggregate losslessly. Output:
+    one row per (resolution_ms, bucket_start_ms, *by).
+    """
+    for fine, coarse in zip(resolutions_ms, resolutions_ms[1:]):
+        if coarse % fine:
+            raise ValueError(f"{coarse} not a multiple of {fine}")
+
+    def agg(df, res, from_raw):
+        bucket = (F.floor(F.col(ts_ms if from_raw else "bucket_start_ms") / res) * res)
+        if from_raw:
+            n, s = F.count("*"), F.sum(value)
+            mn, mx = F.min(value), F.max(value)
+        else:
+            n, s = F.sum("n_events"), F.sum("sum_value")
+            mn, mx = F.min("min_value"), F.max("max_value")
+        return df.groupBy(bucket.cast("long").alias("bucket_start_ms"), *by).agg(
+            n.cast("long").alias("n_events"), s.alias("sum_value"),
+            mn.alias("min_value"), mx.alias("max_value"),
+        ).withColumn("resolution_ms", F.lit(res))
+
+    levels = [agg(events, resolutions_ms[0], from_raw=True)]
+    for res in resolutions_ms[1:]:
+        levels.append(agg(levels[-1].drop("resolution_ms"), res, from_raw=False))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("resolution_ms", "bucket_start_ms", *by,
+                      "n_events", "sum_value", "min_value", "max_value")

@@ -676,3 +676,21 @@ def test_interval_join_semantics(spark):
                         by=["k"], bucket_width=7)
     got = sorted((r["pid"], r["name"]) for r in out.collect())
     assert got == [(1, "A"), (2, "A"), (2, "B"), (3, "A"), (4, "A")]
+
+
+def test_kmv_sketch_accuracy_and_partition_invariance(spark):
+    """KMV: exact below k, ~10-15% accurate above it at k=64, and the
+    result is identical under different partitionings (the bottom-k state
+    is a proper mergeable sketch)."""
+    from klog_spark.datapipe.sketch import kmv_distinct
+
+    rows = [(f"g{j}", f"v{i % (50 if j == 0 else 2000)}") for j in range(2)
+            for i in range(6000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out1 = {r["g"]: r for r in kmv_distinct(df, "v", ["g"], k=64).collect()}
+    assert out1["g0"]["kmv_estimate"] == 50.0  # below k -> exact
+    est = out1["g1"]["kmv_estimate"]
+    assert 2000 * 0.75 <= est <= 2000 * 1.3  # sketch-accurate, not exact
+    out2 = {r["g"]: r["kmv_estimate"]
+            for r in kmv_distinct(df.repartition(17), "v", ["g"], k=64).collect()}
+    assert out2 == {g: r["kmv_estimate"] for g, r in out1.items()}
