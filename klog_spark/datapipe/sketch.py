@@ -32,7 +32,14 @@ def kmv_distinct(df: DataFrame, value_col: str, by: list[str], k: int = 64) -> D
     ``k`` distinct values."""
     from ..javahash import java_hash_u32_expr
 
-    hashed = df.select(*by, java_hash_u32_expr(F.col(value_col).cast("string")).alias("_h"))
+    # sha256 first: raw String.hashCode of short strings is far from
+    # uniform (polynomial of few chars -> small values), which wrecks the
+    # order-statistic estimate; the java fold of the 64-hex digest is the
+    # same well-mixed, oracle-replicable composition leakage_safe_split uses
+    hashed = df.select(
+        *by,
+        java_hash_u32_expr(F.sha2(F.col(value_col).cast("string"), 256)).alias("_h"),
+    )
 
     out_fields = [StructField(c, StringType()) for c in by]
     schema = StructType(out_fields + [StructField("_h", LongType())])

@@ -2807,7 +2807,7 @@ WITH vals AS (
   SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v FROM events
 ),
 hashed AS (
-  SELECT event_type, {_sql_java_u32('v')} AS h FROM vals
+  SELECT event_type, {_sql_java_u32('sha256(v)')} AS h FROM vals
 ),
 bk AS (
   SELECT event_type, h,
