@@ -132,6 +132,17 @@ def main() -> None:
     sections.append(("IVF-PQ ANN", plan_of(pq), ["BroadcastHashJoin"]))
     assert "CartesianProduct" not in pq_plan and "BroadcastNestedLoopJoin" not in pq_plan
 
+    # 8e. named custom-operator classes: as-of is windows (no join at all),
+    #     the range join is a bucket equi-join, neither may nest loops
+    af = eq.q_batch_state_asof(spark, SF_DIR)
+    af_plan = plan_of(af, "simple")
+    sections.append(("AS-OF join (union+window)", plan_of(af), ["Window"]))
+    assert "CartesianProduct" not in af_plan and "BroadcastNestedLoopJoin" not in af_plan
+    ij = eq.q_event_session_interval_join(spark, SF_DIR)
+    ij_plan = plan_of(ij, "simple")
+    sections.append(("range join (bucketed containment)", plan_of(ij), ["Join"]))
+    assert "CartesianProduct" not in ij_plan and "BroadcastNestedLoopJoin" not in ij_plan
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
