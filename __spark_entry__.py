@@ -44,13 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_txn_stats": eq.q_txn_stats,                  # A1-A7 + W8 (txn-stat CLI)
         "klog_batches_per_epoch": eq.q_batches_per_epoch,  # A9 (salted variant: extra_queries + test_skew.py)
         "klog_open_txns": eq.q_open_txns,                  # A5 detail parity
-        "klog_empty_txns": eq.q_empty_txns,                # A6 detail parity
         "klog_cat_pid": eq.q_cat_pid,                      # P1/P8/F1 (segment cat --pid)
-        "klog_cat_pid_epoch": eq.q_cat_pid_epoch,          # P3/P6 conjunction
         "klog_filter_txn_id": eq.q_filter_txn_id,          # P2/P5
         "klog_state_machine_violations": eq.q_state_machine_violations,  # W4
         "klog_deep_iteration": eq.q_deep_iteration,        # S4
-        "klog_topics_sanity": eq.q_topics_sanity,          # A8
         "klog_open_txn_abort_cmds": eq.q_open_txn_abort_cmds,    # J2 + S10 workflow
         "klog_enrich_producer_team": eq.q_enrich_producer_team,  # J1 broadcast enrich
         "klog_abort_cmds": eq.q_abort_cmds,                # S10 + P7 (snapshot abort-cmd)
@@ -70,7 +67,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": eq.q_dedup_ngram_jaccard,
         "dedup_clusters": eq.q_dedup_clusters,             # large-star/small-star CC
         "dedup_minhash_lsh": eq.q_dedup_minhash,
-        "dedup_simhash": eq.q_dedup_simhash,
         "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,   # scale path (no O(n^2))
         "ann_cosine_topk": eq.q_ann_topk,
         "ann_ivf_topk": eq.q_ann_ivf,                      # inverted-file scale path
@@ -90,6 +86,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
         "events_rolling_7d": eq.q_events_rolling,          # trailing-window metric
         "corpus_mixture_sample": eq.q_corpus_mixture_sample,  # deterministic domain-mixture curation
+        # named custom-operator classes (as-of / range / rollup / sketch)
+        "klog_batch_state_asof": eq.q_batch_state_asof,
+        "event_session_interval_join": eq.q_event_session_interval_join,
+        "events_hypertable": eq.q_events_hypertable,
+        "kmv_distinct_users": eq.q_kmv_distinct_users,
     }
 
 
@@ -120,10 +121,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": eq.q_ann_lsh,                            # hyperplane-bucket twin of ann_ivf row; recall pytest
         "klog_group_offset_rewinds": eq.q_group_offset_rewinds,  # incident-signal view over the group_offsets row
         "multimodal_features": eq.q_multimodal_features,         # opaque-blob plumbing twin of multimodal_decode row
-        "klog_batch_state_asof": eq.q_batch_state_asof,          # generic AS-OF join operator (operators/asof.py)
-        "event_session_interval_join": eq.q_event_session_interval_join,  # generic range/containment join
-        "events_hypertable": eq.q_events_hypertable,             # multi-resolution continuous aggregate
-        "kmv_distinct_users": eq.q_kmv_distinct_users,           # deterministic bottom-k distinct sketch
+        "klog_cat_pid_epoch": eq.q_cat_pid_epoch,                # P3/P6 conjunction; P1/P8/F1 keep the cat_pid row
+        "klog_empty_txns": eq.q_empty_txns,                      # A6 detail; count gate-checked in txn_stats row
+        "dedup_simhash": eq.q_dedup_simhash,                     # third near-dup sketch; minhash+jaccard keep rows
+        "klog_topics_sanity": eq.q_topics_sanity,                # A8 1-row sanity
     }
 
 
@@ -142,15 +143,12 @@ def oracle_sql() -> dict[str, str]:
         "klog_txn_stats": eq.SQL_TXN_STATS,
         "klog_batches_per_epoch": eq.SQL_BATCHES_PER_EPOCH,
         "klog_open_txns": eq.SQL_OPEN_TXNS,
-        "klog_empty_txns": eq.SQL_EMPTY_TXNS,
         "klog_cat_pid": eq.SQL_CAT_PID,
-        "klog_cat_pid_epoch": eq.SQL_CAT_PID_EPOCH,
         "klog_filter_txn_id": eq.SQL_FILTER_TXN_ID,
         "klog_state_machine_violations": eq.SQL_STATE_MACHINE.replace(
             "{VALID_PREV}", eq._sql_valid_prev_case()
         ),
         "klog_deep_iteration": eq.SQL_DEEP_ITERATION,
-        "klog_topics_sanity": eq.SQL_TOPICS_SANITY,
         "klog_open_txn_abort_cmds": eq.SQL_OPEN_TXN_ABORT_CMDS,
         "klog_enrich_producer_team": eq.SQL_ENRICH_PRODUCER_TEAM,
         "klog_abort_cmds": eq.SQL_ABORT_CMDS,
@@ -167,7 +165,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,
         "dedup_clusters": eq.SQL_DEDUP_CLUSTERS,
         "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
-        "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
         "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
         "ann_cosine_topk": eq.SQL_ANN_TOPK,
         "ann_ivf_topk": eq.SQL_ANN_IVF,
@@ -185,6 +182,10 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": eq.SQL_EVENT_SESSIONS,
         "events_rolling_7d": eq.SQL_EVENTS_ROLLING,
         "corpus_mixture_sample": eq.SQL_CORPUS_MIXTURE_SAMPLE,
+        "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
+        "event_session_interval_join": eq.SQL_EVENT_SESSION_INTERVAL_JOIN,
+        "events_hypertable": eq.SQL_EVENTS_HYPERTABLE,
+        "kmv_distinct_users": eq.SQL_KMV_DISTINCT_USERS,
     }
 
 
@@ -213,8 +214,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": eq.SQL_ANN_LSH,
         "klog_group_offset_rewinds": eq.SQL_GROUP_OFFSET_REWINDS,
         "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
-        "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
-        "event_session_interval_join": eq.SQL_EVENT_SESSION_INTERVAL_JOIN,
-        "events_hypertable": eq.SQL_EVENTS_HYPERTABLE,
-        "kmv_distinct_users": eq.SQL_KMV_DISTINCT_USERS,
+        "klog_cat_pid_epoch": eq.SQL_CAT_PID_EPOCH,
+        "klog_empty_txns": eq.SQL_EMPTY_TXNS,
+        "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
+        "klog_topics_sanity": eq.SQL_TOPICS_SANITY,
     }
