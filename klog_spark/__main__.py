@@ -68,33 +68,85 @@ def _print_rows(df: DataFrame, col: str | None = None) -> int:
 
 
 def cmd_segment_cat(spark, args) -> int:
+    """``klog segment cat`` with the reference's BatchPredicate semantics
+    (BatchPredicate.java:29-66, Cat.java:76-88): predicates select whole
+    BATCHES — a selected batch prints its header line plus ALL its record
+    lines. On DATA segments --pid/--producer-epoch compare the batch
+    header; on __transaction_state segments (whose batch headers carry
+    producerId -1) they are an EXISTS over the nested TransactionStateChange
+    messages. --leader-epoch always compares the batch header.
+    --transactional-id matches any TransactionStateMessage (state changes
+    AND deletions, TransactionStateDeletion.java:108) and is rejected for
+    non-TRANSACTION_STATE input exactly like Cat.java:78-80.
+
+    Beyond the reference: __consumer_offsets dumps (which klog cannot parse
+    at all, Segment.java:28) take the DATA-segment batch-header comparison
+    rather than BatchPredicate's RuntimeException — their batch headers
+    carry real pids since fixture v8's transactional-offsets flows.
+    """
+    from pyspark.sql import Window
+
     from .operators.aggregates import attach_parent_batch
     from .operators.render import render_cat_lines
 
     parsed = _parsed(spark, args.input)
-    batch_filters = {
-        "pid": args.pid, "producer_epoch": args.producer_epoch,
-        "leader_epoch": args.leader_epoch,
-    }
-    active = {k: v for k, v in batch_filters.items() if v is not None}
+    active = any(v is not None for v in
+                 (args.pid, args.producer_epoch, args.leader_epoch))
+    if args.transactional_id is not None:
+        # Cat.java:78-80: fail fast on any non-TRANSACTION_STATE input file.
+        # One distinct over a <=4-value column: driver-bounded.
+        seg_types = {r[0] for r in parsed.select("segment_type").distinct().collect()}
+        if seg_types - {"txn_state"}:
+            raise SystemExit(
+                "--transactional-id can only be used on partitions of "
+                "__transaction_state (got segment types: "
+                + ", ".join(sorted(seg_types)) + ")"
+            )
     if active or args.transactional_id is not None:
-        # the reference's predicate semantics: a selected BATCH prints with
-        # its records; --transactional-id selects txn-state records
-        col_of = {"pid": "producer_id", "producer_epoch": "producer_epoch",
-                  "leader_epoch": "partition_leader_epoch"}
-        with_parent = attach_parent_batch(parsed)
-        keep = F.lit(True)
-        for k, v in active.items():
-            c = col_of[k]
-            keep = keep & (
-                F.when(F.col("record_class") == "batch", F.col(c) == v)
-                .otherwise(F.col(f"parent.{c}") == v)
+        df = attach_parent_batch(parsed).withColumn(
+            "_batch_line",
+            F.when(F.col("record_class") == "batch", F.col("line_no"))
+            .otherwise(F.col("parent.line_no")),
+        )
+        w = Window.partitionBy("file", "_batch_line")
+        is_batch = F.col("record_class") == "batch"
+        is_txn_seg = F.col("segment_type") == "txn_state"
+
+        def batch_has(row_hit):
+            """True for every row of a batch where ANY row satisfies
+            row_hit — the distributed form of Batch.messages().anyMatch."""
+            return F.max(F.when(row_hit, 1).otherwise(0)).over(w) == 1
+
+        # predicate over headers/records with no parent batch never selects.
+        # Window expressions are illegal inside WHERE — build the selection
+        # as a materialized column and filter on it.
+        keep = F.col("_batch_line").isNotNull()
+        if args.pid is not None:
+            keep = keep & batch_has(
+                F.when(is_txn_seg, (F.col("record_class") == "txn_state")
+                       & (F.col("txn_producer_id") == args.pid))
+                .otherwise(is_batch & (F.col("producer_id") == args.pid))
+            )
+        if args.producer_epoch is not None:
+            keep = keep & batch_has(
+                F.when(is_txn_seg, (F.col("record_class") == "txn_state")
+                       & (F.col("txn_producer_epoch") == args.producer_epoch))
+                .otherwise(is_batch & (F.col("producer_epoch") == args.producer_epoch))
+            )
+        if args.leader_epoch is not None:
+            keep = keep & batch_has(
+                is_batch & (F.col("partition_leader_epoch") == args.leader_epoch)
             )
         if args.transactional_id is not None:
-            keep = keep & F.col("record_class").isin("txn_state", "txn_deletion") & (
-                F.col("transactional_id") == args.transactional_id
+            keep = keep & batch_has(
+                F.col("record_class").isin("txn_state", "txn_deletion")
+                & (F.col("transactional_id") == args.transactional_id)
             )
-        parsed = with_parent.filter(keep).drop("parent")
+        parsed = (
+            df.withColumn("_keep", keep)
+            .filter(F.col("_keep"))
+            .drop("parent", "_batch_line", "_keep")
+        )
     lines = render_cat_lines(
         parsed, color=not args.no_color,
         show_filename=args.filename, show_line_numbers=args.line_numbers,

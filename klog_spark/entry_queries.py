@@ -2065,10 +2065,14 @@ g AS (
   FROM e
 ),
 s AS (
+  -- DuckDB SUM(BIGINT) returns HUGEINT (decimal128 under Arrow fetch) —
+  -- always CAST to BIGINT so the oracle's surface type matches Spark's long
+  -- under ANY fetch path (r3/r4 driver hash-red root cause).
   SELECT user_id, event_id, ts_ms,
-         SUM(gap) OVER (PARTITION BY user_id
+         CAST(SUM(gap) OVER (PARTITION BY user_id
                         ORDER BY ts_ms NULLS FIRST, event_id NULLS FIRST
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -2113,8 +2117,9 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 )
 SELECT day, event_type,
-       SUM(n) OVER w AS n_7d,
-       CAST(SUM(v_micro) OVER w AS DOUBLE) / (1000000.0 * SUM(n) OVER w) AS avg_value_7d
+       CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+       CAST(CAST(SUM(v_micro) OVER w AS BIGINT) AS DOUBLE)
+         / (1000000.0 * CAST(SUM(n) OVER w AS BIGINT)) AS avg_value_7d
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day NULLS FIRST
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -2728,10 +2733,12 @@ g AS (
   FROM e
 ),
 s AS (
+  -- HUGEINT → BIGINT cast: see SQL_EVENT_SESSIONS (same driver-fetch rule).
   SELECT user_id, event_id, ts_ms,
-         SUM(gap) OVER (PARTITION BY user_id
+         CAST(SUM(gap) OVER (PARTITION BY user_id
                         ORDER BY ts_ms NULLS FIRST, event_id NULLS FIRST
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM g
 ),
 sess AS (

@@ -68,9 +68,12 @@ def test_cli_commands(spark, dump_dir, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "num_committed:" in out and "num_open_txn:" in out
 
-    # filtered cat: only pid-1 batches and their records, uncolored
-    assert main(["segment", "cat", dump_dir, "--pid", "1", "--no-color"],
-                spark=spark) == 0
+    # filtered cat: only pid-1 batches and their records, uncolored.
+    # Scoped to the DATA dumps: on __transaction_state dumps --pid matches
+    # nested state-change messages and prints producerId=-1 batch headers
+    # (BatchPredicate.java:33-38) — covered by test_cli_cat_txn_state_pid.
+    assert main(["segment", "cat", dump_dir + "/payments-*.log.dump.txt",
+                 "--pid", "1", "--no-color"], spark=spark) == 0
     out = capsys.readouterr().out
     assert "producerId=1," in out
     assert "producerId=-1" not in out
@@ -153,24 +156,75 @@ def test_dump_source_tokenizes_arbitrary_text(spark, tmp_path_factory, lines):
 
 
 def test_cli_cat_transactional_id(spark, dump_dir, capsys):
-    """--transactional-id selects txn-state records only (the reference
-    restricts the flag to TRANSACTION_STATE dumps; here it is enforced by
-    the record-class filter)."""
+    """--transactional-id selects whole BATCHES of a __transaction_state
+    dump: the batch header and ALL sibling records of any batch containing
+    a TransactionStateMessage with the id (Cat.java:81-88), and the flag is
+    rejected for non-TRANSACTION_STATE input (Cat.java:78-80)."""
+    from klog_spark.__main__ import main
+    from klog_spark.operators.aggregates import attach_parent_batch
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.sources.dump_files import read_dump_files
+
+    txn_glob = dump_dir + "/__transaction_state-*.log.dump.txt"
+    parsed = parse_sequences(read_dump_files(spark, txn_glob))
+    txn_id = parsed.filter(F.col("transactional_id").isNotNull()).first()["transactional_id"]
+    assert main(["segment", "cat", txn_glob, "--transactional-id", txn_id,
+                 "--no-color"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # expected: every line of every batch with a matching message
+    wp = attach_parent_batch(parsed).withColumn(
+        "_bl", F.when(F.col("record_class") == "batch", F.col("line_no"))
+                .otherwise(F.col("parent.line_no")))
+    hit_batches = {
+        (r["file"], r["_bl"]) for r in wp.filter(
+            F.col("record_class").isin("txn_state", "txn_deletion")
+            & (F.col("transactional_id") == txn_id)).select("file", "_bl").collect()
+    }
+    renderable = ["batch", "control_msg", "data_msg", "txn_state", "txn_deletion"]
+    want = wp.filter(
+        F.col("_bl").isNotNull() & F.col("record_class").isin(renderable)
+    ).rdd.filter(lambda r: (r["file"], r["_bl"]) in hit_batches).count()
+    assert len(out) == want and want > 0
+    assert any(ln.startswith("Batch(") for ln in out)          # headers print
+    assert any("TransactionState" in ln for ln in out)         # with records
+
+
+def test_cli_cat_transactional_id_rejects_non_txn_input(spark, dump_dir):
+    """Cat.java:78-80: the flag on a mixed/non-TS input must error."""
+    import pytest as _pytest
+
+    from klog_spark.__main__ import main
+
+    with _pytest.raises(SystemExit):
+        main(["segment", "cat", dump_dir + "/payments-0-00000000000000000000.log.dump.txt",
+              "--transactional-id", "whatever"], spark=spark)
+
+
+def test_cli_cat_txn_state_pid(spark, dump_dir, capsys):
+    """On __transaction_state dumps --pid/--producer-epoch match the NESTED
+    TransactionStateChange pid/epoch (BatchPredicate.java:33-45); txn-state
+    batch headers all carry producerId -1, so header comparison would print
+    nothing. A selected batch prints whole (header + all records)."""
     from klog_spark.__main__ import main
     from klog_spark.operators.parse import parse_sequences
     from klog_spark.sources.dump_files import read_dump_files
 
-    parsed = parse_sequences(read_dump_files(spark, dump_dir + "/*.dump.txt"))
-    txn_id = parsed.filter(F.col("transactional_id").isNotNull()).first()["transactional_id"]
-    assert main(["segment", "cat", dump_dir, "--transactional-id", txn_id,
-                 "--no-color"], spark=spark) == 0
+    txn_glob = dump_dir + "/__transaction_state-*.log.dump.txt"
+    parsed = parse_sequences(read_dump_files(spark, txn_glob))
+    pick = parsed.filter(F.col("txn_producer_id").isNotNull()).first()
+    pid = int(pick["txn_producer_id"])
+    assert main(["segment", "cat", txn_glob, "--pid", str(pid), "--no-color"],
+                spark=spark) == 0
     out = capsys.readouterr().out.strip().splitlines()
-    want = parsed.filter(
-        F.col("record_class").isin("txn_state", "txn_deletion")
-        & (F.col("transactional_id") == txn_id)
-    ).count()
-    assert len(out) == want and want > 0
-    assert all(ln.lstrip().startswith("TransactionState") for ln in out)
+    assert out, "nested pid match must select batches"
+    assert any(ln.startswith("Batch(") for ln in out)
+    assert all("producerId=-1" in ln for ln in out if ln.startswith("Batch(")), \
+        "txn-state batch headers carry producerId -1; selection must be nested"
+    # conjunction with the nested epoch of the same message still selects
+    pe = int(pick["txn_producer_epoch"])
+    assert main(["segment", "cat", txn_glob, "--pid", str(pid),
+                 "--producer-epoch", str(pe), "--no-color"], spark=spark) == 0
+    assert capsys.readouterr().out.strip(), "pid+epoch conjunction selects"
 
 
 def test_dump_source_survives_junk_bytes(spark, tmp_path_factory):

@@ -4,10 +4,21 @@ Runs every ``__spark_entry__.queries()`` entry at sf0.01 on Spark, runs the
 matching ``oracle_sql()`` through DuckDB (with the driver's pre-registered
 views emulated), and compares row count, column names and an
 order-insensitive value hash. Usage: python tools/check_queries.py [name...]
+
+Oracle results are fetched via DuckDB's **Arrow** surface (``.arrow()``),
+not ``fetchall()``: a driver harness that fetches via Arrow/pandas sees
+DuckDB's surface types (HUGEINT → decimal128(38,0), which stringifies as
+``Decimal``/float), while ``fetchall()`` silently launders them into Python
+ints. Rounds 3 and 4 shipped hash-red driver rows that were green locally
+for exactly this reason. On top of the Arrow fetch, ``lint_arrow_schema``
+REJECTS any oracle whose Arrow output schema contains a type Spark's side
+never emits (decimal, unsigned int, float16) — the representation gap is
+now a hard local failure, not a driver surprise.
 """
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import os
@@ -16,6 +27,7 @@ import time
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -32,9 +44,46 @@ def _norm(v):
         if math.isnan(v):
             return "nan"
         return f"{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        # Deliberately NOT normalized to int/float: a Decimal reaching the
+        # hash means the oracle leaked a DuckDB surface type (HUGEINT /
+        # DECIMAL) that Spark never emits — it must show up as a mismatch,
+        # exactly as it would in a driver harness fetching via Arrow.
+        return "dec:" + str(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
+
+
+def _bad_arrow_types(t, path):
+    """Recursively collect Arrow types Spark result rows never carry."""
+    bad = []
+    if pa.types.is_decimal(t) or pa.types.is_unsigned_integer(t) or pa.types.is_float16(t):
+        bad.append(f"{path}: {t}")
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        bad += _bad_arrow_types(t.value_type, path + "[]")
+    if pa.types.is_struct(t):
+        for f in t:
+            bad += _bad_arrow_types(f.type, f"{path}.{f.name}")
+    if pa.types.is_map(t):
+        bad += _bad_arrow_types(t.key_type, path + ".key")
+        bad += _bad_arrow_types(t.item_type, path + ".value")
+    return bad
+
+
+def lint_arrow_schema(schema):
+    """Return lint violations for an oracle's Arrow output schema.
+
+    DuckDB SUM / SUM OVER on any integer column returns HUGEINT
+    (decimal128(38,0) under Arrow); Spark emits int64. Any decimal,
+    unsigned-int or float16 column in an oracle's Arrow output WILL
+    hash-diverge in an Arrow-fetching driver even when values and row
+    counts agree — fail it here, with the fix in the message.
+    """
+    bad = []
+    for f in schema:
+        bad += _bad_arrow_types(f.type, f.name)
+    return [f"{b} — CAST(... AS BIGINT/DOUBLE) in the oracle SQL" for b in bad]
 
 
 def value_hash(rows, cols):
@@ -84,9 +133,15 @@ def main(names=None):
             print(f"  {name:36s} rows={len(srows):7d}  (no oracle: rows-only) {time.time()-t0:5.1f}s")
             continue
         try:
-            res = con.execute(oss[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(oss[name]).arrow()
+            ocols = list(tbl.schema.names)
+            lint = lint_arrow_schema(tbl.schema)
+            if lint:
+                print(f"  {name:36s} ORACLE TYPE LINT: " + "; ".join(lint))
+                failures.append(name)
+                continue
+            cols_py = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            orows = list(zip(*cols_py)) if cols_py else [() for _ in range(tbl.num_rows)]
         except Exception as e:  # noqa: BLE001
             print(f"  {name:36s} ORACLE SQL ERROR: {e}")
             failures.append(name)
