@@ -314,17 +314,25 @@ def synthetic_media_table(spark, n: int = 200) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema)
 
 
-def extract_decoded_features(media_df: DataFrame) -> DataFrame:
+def extract_decoded_features(media_df: DataFrame,
+                             on_unsupported: str = "flag") -> DataFrame:
     """REAL decode over the media column: per-modality typed features
     (image dimensions + exact pixel sum, audio rate/length + exact
     abs-amplitude sum). Arrow-batched mapInPandas; decode never leaves the
     executors.
 
-    Poison-blob hardening: a corpus-scale media table ALWAYS contains
+    Poison-row hardening: a corpus-scale media table ALWAYS contains
     corrupt blobs; a decode failure yields a row with ``decode_ok = false``
     and null features instead of killing the batch (the same route-don't-
-    throw principle as the parse's corrupt sink). Unsupported media types
-    (video) still raise — that is a schema error, not a data error."""
+    throw principle as the parse's corrupt sink). ``media_type`` is per-row
+    DATA just like the blob, so by default (``on_unsupported='flag'``) an
+    unsupported or unknown type string ('video/mp4', garbage) is flagged
+    the same way — one bad row must never abort a corpus-scale batch. Pass
+    ``on_unsupported='error'`` when the table's types are a configured
+    contract and an unexpected one should fail loudly (the pre-round-5
+    behavior)."""
+    if on_unsupported not in ("flag", "error"):
+        raise ValueError(f"on_unsupported must be 'flag'|'error', got {on_unsupported!r}")
     cols = ["doc_id", "media_type", "width", "height", "channels",
             "pixel_sum", "sample_rate", "n_samples", "sample_abs_sum"]
 
@@ -339,7 +347,9 @@ def extract_decoded_features(media_df: DataFrame) -> DataFrame:
                     feats = decode_media(bytes(blob), mt)
                     ok = True
                 except NotImplementedError:
-                    raise
+                    if on_unsupported == "error":
+                        raise
+                    feats, ok = {}, False
                 except Exception:  # noqa: BLE001 - any data-level decode error
                     feats, ok = {}, False
                 rows["doc_id"].append(doc_id)

@@ -17,11 +17,9 @@ stage 2 is one bounded window.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 HASH_SPACE = float(1 << 32)
 
@@ -41,23 +39,24 @@ def kmv_distinct(df: DataFrame, value_col: str, by: list[str], k: int = 64) -> D
         java_hash_u32_expr(F.sha2(F.col(value_col).cast("string"), 256)).alias("_h"),
     )
 
-    out_fields = [StructField(c, StringType()) for c in by]
+    # carry each `by` column's REAL type through the partial (hardcoding
+    # StringType would coerce int keys and diverge from the input schema)
+    out_fields = [StructField(c, df.schema[c].dataType) for c in by]
     schema = StructType(out_fields + [StructField("_h", LongType())])
 
     def partial(it):
+        # Fully vectorized bottom-k per group: dedup, one sort by hash,
+        # then groupby(...).head(k) — no per-group Python loop, so batch
+        # cost is O(rows log rows) regardless of group cardinality.
         for pdf in it:
             if not len(pdf):
                 continue
-            grouped = pdf.groupby(by, sort=False)["_h"]
-            frames = []
-            for key, hs in grouped:
-                uniq = np.unique(hs.to_numpy())[:k]  # sorted unique, bottom-k
-                fr = pd.DataFrame({"_h": uniq})
-                key = key if isinstance(key, tuple) else (key,)
-                for c, v in zip(by, key):
-                    fr[c] = v
-                frames.append(fr[[*by, "_h"]])
-            yield pd.concat(frames, ignore_index=True)
+            yield (
+                pdf.drop_duplicates([*by, "_h"])
+                .sort_values("_h", kind="stable")
+                .groupby(by, sort=False, dropna=False)
+                .head(k)[[*by, "_h"]]
+            )
 
     candidates = hashed.mapInPandas(partial, schema)
     w = Window.partitionBy(*by).orderBy("_h")

@@ -15,7 +15,14 @@ name starts with ``_`` — and Kafka's internal topics
 dump-file names. Files are therefore listed explicitly (driver-side glob,
 the same listing Spark's own file index does) and opened on the
 executors, one task per dump file — a file is one segment dump, bounded
-by segment size, the same granule checkpoint.py uses for lineage.
+by segment size, the same granule checkpoint.py uses for lineage. The
+listing is O(segment count) driver memory — fine to ~10^5 segments; at
+10^6+ files swap the glob for a paginated listing (os.scandir batches)
+feeding multiple createDataFrame unions, the shape is otherwise unchanged.
+
+``doc_id`` is ``<path-relative-to-common-root>:<line_no>`` — relative
+paths (not basenames) because klog's on-disk layout repeats basenames
+across partition directories.
 
 The line-split + codepoint encoding is one C-level UTF-32 pass per file
 (tokens.texts_to_token_arrays), no per-line Python beyond O(lines)
@@ -52,18 +59,28 @@ def read_dump_files(spark: SparkSession, path: str) -> DataFrame:
 
     if os.path.isdir(path):
         path = os.path.join(path, "*.dump.txt")
-    paths = sorted(_glob.glob(path))
+    paths = sorted(_glob.glob(path, recursive=True))
     if not paths:
         raise FileNotFoundError(f"no dump files match {path!r}")
+    # doc_id file part = path RELATIVE to the common root, not the basename:
+    # klog's usual layout is <topic-partition>/00000000000000000000.log.dump.txt,
+    # where a recursive glob yields many files with the SAME basename —
+    # basename doc_ids would collide and silently corrupt every
+    # doc_id-keyed join/window downstream. Relative paths of distinct files
+    # are distinct by construction; for a flat directory the relative path
+    # IS the basename, so existing doc_ids are unchanged.
+    root = os.path.commonpath(paths)
+    if not os.path.isdir(root):
+        root = os.path.dirname(root)
+    names = [os.path.relpath(p, root).replace(os.sep, "/") for p in paths]
     parallelism = spark.sparkContext.defaultParallelism
-    pdf = spark.createDataFrame([(p,) for p in paths], "path: string").repartition(
-        min(len(paths), parallelism)
-    )
+    pdf = spark.createDataFrame(
+        list(zip(paths, names)), "path: string, name: string"
+    ).repartition(min(len(paths), parallelism))
 
     def explode(it):
         for chunk in it:
-            for fpath in chunk["path"]:
-                name = os.path.basename(fpath)
+            for fpath, name in zip(chunk["path"], chunk["name"]):
                 # errors="replace": junk bytes in a dump become U+FFFD, the
                 # poisoned line fails its grammar and routes to the corrupt
                 # sink — one bad byte must never kill a 10^12-row job

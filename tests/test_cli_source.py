@@ -227,6 +227,35 @@ def test_cli_cat_txn_state_pid(spark, dump_dir, capsys):
     assert capsys.readouterr().out.strip(), "pid+epoch conjunction selects"
 
 
+def test_dump_source_nested_layout_no_doc_id_collision(spark, tmp_path_factory):
+    """klog's usual on-disk layout repeats basenames across partition dirs
+    (<topic-partition>/00000000000000000000.log.dump.txt); doc_ids must be
+    derived from the path RELATIVE to the glob root so a recursive glob
+    cannot silently collide doc_id-keyed joins/windows downstream."""
+    from klog_spark.sources.dump_files import read_dump_files
+
+    root = tmp_path_factory.mktemp("nested_dumps")
+    for part in ("payments-0", "payments-1"):
+        d = root / part
+        d.mkdir()
+        (d / "00000000000000000000.log.dump.txt").write_text(
+            f"Dumping /tmp/kafka-logs/{part}/00000000000000000000.log\n"
+            "Starting offset: 0\n"
+        )
+    df = read_dump_files(spark, str(root) + "/**/*.dump.txt")
+    ids = [r["doc_id"] for r in df.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == 4  # 2 files x 2 lines, all distinct
+    assert {i.split(":")[0] for i in ids} == {
+        "payments-0/00000000000000000000.log.dump.txt",
+        "payments-1/00000000000000000000.log.dump.txt",
+    }
+    # flat layout keeps plain-basename doc_ids (back-compat with fixtures)
+    flat = tmp_path_factory.mktemp("flat_dumps")
+    (flat / "a.log.dump.txt").write_text("Dumping /tmp/kafka-logs/t-0/a.log\n")
+    fids = [r["doc_id"] for r in read_dump_files(spark, str(flat)).collect()]
+    assert fids == ["a.log.dump.txt:1"]
+
+
 def test_dump_source_survives_junk_bytes(spark, tmp_path_factory):
     """Non-UTF8 bytes in a dump file become U+FFFD lines that classify as
     corrupt — the read never raises."""

@@ -581,9 +581,11 @@ def test_media_decode_video_stays_honest():
 
 
 def test_corrupt_media_blob_routes_not_raises(spark):
-    """A corrupt blob yields decode_ok=false with null features; the batch
-    survives. Video (no stdlib codec) still raises — schema error."""
-    import pandas as pd
+    """Poison rows route, never kill the job: a corrupt blob AND an
+    unsupported per-row media_type ('video/mp4', garbage strings) yield
+    decode_ok=false with null features — media_type is data just like the
+    blob. on_unsupported='error' restores the fail-loud contract."""
+    import pytest as _pytest
 
     from klog_spark.datapipe.multimodal import (
         encode_wav_pcm16, extract_decoded_features,
@@ -593,12 +595,19 @@ def test_corrupt_media_blob_routes_not_raises(spark):
     good = encode_wav_pcm16(np.arange(10, dtype=np.int64), 8000)
     rows = [(1, bytearray(good), "audio/wav"),
             (2, bytearray(b"\x89PNG\r\n\x1a\nGARBAGE"), "image/png"),
-            (3, bytearray(b"not media at all"), "audio/wav")]
+            (3, bytearray(b"not media at all"), "audio/wav"),
+            (4, bytearray(b"\x00\x01\x02"), "video/mp4"),
+            (5, bytearray(good), "application/whatever")]
     df = spark.createDataFrame(rows, "doc_id long, media binary, media_type string")
     out = {r["doc_id"]: r for r in extract_decoded_features(df).collect()}
     assert out[1]["decode_ok"] and out[1]["n_samples"] == 10
     assert not out[2]["decode_ok"] and out[2]["pixel_sum"] is None
     assert not out[3]["decode_ok"]
+    assert not out[4]["decode_ok"] and out[4]["media_type"] == "video/mp4"
+    assert not out[5]["decode_ok"]
+    # configured-contract mode: an unexpected type fails the job loudly
+    with _pytest.raises(Exception, match="(?i)no stdlib codec"):
+        extract_decoded_features(df, on_unsupported="error").collect()
 
 
 def test_bmp_ppm_codecs_roundtrip():
@@ -730,6 +739,25 @@ def test_interval_join_oversize_cap(spark):
                        bucket_width=wk, max_interval_buckets=2000,
                        on_oversize="error")
     assert sorted((r["pid"], r["name"]) for r in ok.collect()) == naive
+
+
+def test_kmv_sketch_non_string_group_keys(spark):
+    """`by` columns keep their input types in the output (the partial's
+    schema is built from df.schema, not hardcoded StringType) — grouping by
+    an int partition key must round-trip as a long, with the same estimates
+    as the equivalent string-keyed sketch."""
+    from klog_spark.datapipe.sketch import kmv_distinct
+
+    rows = [(j, f"g{j}", f"v{i % (20 if j == 0 else 900)}")
+            for j in range(2) for i in range(2000)]
+    df = spark.createDataFrame(rows, "gi long, gs string, v string")
+    by_int = kmv_distinct(df, "v", ["gi"], k=32)
+    assert dict(by_int.dtypes)["gi"] == "bigint"
+    got_int = {r["gi"]: r["kmv_estimate"] for r in by_int.collect()}
+    got_str = {r["gs"]: r["kmv_estimate"]
+               for r in kmv_distinct(df, "v", ["gs"], k=32).collect()}
+    assert got_int == {0: got_str["g0"], 1: got_str["g1"]}
+    assert got_int[0] == 20.0  # below k -> exact
 
 
 def test_kmv_sketch_accuracy_and_partition_invariance(spark):
