@@ -50,7 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_deep_iteration": eq.q_deep_iteration,        # S4
         "klog_open_txn_abort_cmds": eq.q_open_txn_abort_cmds,    # J2 + S10 workflow
         "klog_enrich_producer_team": eq.q_enrich_producer_team,  # J1 broadcast enrich
-        "klog_abort_cmds": eq.q_abort_cmds,                # S10 + P7 (snapshot abort-cmd)
+        "klog_empty_txns": eq.q_empty_txns,                # A6 detail (r5 rotation: fresh driver row)
         "klog_coordinating_partition": eq.q_coordinating_partition,  # F5 Java hashCode routing
         "klog_cat_render": eq.q_cat_render,                # F6 ANSI display renderer
         "klog_first_last_batch": eq.q_first_last_batch,    # A4
@@ -61,14 +61,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_group_lag": eq.q_group_lag,
         "klog_group_commit_rates": eq.q_group_commit_rates,
         # training-data pipeline (dedup / similarity / text / multimodal)
-        "dedup_exact": eq.q_dedup_exact,
-        "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution
+        "dedup_simhash": eq.q_dedup_simhash,               # simhash near-dup (r5 rotation: fresh driver row)
+        "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution (subsumes dedup_exact's digest agg)
         "leakage_safe_split": eq.q_leakage_safe_split,     # content-hash train/test split
         "dedup_ngram_jaccard": eq.q_dedup_ngram_jaccard,
         "dedup_clusters": eq.q_dedup_clusters,             # large-star/small-star CC
         "dedup_minhash_lsh": eq.q_dedup_minhash,
         "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,   # scale path (no O(n^2))
-        "ann_cosine_topk": eq.q_ann_topk,
+        "ann_lsh_topk": eq.q_ann_lsh,                      # hyperplane-LSH multiprobe (r5 rotation: fresh driver row)
         "ann_ivf_topk": eq.q_ann_ivf,                      # inverted-file scale path
         "ann_ivfpq_topk": eq.q_ann_ivfpq,                  # product-quantized scale path (8 B/vector)
         "knn_label_eval": eq.q_knn_label_eval,             # embedding-quality eval
@@ -118,12 +118,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_group_metadata": eq.q_group_metadata,              # compaction twin of klog_group_offsets row
         "tpch_revenue_by_nation": eq.q_tpch_revenue_by_nation,   # join shape covered by klog_enrich/group_lag rows
         "corpus_clean": eq.q_corpus_clean,                       # composition of three driver-gated ops
-        "ann_lsh_topk": eq.q_ann_lsh,                            # hyperplane-bucket twin of ann_ivf row; recall pytest
+        "ann_cosine_topk": eq.q_ann_topk,                        # brute-force baseline; knn_label_eval keeps the brute driver row
         "klog_group_offset_rewinds": eq.q_group_offset_rewinds,  # incident-signal view over the group_offsets row
         "multimodal_features": eq.q_multimodal_features,         # opaque-blob plumbing twin of multimodal_decode row
         "klog_cat_pid_epoch": eq.q_cat_pid_epoch,                # P3/P6 conjunction; P1/P8/F1 keep the cat_pid row
-        "klog_empty_txns": eq.q_empty_txns,                      # A6 detail; count gate-checked in txn_stats row
-        "dedup_simhash": eq.q_dedup_simhash,                     # third near-dup sketch; minhash+jaccard keep rows
+        "klog_abort_cmds": eq.q_abort_cmds,                      # S10+P7; open_txn_abort_cmds keeps the S10 driver row
+        "dedup_exact": eq.q_dedup_exact,                         # digest agg inside dedup_canonical + dedup_incremental rows
         "klog_topics_sanity": eq.q_topics_sanity,                # A8 1-row sanity
     }
 
@@ -151,7 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "klog_deep_iteration": eq.SQL_DEEP_ITERATION,
         "klog_open_txn_abort_cmds": eq.SQL_OPEN_TXN_ABORT_CMDS,
         "klog_enrich_producer_team": eq.SQL_ENRICH_PRODUCER_TEAM,
-        "klog_abort_cmds": eq.SQL_ABORT_CMDS,
+        "klog_empty_txns": eq.SQL_EMPTY_TXNS,
         "klog_coordinating_partition": eq.SQL_COORDINATING_PARTITION,
         "klog_cat_render": eq.SQL_CAT_RENDER,
         "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
@@ -159,14 +159,14 @@ def oracle_sql() -> dict[str, str]:
         "klog_group_offsets_read_committed": eq.SQL_GROUP_OFFSETS_READ_COMMITTED,
         "klog_group_lag": eq.SQL_GROUP_LAG,
         "klog_group_commit_rates": eq.SQL_GROUP_COMMIT_RATES,
-        "dedup_exact": eq.SQL_DEDUP_EXACT,
+        "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
         "leakage_safe_split": eq.SQL_LEAKAGE_SAFE_SPLIT,
         "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,
         "dedup_clusters": eq.SQL_DEDUP_CLUSTERS,
         "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
         "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
-        "ann_cosine_topk": eq.SQL_ANN_TOPK,
+        "ann_lsh_topk": eq.SQL_ANN_LSH,
         "ann_ivf_topk": eq.SQL_ANN_IVF,
         "ann_ivfpq_topk": eq.SQL_ANN_IVFPQ,
         "knn_label_eval": eq.SQL_KNN_LABEL_EVAL,
@@ -211,11 +211,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "klog_group_metadata": eq.SQL_GROUP_METADATA,
         "tpch_revenue_by_nation": eq.SQL_TPCH_REVENUE_BY_NATION,
         "corpus_clean": eq.SQL_CORPUS_CLEAN,
-        "ann_lsh_topk": eq.SQL_ANN_LSH,
+        "ann_cosine_topk": eq.SQL_ANN_TOPK,
         "klog_group_offset_rewinds": eq.SQL_GROUP_OFFSET_REWINDS,
         "multimodal_features": eq.SQL_MULTIMODAL_FEATURES,
         "klog_cat_pid_epoch": eq.SQL_CAT_PID_EPOCH,
-        "klog_empty_txns": eq.SQL_EMPTY_TXNS,
-        "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
+        "klog_abort_cmds": eq.SQL_ABORT_CMDS,
+        "dedup_exact": eq.SQL_DEDUP_EXACT,
         "klog_topics_sanity": eq.SQL_TOPICS_SANITY,
     }
