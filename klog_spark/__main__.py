@@ -67,6 +67,67 @@ def _print_rows(df: DataFrame, col: str | None = None) -> int:
     return n
 
 
+def _apply_batch_predicate(parsed: DataFrame, pid: int | None = None,
+                           producer_epoch: int | None = None,
+                           leader_epoch: int | None = None,
+                           transactional_id: str | None = None) -> DataFrame:
+    """BatchPredicate.java:29-66 as a distributed batch-granular selection:
+    a predicate selects whole BATCHES (header + all record lines). On DATA
+    segments pid/epoch compare the batch header; on __transaction_state
+    segments they are an EXISTS over the nested state-change messages
+    (headers there carry producerId -1). Shared by ``segment cat`` and
+    ``segment txn-stat`` exactly as the reference shares BatchPredicate
+    between Cat.java:81 and TxnStat.java:85."""
+    from pyspark.sql import Window
+
+    from .operators.aggregates import attach_parent_batch
+
+    df = attach_parent_batch(parsed).withColumn(
+        "_batch_line",
+        F.when(F.col("record_class") == "batch", F.col("line_no"))
+        .otherwise(F.col("parent.line_no")),
+    )
+    w = Window.partitionBy("file", "_batch_line")
+    is_batch = F.col("record_class") == "batch"
+    is_txn_seg = F.col("segment_type") == "txn_state"
+
+    def batch_has(row_hit):
+        """True for every row of a batch where ANY row satisfies row_hit —
+        the distributed form of Batch.messages().anyMatch."""
+        return F.max(F.when(row_hit, 1).otherwise(0)).over(w) == 1
+
+    # predicate over headers/records with no parent batch never selects.
+    # Window expressions are illegal inside WHERE — build the selection
+    # as a materialized column and filter on it.
+    keep = F.col("_batch_line").isNotNull()
+    if pid is not None:
+        keep = keep & batch_has(
+            F.when(is_txn_seg, (F.col("record_class") == "txn_state")
+                   & (F.col("txn_producer_id") == pid))
+            .otherwise(is_batch & (F.col("producer_id") == pid))
+        )
+    if producer_epoch is not None:
+        keep = keep & batch_has(
+            F.when(is_txn_seg, (F.col("record_class") == "txn_state")
+                   & (F.col("txn_producer_epoch") == producer_epoch))
+            .otherwise(is_batch & (F.col("producer_epoch") == producer_epoch))
+        )
+    if leader_epoch is not None:
+        keep = keep & batch_has(
+            is_batch & (F.col("partition_leader_epoch") == leader_epoch)
+        )
+    if transactional_id is not None:
+        keep = keep & batch_has(
+            F.col("record_class").isin("txn_state", "txn_deletion")
+            & (F.col("transactional_id") == transactional_id)
+        )
+    return (
+        df.withColumn("_keep", keep)
+        .filter(F.col("_keep"))
+        .drop("parent", "_batch_line", "_keep")
+    )
+
+
 def cmd_segment_cat(spark, args) -> int:
     """``klog segment cat`` with the reference's BatchPredicate semantics
     (BatchPredicate.java:29-66, Cat.java:76-88): predicates select whole
@@ -103,49 +164,10 @@ def cmd_segment_cat(spark, args) -> int:
                 + ", ".join(sorted(seg_types)) + ")"
             )
     if active or args.transactional_id is not None:
-        df = attach_parent_batch(parsed).withColumn(
-            "_batch_line",
-            F.when(F.col("record_class") == "batch", F.col("line_no"))
-            .otherwise(F.col("parent.line_no")),
-        )
-        w = Window.partitionBy("file", "_batch_line")
-        is_batch = F.col("record_class") == "batch"
-        is_txn_seg = F.col("segment_type") == "txn_state"
-
-        def batch_has(row_hit):
-            """True for every row of a batch where ANY row satisfies
-            row_hit — the distributed form of Batch.messages().anyMatch."""
-            return F.max(F.when(row_hit, 1).otherwise(0)).over(w) == 1
-
-        # predicate over headers/records with no parent batch never selects.
-        # Window expressions are illegal inside WHERE — build the selection
-        # as a materialized column and filter on it.
-        keep = F.col("_batch_line").isNotNull()
-        if args.pid is not None:
-            keep = keep & batch_has(
-                F.when(is_txn_seg, (F.col("record_class") == "txn_state")
-                       & (F.col("txn_producer_id") == args.pid))
-                .otherwise(is_batch & (F.col("producer_id") == args.pid))
-            )
-        if args.producer_epoch is not None:
-            keep = keep & batch_has(
-                F.when(is_txn_seg, (F.col("record_class") == "txn_state")
-                       & (F.col("txn_producer_epoch") == args.producer_epoch))
-                .otherwise(is_batch & (F.col("producer_epoch") == args.producer_epoch))
-            )
-        if args.leader_epoch is not None:
-            keep = keep & batch_has(
-                is_batch & (F.col("partition_leader_epoch") == args.leader_epoch)
-            )
-        if args.transactional_id is not None:
-            keep = keep & batch_has(
-                F.col("record_class").isin("txn_state", "txn_deletion")
-                & (F.col("transactional_id") == args.transactional_id)
-            )
-        parsed = (
-            df.withColumn("_keep", keep)
-            .filter(F.col("_keep"))
-            .drop("parent", "_batch_line", "_keep")
+        parsed = _apply_batch_predicate(
+            parsed, pid=args.pid, producer_epoch=args.producer_epoch,
+            leader_epoch=args.leader_epoch,
+            transactional_id=args.transactional_id,
         )
     lines = render_cat_lines(
         parsed, color=not args.no_color,
@@ -155,12 +177,73 @@ def cmd_segment_cat(spark, args) -> int:
     return 0
 
 
-def cmd_segment_txn_stat(spark, args) -> int:
-    from .operators.aggregates import txn_stats
+def _int_summary_stats(count, total, mn, mx) -> str:
+    """java.util.IntSummaryStatistics.toString parity (TxnStat.java:96-97
+    prints the collector's stats objects directly): empty stats show
+    count=0, sum=0, min=MAX_VALUE, average=0.000000, max=MIN_VALUE."""
+    if not count:
+        return ("IntSummaryStatistics{count=0, sum=0, min=2147483647, "
+                "average=0.000000, max=-2147483648}")
+    return (f"IntSummaryStatistics{{count={count}, sum={total}, min={mn}, "
+            f"average={total / count:.6f}, max={mx}}}")
 
-    row = txn_stats(_parsed(spark, args.input)).collect()[0]
-    for k, v in row.asDict().items():
-        print(f"{k}: {v}")
+
+def cmd_segment_txn_stat(spark, args) -> int:
+    """``klog segment txn-stat`` with the reference's full contract
+    (TxnStat.java:64-126): an eager pre-pass rejects non-DATA segments
+    ("__transaction_state partitions do not contain transactional
+    messages", :72-75) and multi-topic input (:78-81); the same
+    BatchPredicate filters as cat apply to the batch stream (:85-89); the
+    aggregate families print in the reference's order with
+    IntSummaryStatistics formatting, followed by one line per empty and
+    open transaction with file:line lineage (:103,117, printEmpty/printOpen
+    at :105-125).
+
+    Beyond the reference: snapshot dumps mixed into the input are tolerated
+    (their producer_state rows cannot perturb the batch-stream aggregates);
+    the reference would fail its header parse on them."""
+    from .operators.aggregates import empty_txns, open_txns, txn_stats
+
+    parsed = _parsed(spark, args.input)
+    seg_types = {r[0] for r in parsed.select("segment_type").distinct().collect()}
+    bad = seg_types - {"data"}
+    if bad:
+        topic_of = {"txn_state": "__transaction_state",
+                    "consumer_offsets": "__consumer_offsets"}
+        raise SystemExit(
+            ", ".join(sorted(topic_of.get(t, t) for t in bad))
+            + " partitions do not contain transactional messages"
+        )
+    topics = [r[0] for r in parsed.select("topic").distinct().collect()
+              if r[0] is not None]
+    if len(topics) > 1:
+        raise SystemExit(
+            "Segment dumps come from multiple different topics " + str(sorted(topics))
+        )
+    if any(v is not None for v in (args.pid, args.producer_epoch, args.leader_epoch)):
+        parsed = _apply_batch_predicate(
+            parsed, pid=args.pid, producer_epoch=args.producer_epoch,
+            leader_epoch=args.leader_epoch,
+        )
+    row = txn_stats(parsed).collect()[0]
+    print(f"num_committed: {row['num_committed']}")
+    print(f"num_aborted: {row['num_aborted']}")
+    print("txn_size_stats: " + _int_summary_stats(
+        row["txn_size_count"], row["txn_size_sum"],
+        row["txn_size_min"], row["txn_size_max"]))
+    print("txn_duration_stats_ms: " + _int_summary_stats(
+        row["txn_dur_count"], row["txn_dur_sum"],
+        row["txn_dur_min"], row["txn_dur_max"]))
+    multi = parsed.select("file").distinct().limit(2).count() > 1
+    for r in empty_txns(parsed).orderBy("closing_batch_doc_id").toLocalIterator():
+        loc = (r["closing_batch_doc_id"] + ": ") if multi else " "
+        print(f"empty_txn:{loc}producer_id={r['producer_id']} "
+              f"producer_epoch={r['producer_epoch']} commit={r['commit']}")
+    for r in open_txns(parsed).orderBy("first_batch_doc_id").toLocalIterator():
+        loc = (r["first_batch_doc_id"] + ": ") if multi else " "
+        print(f"open_txn:{loc}producer_id={r['producer_id']} "
+              f"producer_epoch={r['producer_epoch']} "
+              f"num_data_batches={r['n_data_batches']}")
     return 0
 
 
@@ -230,6 +313,9 @@ def build_parser() -> argparse.ArgumentParser:
     cat.set_defaults(fn=cmd_segment_cat)
     ts = seg.add_parser("txn-stat")
     ts.add_argument("input")
+    ts.add_argument("--pid", type=int)
+    ts.add_argument("--producer-epoch", type=int, dest="producer_epoch")
+    ts.add_argument("--leader-epoch", type=int, dest="leader_epoch")
     ts.set_defaults(fn=cmd_segment_txn_stat)
 
     snap = sub.add_parser("snapshot").add_subparsers(dest="sub", required=True)

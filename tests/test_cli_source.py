@@ -63,10 +63,14 @@ def test_txn_stats_parity_from_dump_files(spark, fixture_dir, dump_dir):
 def test_cli_commands(spark, dump_dir, capsys, tmp_path):
     from klog_spark.__main__ import main
 
-    # txn-stat over the dump directory
-    assert main(["segment", "txn-stat", dump_dir], spark=spark) == 0
+    # txn-stat over the DATA dumps (TxnStat.java:70-81 rejects internal
+    # topics and multi-topic input — asserted in test_cli_txn_stat_contract)
+    assert main(["segment", "txn-stat", dump_dir + "/payments-*.log.dump.txt"],
+                spark=spark) == 0
     out = capsys.readouterr().out
-    assert "num_committed:" in out and "num_open_txn:" in out
+    assert "num_committed:" in out
+    assert "txn_size_stats: IntSummaryStatistics{count=" in out
+    assert "empty_txn:" in out and "open_txn:" in out
 
     # filtered cat: only pid-1 batches and their records, uncolored.
     # Scoped to the DATA dumps: on __transaction_state dumps --pid matches
@@ -187,6 +191,37 @@ def test_cli_cat_transactional_id(spark, dump_dir, capsys):
     assert len(out) == want and want > 0
     assert any(ln.startswith("Batch(") for ln in out)          # headers print
     assert any("TransactionState" in ln for ln in out)         # with records
+
+
+def test_cli_txn_stat_contract(spark, dump_dir, capsys):
+    """TxnStat.java's full contract: internal-topic dumps are rejected
+    (:72-75), BatchPredicate filters narrow the batch stream before the
+    collector (:85-89), and the stats lines carry Java's
+    IntSummaryStatistics formatting (:96-97)."""
+    import pytest as _pytest
+
+    from klog_spark.__main__ import main
+
+    with _pytest.raises(SystemExit, match="do not contain transactional"):
+        main(["segment", "txn-stat",
+              dump_dir + "/__transaction_state-*.log.dump.txt"], spark=spark)
+
+    pay = dump_dir + "/payments-*.log.dump.txt"
+    assert main(["segment", "txn-stat", pay], spark=spark) == 0
+    full = capsys.readouterr().out
+
+    def n_committed(text):
+        return int(next(ln for ln in text.splitlines()
+                        if ln.startswith("num_committed:")).split(":")[1])
+
+    # a pid filter must shrink (not just reproduce) the aggregate
+    assert main(["segment", "txn-stat", pay, "--pid", "1"], spark=spark) == 0
+    filtered = capsys.readouterr().out
+    assert 0 < n_committed(filtered) < n_committed(full)
+    # average prints with Java's %f default (6 decimals)
+    stats_line = next(ln for ln in full.splitlines()
+                      if ln.startswith("txn_size_stats:"))
+    assert ", average=" in stats_line and stats_line.rstrip().endswith("}")
 
 
 def test_cli_cat_transactional_id_rejects_non_txn_input(spark, dump_dir):
