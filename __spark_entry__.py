@@ -125,6 +125,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_abort_cmds": eq.q_abort_cmds,                      # S10+P7; open_txn_abort_cmds keeps the S10 driver row
         "dedup_exact": eq.q_dedup_exact,                         # digest agg inside dedup_canonical + dedup_incremental rows
         "klog_topics_sanity": eq.q_topics_sanity,                # A8 1-row sanity
+        "lm_quality_score": eq.q_lm_quality,                     # unigram-LM (perplexity-style) corpus filter
+        "weighted_sample_by_source": eq.q_weighted_sample,       # derandomized A-ES weighted sampling
     }
 
 
@@ -218,4 +220,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "klog_abort_cmds": eq.SQL_ABORT_CMDS,
         "dedup_exact": eq.SQL_DEDUP_EXACT,
         "klog_topics_sanity": eq.SQL_TOPICS_SANITY,
+        "lm_quality_score": eq.SQL_LM_QUALITY,
+        "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
     }

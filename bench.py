@@ -129,6 +129,8 @@ def main() -> None:
             # round-4 operators at sf0.1 scale
             timed("corpus_pack", lambda: eq.q_corpus_pack(spark, sf_dir).count())
             timed("contamination_check", lambda: eq.q_contamination_check(spark, sf_dir).count())
+            # round-5: corpus LM scoring (3 keyed shuffles over exploded words)
+            timed("lm_quality", lambda: eq.q_lm_quality(spark, sf_dir).count())
             all_runs.append(timings)
             shutil.rmtree(routed_dir, ignore_errors=True)
     finally:

@@ -53,3 +53,44 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float], total_chars: int,
         .select(F.col(id_col).alias("doc_id"), "source",
                 F.col(size_col).cast("long").alias(size_col))
     )
+
+
+def weighted_sample(docs: DataFrame, k: int, weight_col: str,
+                    by: list[str] | None = None,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES),
+    derandomized: each row gets key = u^(1/w) where u is a deterministic
+    uniform in (0,1) built from the java-hash of the sha256 of its id, and
+    the k largest keys per stratum ARE a weight-proportional sample. No
+    RNG state, no seeds to ship to executors — the same sample on every
+    engine, run, and cluster size (the property mixture_sample provides
+    for share-based curation, here for probability-proportional-to-size
+    selection, e.g. quality-weighted corpus subsetting).
+
+    Rows with weight <= 0 or null can never be sampled (A-ES contract).
+
+    Scale shape: global sampling (``by=None``) compiles to sort+limit —
+    Spark's TakeOrdered computes per-partition partial top-k, shuffling
+    only k rows per partition; per-stratum sampling is one window keyed on
+    the strata (bounded by stratum cardinality, the natural shard).
+    """
+    from ..javahash import java_hash_u32_expr
+
+    u = (java_hash_u32_expr(F.sha2(F.col(id_col).cast("string"), 256))
+         .cast("double") + 0.5) / float(1 << 32)
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    sampled = docs.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_es_key", key)
+    if not by:
+        return (
+            sampled.orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("_es_key")
+        )
+    w = Window.partitionBy(*by).orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+    return (
+        sampled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_es_key", "_rn")
+    )

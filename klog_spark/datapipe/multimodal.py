@@ -180,6 +180,73 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int, int]:
     return samples, sr, ch
 
 
+def _f80_encode(x: float) -> bytes:
+    """IEEE 754 80-bit extended float (big-endian), as AIFF's COMM
+    sampleRate field requires: 1 sign + 15 exponent (bias 16383) bits, then
+    a 64-bit mantissa WITH explicit integer bit."""
+    if x <= 0:
+        raise ValueError("AIFF sample rate must be positive")
+    import math
+
+    m, e = math.frexp(x)          # x = m * 2**e, 0.5 <= m < 1
+    mant = int(m * (1 << 64))     # explicit leading bit set (m >= 0.5)
+    exp = e - 1 + 16383           # frexp mantissa in [0.5,1) vs extended's [1,2)
+    return struct.pack(">HQ", exp, mant)
+
+
+def _f80_decode(b: bytes) -> float:
+    exp, mant = struct.unpack(">HQ", b[:10])
+    sign = -1.0 if exp & 0x8000 else 1.0
+    exp &= 0x7FFF
+    if mant == 0 and exp == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def encode_aiff_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono PCM16 AIFF (big-endian samples — the format's defining
+    difference from WAV), built chunk-by-chunk from the spec."""
+    data = samples.astype(">i2").tobytes()
+    ssnd = b"SSND" + struct.pack(">III", 8 + len(data), 0, 0) + data
+    comm = b"COMM" + struct.pack(">IhIh", 18, 1, len(samples), 16) + _f80_encode(
+        float(sample_rate)
+    )
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(blob: bytes) -> tuple[np.ndarray, int, int]:
+    """AIFF / AIFF-C decode: (samples int16 (n, channels), sample_rate,
+    channels). Chunk walk per the AIFF-1.3 / AIFF-C specs; PCM16 COMM only,
+    AIFF-C accepted when its compression type is NONE (what the stdlib
+    ``aifc`` writer emits)."""
+    if blob[:4] != b"FORM" or blob[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFC FORM")
+    is_aifc = blob[8:12] == b"AIFC"
+    pos, end = 12, 8 + struct.unpack(">I", blob[4:8])[0]
+    comm = ssnd = None
+    while pos + 8 <= min(end, len(blob)):
+        cid, sz = blob[pos:pos + 4], struct.unpack(">I", blob[pos + 4:pos + 8])[0]
+        payload = blob[pos + 8:pos + 8 + sz]
+        if cid == b"COMM":
+            comm = payload
+        elif cid == b"SSND":
+            ssnd = payload
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    ch, n_frames, bits = struct.unpack(">hIh", comm[:8])
+    if bits != 16:
+        raise ValueError("only PCM16 AIFF supported")
+    if is_aifc and comm[18:22] != b"NONE":
+        raise ValueError(f"unsupported AIFF-C compression {comm[18:22]!r}")
+    sr = int(round(_f80_decode(comm[8:18])))
+    offset = struct.unpack(">I", ssnd[:4])[0]
+    raw = ssnd[8 + offset:8 + offset + n_frames * ch * 2]
+    samples = np.frombuffer(raw, dtype=">i2").astype(np.int16).reshape(n_frames, ch)
+    return samples, sr, ch
+
+
 def decode_media(blob: bytes, media_type: str):
     """Real decode dispatch. Returns a feature dict per modality; raises for
     media types with no stdlib codec (video)."""
@@ -200,6 +267,10 @@ def decode_media(blob: bytes, media_type: str):
                 "pixel_sum": int(arr.astype(np.int64).sum())}
     if media_type == "audio/wav":
         samples, sr, ch = decode_wav(bytes(blob))
+        return {"sample_rate": sr, "channels": ch, "n_samples": samples.shape[0],
+                "sample_abs_sum": int(np.abs(samples.astype(np.int64)).sum())}
+    if media_type in ("audio/aiff", "audio/x-aiff"):
+        samples, sr, ch = decode_aiff(bytes(blob))
         return {"sample_rate": sr, "channels": ch, "n_samples": samples.shape[0],
                 "sample_abs_sum": int(np.abs(samples.astype(np.int64)).sum())}
     raise NotImplementedError(
@@ -280,11 +351,13 @@ DECODED_SCHEMA = StructType(
 def synthetic_media_table(spark, n: int = 200) -> DataFrame:
     """Deterministic REAL media blobs, generated distributed (mapInPandas
     over a range): even ids get an RGB PNG with pixel[y][x][ch] =
-    (x*7 + y*13 + ch*29 + id*31) % 256 at (8 + id%5) x (6 + id%7); odd ids
-    get a mono PCM16 WAV with sample[t] = ((t * (id%13 + 3)) % 2001) - 1000
-    over 64 + (id%37)*8 samples @ 8kHz. The closed-form content is what
-    lets an engine-independent oracle verify the DECODERS (not just the
-    plumbing) value-for-value."""
+    (x*7 + y*13 + ch*29 + id*31) % 256 at (8 + id%5) x (6 + id%7); ids
+    with id%4==1 a mono PCM16 WAV and id%4==3 a mono PCM16 AIFF
+    (big-endian + 80-bit-float rate header), both with sample[t] =
+    ((t * (id%13 + 3)) % 2001) - 1000 over 64 + (id%37)*8 samples
+    (WAV @ 8kHz, AIFF @ 11025Hz). The closed-form content is what lets an
+    engine-independent oracle verify the DECODERS (not just the plumbing)
+    value-for-value."""
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("media", BinaryType()),
          StructField("media_type", StringType())]
@@ -306,8 +379,12 @@ def synthetic_media_table(spark, n: int = 200) -> DataFrame:
                 else:
                     t = np.arange(64 + (i % 37) * 8, dtype=np.int64)
                     samples = (t * (i % 13 + 3)) % 2001 - 1000
-                    rows["media"].append(encode_wav_pcm16(samples))
-                    rows["media_type"].append("audio/wav")
+                    if i % 4 == 1:
+                        rows["media"].append(encode_wav_pcm16(samples))
+                        rows["media_type"].append("audio/wav")
+                    else:
+                        rows["media"].append(encode_aiff_pcm16(samples, 11025))
+                        rows["media_type"].append("audio/x-aiff")
                 rows["doc_id"].append(i)
             yield pd.DataFrame(rows)
 

@@ -122,3 +122,52 @@ def repetition_scores(docs: DataFrame, n: int = 2, text_col: str = "text",
             "dup_gram_frac"
         ),
     )
+
+
+def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style unigram language-model quality scoring: train a unigram
+    LM on the corpus itself (word -> count / total), then score every
+    document by its average negative log-likelihood — low avg_nll ~ fluent,
+    high ~ gibberish/boilerplate. The classic cheap LM filter in front of a
+    pretraining corpus.
+
+    Determinism across engines and partitionings: the per-WORD
+    -ln(c/N) is rounded once to integer micro-nats (a pure function of the
+    LM counts), documents integer-sum those micro-nats (order-independent,
+    unlike a float sum), and the final average is the exact
+    int-sum / (1e6 * n_words) double division. No ROUND-on-a-float-sum
+    anywhere.
+
+    Scale shape: explode -> count per word (one shuffle, map-side partial)
+    is the LM; scoring joins the exploded words back on the word key (AQE
+    broadcasts the LM when the vocabulary is small enough, plain equi-join
+    otherwise — vocabulary grows ~O(corpus^0.5) by Heaps' law, never like
+    the corpus); final per-doc aggregation is the third and last shuffle.
+    Documents with no words carry no probability mass and are omitted, both
+    here and in the oracle.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_WORDS(text_col)).alias("w"),
+    ).filter(F.col("w") != "")
+    lm = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = lm.agg(F.sum("c").cast("long").alias("n_total"))
+    word_nll = lm.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(-F.log(F.col("c") / F.col("n_total")) * 1000000, 0)
+        .cast("long").alias("nll_micro"),
+    )
+    return (
+        words.join(word_nll, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("nll_micro").cast("long").alias("sum_nll_micro"),
+        )
+        .select(
+            "doc_id", "n_words",
+            (F.col("sum_nll_micro").cast("double")
+             / (1000000.0 * F.col("n_words"))).alias("avg_nll"),
+        )
+    )

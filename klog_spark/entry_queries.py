@@ -1303,6 +1303,35 @@ SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split FROM 
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Derandomized Efraimidis-Spirakis weighted sampling: top-5 docs per
+    source with probability proportional to n_chars, deterministic via
+    hash-derived uniforms (mixture.weighted_sample). The oracle recomputes
+    key = u^(1/w) per row from the same sha256->java32 composition and
+    takes the same per-source top-5."""
+    from .datapipe.mixture import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), k=5, weight_col="n_chars", by=["source"]
+    ).select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         POW(({_sql_java_u32("sha256(CAST(doc_id AS VARCHAR))")} + 0.5) / 4294967296.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY es_key DESC, doc_id ASC) AS rn
+  FROM h
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM r WHERE rn <= 5
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the exact n-gram
     Jaccard pairs — pairwise output turned into dedup groups. Oracle: the
@@ -1822,6 +1851,45 @@ SQL_LANG_ID_EVAL = f"""
 SELECT d.lang, p.lang_guess, COUNT(*) AS n_docs
 FROM ({_sql_lang_id()}) p JOIN documents d USING (doc_id)
 GROUP BY d.lang, p.lang_guess
+"""
+
+
+def q_lm_quality(spark, sf_dir):
+    """Unigram-LM (perplexity-style) quality scoring: the corpus trains its
+    own word->count LM, each doc scored by average negative log-likelihood
+    (textstats.unigram_lm_scores). Cross-engine determinism comes from the
+    per-WORD integer micro-nat rounding — documents integer-sum those, so
+    no float sum order can differ; the oracle recomputes the identical LM
+    and scoring from scratch in SQL."""
+    from .datapipe.textstats import unigram_lm_scores
+
+    return unigram_lm_scores(_docs(spark, sf_dir))
+
+
+SQL_LM_QUALITY = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+lm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM lm),
+nll AS (
+  -- per-word micro-nats, rounded ONCE here exactly like the Spark side:
+  -- document sums below are integer and therefore order-independent
+  SELECT w,
+         CAST(ROUND(-LN(CAST(c AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+           AS nll_micro
+  FROM lm, tot
+)
+SELECT words.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(CAST(SUM(nll_micro) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * COUNT(*)) AS avg_nll
+FROM words JOIN nll USING (w)
+GROUP BY words.doc_id
 """
 
 
@@ -2588,11 +2656,12 @@ WHERE NOT is_deletion AND prev_offset IS NOT NULL AND committed_offset < prev_of
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode, verified from first principles: the synthetic
-    media table carries genuine PNG and WAV blobs whose content is a closed
-    form of doc_id; Spark DECODES THE BYTES (stdlib zlib/struct/wave
-    decoders, executor-side) while the oracle recomputes the same features
-    from the generation formula — agreement proves the decoders, not just
-    the plumbing."""
+    media table carries genuine PNG, WAV and AIFF blobs whose content is a
+    closed form of doc_id; Spark DECODES THE BYTES (stdlib zlib/struct
+    decoders incl. the hand-rolled big-endian AIFF chunk walk,
+    executor-side) while the oracle recomputes the same features from the
+    generation formula — agreement proves the decoders, not just the
+    plumbing."""
     from .datapipe.multimodal import extract_decoded_features, synthetic_media_table
 
     return extract_decoded_features(synthetic_media_table(spark, n=200))
@@ -2613,11 +2682,12 @@ png AS (
   FROM ids WHERE i % 2 = 0
 ),
 wav AS (
-  SELECT i AS doc_id, 'audio/wav' AS media_type,
+  SELECT i AS doc_id,
+         CASE WHEN i % 4 = 1 THEN 'audio/wav' ELSE 'audio/x-aiff' END AS media_type,
          CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
          CAST(1 AS INT) AS channels,
          CAST(NULL AS BIGINT) AS pixel_sum,
-         CAST(8000 AS INT) AS sample_rate,
+         CAST(CASE WHEN i % 4 = 1 THEN 8000 ELSE 11025 END AS INT) AS sample_rate,
          CAST(64 + (i % 37) * 8 AS INT) AS n_samples,
          CAST((SELECT SUM(ABS((t.range * (i % 13 + 3)) % 2001 - 1000))
                FROM range(0, 352) t WHERE t.range < 64 + (i % 37) * 8)

@@ -627,6 +627,55 @@ def test_bmp_ppm_codecs_roundtrip():
     assert np.array_equal(decode_ppm(blob), arr)
 
 
+def test_aiff_codec_roundtrip_and_stdlib_parity():
+    """Hand-rolled big-endian AIFF codec: roundtrip at awkward sample rates
+    (the 80-bit extended-float COMM field), byte-level parity with the
+    stdlib ``aifc`` writer as an independent oracle, and decode_media
+    dispatch for both MIME spellings."""
+    import warnings
+
+    import numpy as np
+
+    from klog_spark.datapipe.multimodal import (
+        _f80_decode, _f80_encode, decode_aiff, decode_media, encode_aiff_pcm16,
+    )
+
+    for rate in (8000, 11025, 22050, 44100, 48000):
+        assert _f80_decode(_f80_encode(float(rate))) == float(rate)
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-30000, 30000, size=513).astype(np.int64)
+    blob = encode_aiff_pcm16(samples, 44100)
+    dec, sr, ch = decode_aiff(blob)
+    assert sr == 44100 and ch == 1 and np.array_equal(dec[:, 0], samples)
+
+    # independent oracle: our decoder must read the stdlib aifc writer's
+    # output bit-for-bit (aifc is deprecated; fine as a test-only oracle)
+    import io as _io
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+        class _KeepOpen(_io.BytesIO):  # aifc closes the passed file object
+            def close(self):
+                pass
+
+        buf = _KeepOpen()
+        with aifc.open(buf, "wb") as af:
+            af.setnchannels(1)
+            af.setsampwidth(2)
+            af.setframerate(11025)
+            af.writeframes(samples.astype(">i2").tobytes())
+        dec2, sr2, ch2 = decode_aiff(buf.getvalue())
+    assert sr2 == 11025 and ch2 == 1 and np.array_equal(dec2[:, 0], samples)
+
+    feats = decode_media(blob, "audio/x-aiff")
+    assert feats["n_samples"] == 513
+    assert feats["sample_abs_sum"] == int(np.abs(samples).sum())
+    assert decode_media(blob, "audio/aiff") == feats
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """The generic as-of join must agree with pandas.merge_asof (the
     reference implementation) on random inputs, including the <=-tie case
@@ -776,3 +825,88 @@ def test_kmv_sketch_accuracy_and_partition_invariance(spark):
     out2 = {r["g"]: r["kmv_estimate"]
             for r in kmv_distinct(df.repartition(17), "v", ["g"], k=64).collect()}
     assert out2 == {g: r["kmv_estimate"] for g, r in out1.items()}
+
+
+def _java32(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    return h
+
+
+def test_weighted_sample_aes(spark):
+    """Derandomized A-ES: the exact selected set matches a pure-Python
+    replication of key = u^(1/w); heavy-weight rows dominate the sample;
+    per-stratum k is honored; nonpositive/null weights are never selected;
+    and the sample is invariant under repartitioning."""
+    import hashlib
+    import math
+
+    from klog_spark.datapipe.mixture import weighted_sample
+
+    rows = [(i, "g" + str(i % 2), 100 if i < 100 else 1) for i in range(1000)]
+    rows += [(2000, "g0", 0), (2001, "g1", None)]  # never sampled
+    df = spark.createDataFrame(rows, "doc_id long, g string, w int")
+
+    got = sorted(r["doc_id"] for r in
+                 weighted_sample(df, k=50, weight_col="w").collect())
+
+    def key(i, w):
+        h = _java32(hashlib.sha256(str(i).encode()).hexdigest())
+        u = (h + 0.5) / 2**32
+        return u ** (1.0 / w)
+
+    ranked = sorted(((key(i, w), -i) for i, _, w in rows[:1000]), reverse=True)
+    want = sorted(-neg_i for _k, neg_i in ranked[:50])
+    assert got == want
+    heavy = sum(1 for i in got if i < 100)
+    assert heavy > 30, f"heavy rows should dominate, got {heavy}/50"
+    assert 2000 not in got and 2001 not in got
+
+    got2 = sorted(r["doc_id"] for r in
+                  weighted_sample(df.repartition(13), k=50, weight_col="w").collect())
+    assert got2 == got
+
+    per_g = weighted_sample(df, k=7, weight_col="w", by=["g"]).groupBy("g").count()
+    assert {r["g"]: r["count"] for r in per_g.collect()} == {"g0": 7, "g1": 7}
+
+
+def test_unigram_lm_scores_python_parity(spark):
+    """LM scoring matches a sequential Python replication exactly (the
+    per-word micro-nat rounding makes doc sums order-independent), under
+    any partitioning; empty docs are omitted."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from klog_spark.datapipe.textstats import unigram_lm_scores
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),
+        (3, "zqx glorb wibble"),
+        (4, "   "),                     # no words -> omitted
+        (5, "The CAT sat"),             # lowercased -> shares counts
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["avg_nll"])
+           for r in unigram_lm_scores(df).collect()}
+
+    words = {i: [w for w in t.lower().strip().split() if w] for i, t in docs}
+    lm = Counter(w for ws in words.values() for w in ws)
+    n_total = sum(lm.values())
+    nll_micro = {
+        w: int(Decimal(-math.log(c / n_total) * 1e6).quantize(0, ROUND_HALF_UP))
+        for w, c in lm.items()
+    }
+    want = {
+        i: (len(ws), sum(nll_micro[w] for w in ws) / (1e6 * len(ws)))
+        for i, ws in words.items() if ws
+    }
+    assert got == want
+    assert 4 not in got
+    # gibberish scores strictly worse than stopword-heavy text
+    assert got[3][1] > got[2][1]
+    got2 = {r["doc_id"]: (r["n_words"], r["avg_nll"])
+            for r in unigram_lm_scores(df.repartition(7)).collect()}
+    assert got2 == got

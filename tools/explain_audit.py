@@ -143,6 +143,20 @@ def main() -> None:
     sections.append(("range join (bucketed containment)", plan_of(ij), ["Join"]))
     assert "CartesianProduct" not in ij_plan and "BroadcastNestedLoopJoin" not in ij_plan
 
+    # 8f. round-5 corpus operators: LM scoring is three keyed shuffles
+    #     (word count, score join, doc agg) with map-side partials; the
+    #     derandomized weighted sample must compile to TakeOrdered (global)
+    #     — per-partition partial top-k, never a single-partition sort
+    lm = eq.q_lm_quality(spark, SF_DIR)
+    sections.append(("unigram LM scoring", plan_of(lm), ["HashAggregate", "Join"]))
+    from klog_spark.datapipe.mixture import weighted_sample
+
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ws = weighted_sample(docs_df, k=50, weight_col="n_chars")
+    ws_plan = plan_of(ws, "simple")
+    sections.append(("weighted sample (global A-ES)", plan_of(ws), ["TakeOrderedAndProject"]))
+    assert "TakeOrderedAndProject" in ws_plan, "global sample must be TakeOrdered"
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
