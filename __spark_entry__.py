@@ -127,6 +127,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_topics_sanity": eq.q_topics_sanity,                # A8 1-row sanity
         "lm_quality_score": eq.q_lm_quality,                     # unigram-LM (perplexity-style) corpus filter
         "weighted_sample_by_source": eq.q_weighted_sample,       # derandomized A-ES weighted sampling
+        "pii_redaction": eq.q_pii_redaction,                     # rule-based PII scrub, byte-exact rewrite parity
     }
 
 
@@ -222,4 +223,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "klog_topics_sanity": eq.SQL_TOPICS_SANITY,
         "lm_quality_score": eq.SQL_LM_QUALITY,
         "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
+        "pii_redaction": eq.SQL_PII_REDACTION,
     }

@@ -171,3 +171,47 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
              / (1000000.0 * F.col("n_words"))).alias("avg_nll"),
         )
     )
+
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# no backreferences, no lookaround, no \b ambiguity across engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "phone": r"(\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+# fixed order: longer/more-specific first so e.g. an SSN inside a phone-ish
+# context is not half-rewritten by a later pass
+PII_ORDER = ["email", "ipv4", "phone", "ssn_like"]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Rule-based PII scrubbing (emails, IPv4s, phone-shaped numbers,
+    SSN-shaped triples) — the mandatory hygiene pass in front of a
+    pretraining corpus. Pure JVM ``regexp_replace`` chain (zero Python,
+    codegen-friendly) with per-class hit counts so the pipeline can report
+    redaction rates per source. Patterns are deliberately conservative and
+    use only syntax with identical semantics in Java regex and RE2, which
+    is what makes the DuckDB oracle able to replicate the rewrite
+    byte-for-byte. NOT a substitute for a trained PII model — the same
+    honestly-labeled stand-in contract as lang_id/quality_scores."""
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        *[
+            F.cast("int", F.regexp_count(F.col(text_col), F.lit(p)))
+            .alias(f"n_{name}")
+            for name, p in PII_PATTERNS.items()
+        ],
+    )
+    red = F.col("_t")
+    for name in PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out.select(
+        "doc_id",
+        red.alias("clean_text"),
+        *[F.col(f"n_{name}") for name in PII_PATTERNS],
+        (sum(F.col(f"n_{name}") for name in PII_PATTERNS) > 0).alias("had_pii"),
+    )

@@ -1893,6 +1893,58 @@ GROUP BY words.doc_id
 """
 
 
+def q_pii_redaction(spark, sf_dir):
+    """Rule-based PII scrubbing (textstats.redact_pii) over documents with
+    DETERMINISTICALLY PLANTED PII (an email, an IP and an SSN-shaped
+    triple derived from doc_id appended to every text) so the gate
+    exercises real rewrites, not just no-ops; both engines plant and scrub
+    the identical strings, so clean_text must hash byte-for-byte."""
+    from .datapipe.textstats import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" ref 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+def _sql_pii_redaction() -> str:
+    from .datapipe.textstats import PII_ORDER, PII_PATTERNS
+
+    planted = ("""text || ' contact user' || CAST(doc_id AS VARCHAR)
+        || '@example.com at 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+        || ' ref 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')""")
+    red = "t"
+    for name in PII_ORDER:
+        red = (f"regexp_replace({red}, '{PII_PATTERNS[name]}', "
+               f"'<{name.upper()}>', 'g')")
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS INT) AS n_{name}"
+        for name, p in PII_PATTERNS.items()
+    )
+    had = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {planted} AS t FROM documents
+),
+c AS (SELECT doc_id, t, {counts} FROM planted)
+SELECT doc_id, {red} AS clean_text,
+       {", ".join("n_" + n for n in PII_PATTERNS)},
+       ({had}) > 0 AS had_pii
+FROM c
+"""
+
+
+SQL_PII_REDACTION = _sql_pii_redaction()
+
+
 def q_source_quality(spark, sf_dir):
     """Per-source corpus report: which crawl sources yield usable text
     (the groupBy every filtering pipeline runs before dropping a source).

@@ -85,7 +85,12 @@ def read_dump_files(spark: SparkSession, path: str) -> DataFrame:
                 # poisoned line fails its grammar and routes to the corrupt
                 # sink — one bad byte must never kill a 10^12-row job
                 with open(fpath, encoding="utf-8", errors="replace") as fh:
-                    lines = fh.read().split("\n")
+                    text = fh.read()
+                # CRLF tolerance: a dump produced/transferred on Windows
+                # carries \r\n; the reference's BufferedReader.readLine
+                # strips both, and an unstripped \r would fail every
+                # grammar and silently route the whole file to corrupt
+                lines = text.replace("\r\n", "\n").split("\n")
                 if lines and lines[-1] == "":
                     lines.pop()
                 if not lines:

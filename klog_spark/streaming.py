@@ -316,3 +316,29 @@ def event_sessions_stream(events: DataFrame, gap_ms: int = 1800 * 1000,
             (ms("last_event") - ms("first_event")).alias("duration_ms"),
         )
     )
+
+
+def dedup_stream(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 watermark_col: str | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: keep the FIRST-ARRIVED row per
+    content digest (sha256 of the text — 32 B of state per distinct doc,
+    the same digest key the batch dedup family shuffles on).
+
+    Backed by ``dropDuplicates`` streaming state. Without a watermark
+    column the state is the full distinct-digest set (exact forever, state
+    grows with distinct content — the batch-ingest screen
+    ``dedup.incremental_exact_dups`` is the right tool once that set
+    outgrows executor memory). With ``watermark_col`` the digest set is
+    evicted past the watermark: exact within the window, the standard
+    bounded-state trade.
+    """
+    hashed = docs.withColumn("_digest", F.sha2(F.col(text_col), 256))
+    if watermark_col is None:
+        return hashed.dropDuplicates(["_digest"]).drop("_digest")
+    return (
+        hashed.withWatermark(watermark_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )

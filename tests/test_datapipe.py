@@ -910,3 +910,29 @@ def test_unigram_lm_scores_python_parity(spark):
     got2 = {r["doc_id"]: (r["n_words"], r["avg_nll"])
             for r in unigram_lm_scores(df.repartition(7)).collect()}
     assert got2 == got
+
+
+def test_pii_redaction_rules(spark):
+    """Planted PII of every class is scrubbed, counts are per-class exact,
+    clean text is byte-stable, and PII-free text passes through untouched."""
+    from klog_spark.datapipe.textstats import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "server 192.168.0.17 then 10.0.0.1 again"),
+        (3, "call +1 (555) 123-4567 or 555 987 6543"),
+        (4, "ssn 123-45-6789 end"),
+        (5, "perfectly clean text with numbers 12345 and dots.."),
+        (6, "combo a@b.co 10.1.2.3 123-45-6789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["clean_text"] == "mail me at <EMAIL> today"
+    assert out[1]["n_email"] == 1 and out[1]["had_pii"]
+    assert out[2]["clean_text"] == "server <IPV4> then <IPV4> again"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["n_phone"] == 2 and "<PHONE>" in out[3]["clean_text"]
+    assert out[4]["clean_text"] == "ssn <SSN_LIKE> end"
+    assert out[5]["clean_text"] == rows[4][1] and not out[5]["had_pii"]
+    assert out[6]["clean_text"] == "combo <EMAIL> <IPV4> <SSN_LIKE>"
+    assert (out[6]["n_email"], out[6]["n_ipv4"], out[6]["n_ssn_like"]) == (1, 1, 1)

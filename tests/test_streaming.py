@@ -252,3 +252,35 @@ def test_event_sessions_stream_matches_python_oracle(spark, tmp_path_factory):
         assert got == want and len(got) > 50
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_dedup_stream_matches_batch_distinct(spark, tmp_path_factory):
+    """Streaming exact dedup: over any micro-batch split, exactly one row
+    per distinct text survives, and the surviving digest set equals the
+    batch distinct set. Duplicates planted across DIFFERENT files so the
+    state must carry between micro-batches."""
+    from klog_spark.streaming import dedup_stream
+
+    src = tmp_path_factory.mktemp("dedup_stream")
+    texts = [f"document body {i % 40}" for i in range(200)]  # 5x dup each
+    df = spark.createDataFrame(
+        [(i, texts[i]) for i in range(200)], "doc_id long, text string"
+    )
+    df.repartition(8).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from dedup_out").collect()
+    assert len(out) == 40
+    assert {r["text"] for r in out} == set(texts)
