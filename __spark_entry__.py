@@ -128,6 +128,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_score": eq.q_lm_quality,                     # unigram-LM (perplexity-style) corpus filter
         "weighted_sample_by_source": eq.q_weighted_sample,       # derandomized A-ES weighted sampling
         "pii_redaction": eq.q_pii_redaction,                     # rule-based PII scrub, byte-exact rewrite parity
+        "repeated_spans": eq.q_repeated_spans,                   # cross-doc repeated-span (exact-substring-dedup signal)
     }
 
 
@@ -224,4 +225,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "lm_quality_score": eq.SQL_LM_QUALITY,
         "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
         "pii_redaction": eq.SQL_PII_REDACTION,
+        "repeated_spans": eq.SQL_REPEATED_SPANS,
     }

@@ -509,3 +509,77 @@ def incremental_exact_dups(incoming: DataFrame, corpus: DataFrame,
         .agg(F.min("corpus_id").alias("dup_of"))
     )
     return inc.join(idx, "digest").select("doc_id", "dup_of")
+
+
+def repeated_ngram_spans(docs: DataFrame, n: int = 8, min_df: int = 2,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         hash_ngrams: bool = False) -> DataFrame:
+    """Cross-document repeated-span detection — the signal behind exact
+    substring deduplication of training corpora (repeated boilerplate /
+    license blocks / templated passages): every word position opening an
+    ``n``-gram that also occurs in at least ``min_df`` distinct documents
+    is flagged, and overlapping flagged positions merge into maximal spans
+    ``[span_start, span_end)`` (word offsets) per document.
+
+    Scale shape: positions explode once (JVM transform/slice, no Python);
+    the document-frequency pass is one n-gram-keyed groupBy with map-side
+    partials; flagged positions come back via an equi-join on the same key;
+    the interval merge is one per-document window (running max of span
+    ends — the classic merge without any iterative process). With
+    ``hash_ngrams`` the shuffle key is ``xxhash64(ngram)`` — 8 bytes
+    instead of the n-gram text — the right key at corpus scale; results
+    are identical short of a 2^-64 collision (pytest pins the two variants
+    equal). The gate oracle recomputes the string-keyed variant from
+    scratch in SQL.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    pos_grams = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("_w", i + 1, n), " ").alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    key = F.xxhash64("gram").alias("k") if hash_ngrams else F.col("gram").alias("k")
+    keyed = pos_grams.select("doc_id", "pos", key)
+    hot = (
+        keyed.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("k")
+    )
+    flagged = keyed.join(hot, "k").select("doc_id", "pos")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # interval merge: a position starts a NEW span iff it lies beyond every
+    # previous flagged n-gram's end; span id = running count of new-span flags
+    new_span = F.when(
+        F.col("pos") >= F.coalesce(F.max(F.col("pos") + n).over(w), F.lit(-1)), 1
+    ).otherwise(0)
+    ws = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spans = flagged.withColumn("span_id", F.sum(new_span).over(ws))
+    return (
+        spans.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_flagged_positions"),
+        )
+        .drop("span_id")
+        .select("doc_id", "span_start", "span_end", "n_flagged_positions")
+    )

@@ -1332,6 +1332,55 @@ SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM r WHERE rn <= 5
 """
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Cross-document repeated-span detection (dedup.repeated_ngram_spans):
+    maximal merged spans of word 8-grams occurring in >= 2 distinct docs of
+    the planted-duplicate corpus — the exact-substring-dedup signal. The
+    oracle rebuilds positions/grams/document frequencies/interval merge
+    from scratch in SQL (fixed-range position explode, DuckDB range() does
+    not take correlated bounds)."""
+    from .datapipe.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(_dup_corpus(spark, sf_dir), n=8, min_df=2)
+
+
+SQL_REPEATED_SPANS = f"""
+WITH {SQL_DUP_CORPUS},
+w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM corpus
+),
+pg AS (
+  SELECT doc_id, p.range AS pos,
+         array_to_string(ws[p.range + 1 : p.range + 8], ' ') AS gram
+  FROM w, range(0, 512) p
+  WHERE len(ws) >= 8 AND p.range <= len(ws) - 8
+),
+hot AS (
+  SELECT gram FROM pg GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+fl AS (SELECT doc_id, pos FROM pg JOIN hot USING (gram)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos >= COALESCE(MAX(pos + 8) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM fl
+),
+s AS (
+  SELECT *, CAST(SUM(new_span) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+  FROM m
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_flagged_positions
+FROM s GROUP BY doc_id, span_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the exact n-gram
     Jaccard pairs — pairwise output turned into dedup groups. Oracle: the

@@ -936,3 +936,37 @@ def test_pii_redaction_rules(spark):
     assert out[5]["clean_text"] == rows[4][1] and not out[5]["had_pii"]
     assert out[6]["clean_text"] == "combo <EMAIL> <IPV4> <SSN_LIKE>"
     assert (out[6]["n_email"], out[6]["n_ipv4"], out[6]["n_ssn_like"]) == (1, 1, 1)
+
+
+def test_repeated_ngram_spans(spark):
+    """Cross-doc repeated 4-gram spans: planted shared passages are found
+    with exact word offsets, overlapping repeats merge into maximal spans,
+    unique text is never flagged, and the xxhash64-keyed scale variant
+    equals the string-keyed one."""
+    from klog_spark.datapipe.dedup import repeated_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"       # 6 words
+    rows = [
+        (1, f"u1a u1b {shared} u1c u1d"),                # span at words [2, 8)
+        (2, f"{shared} completely different tail here"),  # span at [0, 6)
+        (3, "totally unique words nothing repeated at all ever"),
+        (4, f"x1 x2 x3 {shared} y1 {shared}"),            # two spans, gap 1 word
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_ngram_spans(df, n=4, min_df=2)
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in out.collect()}
+    # doc4: spans [3,9) and [10,16); the 1-word gap means the two repeats
+    # do NOT merge (no flagged 4-gram bridges them)
+    assert got == {(1, 2, 8), (2, 0, 6), (4, 3, 9), (4, 10, 16)}
+    hashed = {(r["doc_id"], r["span_start"], r["span_end"])
+              for r in repeated_ngram_spans(df, n=4, min_df=2,
+                                            hash_ngrams=True).collect()}
+    assert hashed == got
+
+    # adjacent repeats DO merge: two shared trigram-blocks overlapping
+    rows2 = [(1, "p q r s t u v"), (2, "p q r s t u v end")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {(r["doc_id"], r["span_start"], r["span_end"], r["n_flagged_positions"])
+            for r in repeated_ngram_spans(df2, n=4, min_df=2).collect()}
+    assert out2 == {(1, 0, 7, 4), (2, 0, 7, 4)}
