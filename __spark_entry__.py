@@ -129,6 +129,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_by_source": eq.q_weighted_sample,       # derandomized A-ES weighted sampling
         "pii_redaction": eq.q_pii_redaction,                     # rule-based PII scrub, byte-exact rewrite parity
         "repeated_spans": eq.q_repeated_spans,                   # cross-doc repeated-span (exact-substring-dedup signal)
+        "event_funnel": eq.q_event_funnel,                       # ordered view->click->purchase conversion
+        "user_retention": eq.q_user_retention,                   # weekly cohort retention triangle
     }
 
 
@@ -226,4 +228,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
         "pii_redaction": eq.SQL_PII_REDACTION,
         "repeated_spans": eq.SQL_REPEATED_SPANS,
+        "event_funnel": eq.SQL_EVENT_FUNNEL,
+        "user_retention": eq.SQL_USER_RETENTION,
     }

@@ -2963,6 +2963,97 @@ SELECT * FROM lv
 """
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel conversion view -> click -> purchase: a user reaches
+    step k at the earliest event of type k AT OR AFTER their step-(k-1)
+    time. Three equi-joins on user_id (each stage strictly narrows), exact
+    user counts and an integer-exact conversion ratio."""
+    ev = _read_events(spark, sf_dir).select(
+        "user_id", "event_type", _ts_ms_ntz("ts").alias("ts_ms")
+    ).filter(F.col("ts_ms").isNotNull())
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_ms").alias("t1"))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(s1, "user_id").filter(F.col("ts_ms") >= F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts_ms").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id").filter(F.col("ts_ms") >= F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts_ms").alias("t3")))
+    n1, n2, n3 = (s.agg(F.count("*").cast("long").alias("n")) for s in (s1, s2, s3))
+    return (
+        n1.select(F.col("n").alias("n_view"))
+        .crossJoin(n2.select(F.col("n").alias("n_click")))
+        .crossJoin(n3.select(F.col("n").alias("n_purchase")))
+        .select(
+            "n_view", "n_click", "n_purchase",
+            (F.col("n_click").cast("double") / F.col("n_view")).alias("view_to_click"),
+            (F.col("n_purchase").cast("double") / F.col("n_click")).alias("click_to_purchase"),
+        )
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+  FROM events WHERE ts IS NOT NULL
+),
+s1 AS (SELECT user_id, MIN(ts_ms) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(ts_ms) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts_ms >= t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(ts_ms) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts_ms >= t2 GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase,
+       CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+         / (SELECT COUNT(*) FROM s1) AS view_to_click,
+       CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+         / (SELECT COUNT(*) FROM s2) AS click_to_purchase
+"""
+
+
+def q_user_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted distinct per (cohort_week, weeks_since) — the standard
+    retention triangle, all integer week arithmetic on epoch ms."""
+    week_ms = 7 * 86_400_000
+    ev = _read_events(spark, sf_dir).select(
+        "user_id", _ts_ms_ntz("ts").alias("ts_ms")
+    ).filter(F.col("ts_ms").isNotNull())
+    wk = ev.select("user_id", F.floor(F.col("ts_ms") / week_ms).alias("week")).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active_users"))
+    )
+
+
+SQL_USER_RETENTION = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE ts IS NOT NULL
+),
+wk AS (
+  SELECT DISTINCT user_id, CAST(FLOOR(ts_ms / 604800000.0) AS BIGINT) AS week FROM e
+),
+c AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week - cohort_week AS BIGINT) AS weeks_since,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM wk JOIN c USING (user_id)
+GROUP BY cohort_week, weeks_since
+"""
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV bottom-k distinct sketch: estimated distinct users per event
     type at k=16, alongside the exact count — deterministic java-hash
