@@ -970,3 +970,51 @@ def test_repeated_ngram_spans(spark):
     out2 = {(r["doc_id"], r["span_start"], r["span_end"], r["n_flagged_positions"])
             for r in repeated_ngram_spans(df2, n=4, min_df=2).collect()}
     assert out2 == {(1, 0, 7, 4), (2, 0, 7, 4)}
+
+
+def test_repeated_spans_property(spark):
+    """Property: on random small corpora over a tiny vocabulary (forcing
+    natural cross-doc n-gram repeats), the Spark construction equals a
+    sequential Python oracle computing flagged positions and merged spans
+    directly."""
+    import random
+
+    from klog_spark.datapipe.dedup import repeated_ngram_spans
+
+    rng = random.Random("spans-prop")
+    N = 4
+    for trial in range(6):
+        vocab = [f"w{j}" for j in range(rng.randint(3, 6))]
+        docs = []
+        for i in range(rng.randint(2, 7)):
+            n_words = rng.randint(0, 20)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_words))))
+
+        # sequential oracle
+        grams = {}
+        for i, t in docs:
+            ws = [w for w in t.lower().strip().split() if w]
+            for p in range(max(0, len(ws) - N + 1)):
+                grams.setdefault(" ".join(ws[p:p + N]), set()).add(i)
+        repeated = {g for g, ids in grams.items() if len(ids) >= 2}
+        want = set()
+        for i, t in docs:
+            ws = [w for w in t.lower().strip().split() if w]
+            flagged = [p for p in range(max(0, len(ws) - N + 1))
+                       if " ".join(ws[p:p + N]) in repeated]
+            spans, cur = [], None
+            for p in flagged:
+                if cur is not None and p < cur[1]:
+                    cur = (cur[0], p + N, cur[2] + 1)
+                else:
+                    if cur:
+                        spans.append(cur)
+                    cur = (p, p + N, 1)
+            if cur:
+                spans.append(cur)
+            want |= {(i, s, e, k) for s, e, k in spans}
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_flagged_positions"])
+               for r in repeated_ngram_spans(df, n=N, min_df=2).collect()}
+        assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"

@@ -17,7 +17,7 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from check_queries import value_hash  # noqa: E402  (same comparison code)
+from check_queries import lint_arrow_schema, value_hash  # noqa: E402  (same comparison code)
 
 
 def main(sf: float = 0.1) -> int:
@@ -64,16 +64,31 @@ def main(sf: float = 0.1) -> int:
             eq.q_group_commit_rates,
             eq.SQL_GROUP_COMMIT_RATES.replace(eq.klog_base_cte(), eq.klog_base_cte(fx)),
         ),
+        # round-5 corpus heavyweights over the sf-scale documents table
+        "lm_quality": (eq.q_lm_quality, eq.SQL_LM_QUALITY),
+        "repeated_spans": (eq.q_repeated_spans, eq.SQL_REPEATED_SPANS),
     }
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
 
     failures = []
     for name, (q, sql) in checks.items():
         t0 = time.time()
         sdf = q(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(sql)
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        # Arrow fetch + type lint: the same driver-faithful representation
+        # path as the sf0.01 gate (tools/check_queries.py)
+        tbl = con.execute(sql).arrow()
+        lint = lint_arrow_schema(tbl.schema)
+        if lint:
+            print(f"  sf{sf:g} {name:24s} ORACLE TYPE LINT: " + "; ".join(lint))
+            failures.append(name)
+            continue
+        ocols = list(tbl.schema.names)
+        cols_py = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        orows = list(zip(*cols_py)) if cols_py else []
         ok = (
             len(srows) == len(orows)
             and sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in ocols)
