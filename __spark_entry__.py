@@ -131,6 +131,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": eq.q_repeated_spans,                   # cross-doc repeated-span (exact-substring-dedup signal)
         "event_funnel": eq.q_event_funnel,                       # ordered view->click->purchase conversion
         "user_retention": eq.q_user_retention,                   # weekly cohort retention triangle
+        "cms_user_counts": eq.q_cms_user_counts,                 # Count-Min sketch estimates vs exact
     }
 
 
@@ -230,4 +231,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "repeated_spans": eq.SQL_REPEATED_SPANS,
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,
+        "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
     }

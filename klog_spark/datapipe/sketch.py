@@ -74,3 +74,83 @@ def kmv_distinct(df: DataFrame, value_col: str, by: list[str], k: int = 64) -> D
         .otherwise(F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / F.lit(HASH_SPACE)))
         .alias("kmv_estimate"),
     )
+
+
+def cms_build(df: DataFrame, value_col: str, by: list[str] | None = None,
+              depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min sketch build: a ``depth x width`` counter matrix per
+    ``by`` group — (\\*by, d, bucket, cnt) rows, at most depth*width per
+    group no matter how many distinct values flow in (the whole point at
+    10^12 rows: the shuffle carries fixed-size sketch cells, not the
+    distinct-value set). Mergeable by construction: the sketch of a union
+    is the cell-wise sum of the sketches (pytest-pinned).
+
+    Hash row d = java-hash of ``"d<d>:" || sha256(value)`` mod width —
+    deterministic, engine-replicable (the same salted-fold trick as
+    kmv_distinct), so estimates are oracle-checkable bit-for-bit, which an
+    RNG-seeded implementation would not be.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local style)
+
+    from ..javahash import java_hash_u32_expr
+
+    by = by or []
+    digest = F.sha2(F.col(value_col).cast("string"), 256)
+    rows = df.select(
+        *by,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(
+                        java_hash_u32_expr(F.concat(F.lit(f"d{d}:"), digest)),
+                        F.lit(width),
+                    ).cast("int").alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("cell"),
+    )
+    return rows.groupBy(*by, F.col("cell.d").alias("d"),
+                        F.col("cell.bucket").alias("bucket")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame, value_col: str,
+                 by: list[str] | None = None,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-estimate counts for the ``queries`` rows from a cms_build
+    sketch: min over the depth cells each query hashes into (the classic
+    CMS upper bound — exact when the row has no colliding values). Queries
+    replicate depth-fold and hit the sketch via one (by, d, bucket)
+    equi-join; a missing cell means a zero count.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..javahash import java_hash_u32_expr
+
+    by = by or []
+    digest = F.sha2(F.col(value_col).cast("string"), 256)
+    q = queries.select(
+        *by, value_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(
+                        java_hash_u32_expr(F.concat(F.lit(f"d{d}:"), digest)),
+                        F.lit(width),
+                    ).cast("int").alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("cell"),
+    ).select(*by, value_col, F.col("cell.d").alias("d"),
+             F.col("cell.bucket").alias("bucket"))
+    joined = q.join(sketch, [*by, "d", "bucket"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    return joined.groupBy(*by, value_col).agg(
+        F.min("cnt").cast("long").alias("cms_count")
+    )

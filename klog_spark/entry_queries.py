@@ -3054,6 +3054,75 @@ GROUP BY cohort_week, weeks_since
 """
 
 
+def q_cms_user_counts(spark, sf_dir):
+    """Count-Min sketch (datapipe/sketch.cms_build/cms_estimate): per-type
+    event counts for users 0-9 estimated from a 4x64 sketch, alongside the
+    exact counts. Width 64 against ~hundreds of distinct users per type
+    forces real collisions, so the gate verifies the SKETCH estimates
+    (upper bounds), not a trivially-exact path; the deterministic salted
+    java-hash rows make the oracle reproduce every cell and every min
+    bit-for-bit."""
+    from .datapipe.sketch import cms_build, cms_estimate
+
+    ev = _read_events(spark, sf_dir).select("event_type", "user_id")
+    sketch = cms_build(ev, "user_id", by=["event_type"], depth=4, width=64)
+    queries = (
+        ev.select("event_type").distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("user_id")))
+    )
+    est = cms_estimate(sketch, queries, "user_id", by=["event_type"],
+                       depth=4, width=64)
+    exact = ev.filter(F.col("user_id") < 10).groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    return est.join(exact, ["event_type", "user_id"], "left").select(
+        "event_type", "user_id", "cms_count",
+        F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+    )
+
+
+def _sql_cms_user_counts(depth: int = 4, width: int = 64) -> str:
+    digest = "sha256(CAST(user_id AS VARCHAR))"
+
+    def hash_select(src: str, d: int) -> str:
+        salted = "'d" + str(d) + ":' || " + digest
+        return (
+            f"SELECT event_type, user_id, {d} AS d, "
+            f"{_sql_java_u32(salted)} % {width} AS bucket FROM {src}"
+        )
+
+    cell_selects = " UNION ALL ".join(hash_select("e", d) for d in range(depth))
+    qcell_selects = " UNION ALL ".join(hash_select("q", d) for d in range(depth))
+    return f"""
+WITH e AS (SELECT event_type, user_id FROM events),
+cells AS ({cell_selects}),
+sk AS (
+  SELECT event_type, d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY event_type, d, bucket
+),
+q AS (
+  SELECT et.event_type, r.range AS user_id
+  FROM (SELECT DISTINCT event_type FROM e) et, range(0, 10) r
+),
+qcells AS ({qcell_selects}),
+est AS (
+  SELECT qc.event_type, qc.user_id,
+         CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_count
+  FROM qcells qc LEFT JOIN sk USING (event_type, d, bucket)
+  GROUP BY qc.event_type, qc.user_id
+)
+SELECT est.event_type, est.user_id, est.cms_count,
+       CAST(COALESCE(x.n, 0) AS BIGINT) AS exact_count
+FROM est LEFT JOIN (
+  SELECT event_type, user_id, COUNT(*) AS n FROM e WHERE user_id < 10
+  GROUP BY event_type, user_id
+) x USING (event_type, user_id)
+"""
+
+
+SQL_CMS_USER_COUNTS = _sql_cms_user_counts()
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV bottom-k distinct sketch: estimated distinct users per event
     type at k=16, alongside the exact count — deterministic java-hash

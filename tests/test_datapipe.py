@@ -1018,3 +1018,51 @@ def test_repeated_spans_property(spark):
         got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_flagged_positions"])
                for r in repeated_ngram_spans(df, n=N, min_df=2).collect()}
         assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"
+
+
+def test_cms_sketch_properties(spark):
+    """Count-Min invariants: estimates are upper bounds on true counts and
+    exact at collision-free width; the sketch is partition-invariant; and
+    the sketch of a union equals the cell-wise sum of the parts (proper
+    mergeable-sketch semantics)."""
+    from klog_spark.datapipe.sketch import cms_build, cms_estimate
+
+    rows = [(f"v{i % 37}",) for i in range(3000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "v string")
+    true = {r["v"]: r["n"] for r in
+            df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    queries = df.select("v").distinct()
+
+    narrow = cms_build(df, "v", depth=4, width=16)      # collisions certain
+    est_n = {r["v"]: r["cms_count"] for r in
+             cms_estimate(narrow, queries, "v", depth=4, width=16).collect()}
+    assert all(est_n[v] >= n for v, n in true.items())  # upper bound, always
+    assert est_n["hot"] >= 500
+
+    wide = cms_build(df, "v", depth=4, width=4096)      # 38 keys: no collision
+    est_w = {r["v"]: r["cms_count"] for r in
+             cms_estimate(wide, queries, "v", depth=4, width=4096).collect()}
+    assert est_w == true
+
+    # partition invariance: identical cells under a different partitioning
+    cells_a = {(r["d"], r["bucket"]): r["cnt"] for r in narrow.collect()}
+    cells_b = {(r["d"], r["bucket"]): r["cnt"]
+               for r in cms_build(df.repartition(13), "v",
+                                  depth=4, width=16).collect()}
+    assert cells_a == cells_b
+
+    # mergeability: sketch(A ∪ B) == cellwise_sum(sketch(A), sketch(B))
+    half1 = spark.createDataFrame(rows[:1500], "v string")
+    half2 = spark.createDataFrame(rows[1500:], "v string")
+    merged = (
+        cms_build(half1, "v", depth=4, width=16)
+        .unionByName(cms_build(half2, "v", depth=4, width=16))
+        .groupBy("d", "bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    cells_m = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert cells_m == cells_a
+
+    # unknown value -> 0 only if its cells are all empty; at minimum bounded
+    unk = cms_estimate(narrow, spark.createDataFrame([("never-seen-xyz",)],
+                       "v string"), "v", depth=4, width=16).collect()[0]
+    assert unk["cms_count"] >= 0
