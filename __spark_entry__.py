@@ -132,6 +132,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": eq.q_event_funnel,                       # ordered view->click->purchase conversion
         "user_retention": eq.q_user_retention,                   # weekly cohort retention triangle
         "cms_user_counts": eq.q_cms_user_counts,                 # Count-Min sketch estimates vs exact
+        "bpe_pair_counts": eq.q_bpe_pair_counts,                 # BPE training statistic (argmax = first merge)
     }
 
 
@@ -232,4 +233,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
+        "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
     }

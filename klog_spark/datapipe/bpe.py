@@ -1,0 +1,169 @@
+"""Byte-pair-encoding tokenizer training and encoding over a corpus.
+
+The architecture mirrors how production tokenizer trainers actually scale:
+the CORPUS-SCALE work is the word-frequency count — one shuffle over the
+whole corpus with map-side combine — after which BPE's merge loop operates
+on the vocabulary-sized frequency table, never on raw text again. Here the
+count is a Spark aggregation; the merge loop runs driver-side on the
+collected (word, freq) table, bounded by ``max_vocab`` exactly like the
+engine's other driver collects (similarity.KNN_EVAL_CAP et al.). Encoding
+with the learned merges is distributed again (Arrow-batched mapInPandas).
+
+``symbol_pair_counts`` — the statistic BPE greedily maximizes — is exposed
+as its own corpus-scale operator with a from-scratch SQL oracle in the
+gate; the iterative trainer is pytest-verified against an independent
+pure-Python BPE that never sees the word-frequency detour.
+
+End-of-word marker: '</w>' appended as a separate final symbol (the
+original Sennrich et al. 2016 formulation), so merges distinguish
+word-final from word-internal pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+EOW = "</w>"
+MAX_VOCAB_COLLECT = 500_000  # driver-side word-table cap (~tens of MB)
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-scale word frequencies (lowercased, whitespace-split): the one
+    pass over raw text BPE training needs. Map-side combined hash agg;
+    output is vocabulary-sized."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        docs.select(F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def symbol_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-symbol pair frequencies over the initial character
+    segmentation (chars + word-final '</w>'), weighted by word frequency —
+    the argmax of this table is BPE's first merge. Pure JVM: split to
+    chars via split(word, ''), pairs via transform over positions, explode,
+    hash agg. Output is (left, right, pair_count), symbol-pair-vocabulary
+    sized."""
+    wf = word_freqs(docs, text_col)
+    chars = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(chars) - 2),
+        lambda i: F.struct(
+            F.element_at(chars, i + 1).alias("l"),
+            F.element_at(chars, i + 2).alias("r"),
+        ),
+    )
+    return (
+        wf.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("sym_left"), F.col("p.r").alias("sym_right"))
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Apply one merge left-to-right, non-overlapping (standard BPE)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
+              max_vocab: int = MAX_VOCAB_COLLECT) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges: distributed word count, then the
+    greedy merge loop on the driver over the vocabulary-sized table
+    (deterministic argmax with (count DESC, left ASC, right ASC)
+    tiebreak — no RNG, same merges on any cluster size or partitioning).
+
+    Returns [(left, right, pair_count), ...] in merge order. The collect is
+    capped at ``max_vocab`` rows BY FREQUENCY (words beyond the cap carry
+    negligible pair mass); the cap is the same bounded-driver-memory
+    contract as the engine's other collects.
+    """
+    rows = (
+        word_freqs(docs, text_col)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab = {tuple([*r["word"], EOW]): r["freq"] for r in rows}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, n))
+        vocab = {
+            tuple(_merge_word(list(syms), left, right)): freq
+            for syms, freq in vocab.items()
+        }
+    return merges
+
+
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str, int]],
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distributed BPE encoding with learned merges: per document, the
+    token sequence plus fertility stats (tokens per word — the number every
+    tokenizer evaluation reports). Arrow-batched mapInPandas; the merge
+    list broadcasts with the closure (KBs)."""
+    order = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        if word in cache:
+            return cache[word]
+        syms = [*word, EOW]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for a, b in zip(syms, syms[1:]):
+                r = order.get((a, b))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (a, b), r
+            if best is None:
+                break
+            syms = _merge_word(syms, *best)
+        cache[word] = syms
+        return syms
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("bpe_tokens", ArrayType(StringType())),
+        StructField("n_tokens", IntegerType()),
+        StructField("n_words", IntegerType()),
+    ])
+
+    def gen(it):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in it:
+            out = {"doc_id": [], "bpe_tokens": [], "n_tokens": [], "n_words": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text).lower().strip().split() if w]
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(encode_word(w, cache))
+                out["doc_id"].append(doc_id)
+                out["bpe_tokens"].append(toks)
+                out["n_tokens"].append(len(toks))
+                out["n_words"].append(len(words))
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)

@@ -3123,6 +3123,37 @@ FROM est LEFT JOIN (
 SQL_CMS_USER_COUNTS = _sql_cms_user_counts()
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training statistic (datapipe/bpe.symbol_pair_counts): adjacent
+    character-symbol pair frequencies over the word-frequency table — the
+    table whose argmax is BPE's first merge. The oracle recomputes word
+    freqs, char segmentation with the '</w>' marker, and pair sums from
+    scratch in SQL."""
+    from .datapipe.bpe import symbol_pair_counts
+
+    return symbol_pair_counts(_docs(spark, sf_dir))
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH wf AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+sym AS (
+  SELECT freq, list_append(string_split(word, ''), '</w>') AS syms FROM wf
+),
+pairs AS (
+  SELECT syms[r.range + 1] AS sym_left, syms[r.range + 2] AS sym_right, freq
+  FROM sym, range(0, 64) r
+  WHERE r.range <= len(syms) - 2
+)
+SELECT sym_left, sym_right, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY sym_left, sym_right
+"""
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV bottom-k distinct sketch: estimated distinct users per event
     type at k=16, alongside the exact count — deterministic java-hash

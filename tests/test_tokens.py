@@ -48,3 +48,92 @@ def test_sequence_length_histogram(spark):
     df = spark.createDataFrame(rows, "doc_id: string, tokens: array<int>, n_tok: int, source: string")
     got = {r["bucket_start"]: r["n_sequences"] for r in sequence_length_histogram(df, bucket=32).collect()}
     assert got == {0: 3, 32: 2, 64: 1, 96: 1}
+
+
+def test_bpe_train_and_encode(spark):
+    """Distributed BPE: the learned merges must equal an independent
+    pure-Python reference BPE computed straight from the raw texts (no
+    word-frequency detour), be partition-invariant, and the distributed
+    encoder must reproduce the reference segmentation with exact fertility
+    stats."""
+    from klog_spark.datapipe.bpe import EOW, apply_bpe, train_bpe
+
+    texts = [
+        (0, "low low low low low"),
+        (1, "lower lower newest newest newest"),
+        (2, "newest newest newest widest widest"),
+        (3, "the newest lowest the the"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    K = 12
+    merges = train_bpe(df, n_merges=K)
+
+    # independent reference: Sennrich-style BPE from raw lines
+    from collections import Counter
+
+    vocab = Counter()
+    for _, t in texts:
+        for w in t.lower().strip().split():
+            vocab[tuple([*w, EOW])] += 1
+
+    def ref_merge(v, a, b):
+        out = Counter()
+        for syms, f in v.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out[tuple(res)] += f
+        return out
+
+    want = []
+    v = vocab
+    for _ in range(K):
+        counts = Counter()
+        for syms, f in v.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        want.append((a, b, n))
+        v = ref_merge(v, a, b)
+    assert merges == want
+    assert train_bpe(df.repartition(7), n_merges=K) == merges  # partition-invariant
+
+    # distributed encoding: matches a direct reference encode per word
+    enc = {r["doc_id"]: r for r in apply_bpe(df, merges).collect()}
+    order = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    def ref_encode(w):
+        syms = [*w, EOW]
+        while len(syms) > 1:
+            ranked = [(order[(a, b)], j) for j, (a, b) in enumerate(zip(syms, syms[1:]))
+                      if (a, b) in order]
+            if not ranked:
+                break
+            r, _ = min(ranked)
+            a, b = next(p for p in order if order[p] == r)
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    for doc_id, t in texts:
+        words = t.lower().strip().split()
+        want_toks = [s for w in words for s in ref_encode(w)]
+        assert enc[doc_id]["bpe_tokens"] == want_toks, doc_id
+        assert enc[doc_id]["n_tokens"] == len(want_toks)
+        assert enc[doc_id]["n_words"] == len(words)
+    # heavily repeated words compress: fertility well under char count
+    assert enc[0]["n_tokens"] == 5  # 'low</w>' fully merged after 12 merges
