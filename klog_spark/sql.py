@@ -90,3 +90,41 @@ def register_views(spark: SparkSession, input_data, prefix: str = "klog") -> lis
         df.createOrReplaceTempView(name)
         names.append(name)
     return names
+
+
+def register_corpus_views(spark: SparkSession, docs, prefix: str = "corpus") -> list[str]:
+    """The training-data pipeline surface as SQL views over a documents
+    table (doc_id, text, ...): quality/LM/PII/repetition scoring, exact-dup
+    groups, leakage-safe split, cross-doc repeated spans and the BPE pair
+    statistic — so corpus curation, like the klog analysis, is drivable
+    from pure ``spark.sql``. DataFrame-backed temp views: filters an
+    analyst writes in SQL push down into every underlying plan."""
+    from .datapipe.bpe import symbol_pair_counts
+    from .datapipe.dedup import (
+        exact_duplicates, leakage_safe_split, repeated_ngram_spans,
+    )
+    from .datapipe.textstats import (
+        lang_id, quality_scores, redact_pii, repetition_scores,
+        unigram_lm_scores,
+    )
+
+    if not isinstance(docs, DataFrame):
+        docs = spark.read.parquet(str(docs))
+    views: dict[str, DataFrame] = {
+        "documents": docs,
+        "quality": quality_scores(docs),
+        "lang": lang_id(docs),
+        "lm_scores": unigram_lm_scores(docs),
+        "pii": redact_pii(docs),
+        "repetition": repetition_scores(docs),
+        "exact_dups": exact_duplicates(docs),
+        "split": leakage_safe_split(docs),
+        "repeated_spans": repeated_ngram_spans(docs),
+        "bpe_pairs": symbol_pair_counts(docs),
+    }
+    names = []
+    for view, df in views.items():
+        name = f"{prefix}_{view}"
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names

@@ -132,6 +132,32 @@ def test_sql_view_surface(spark, fixture_dir):
     assert "base_offset" in cols and "committed_offset" not in cols
 
 
+def test_sql_corpus_view_surface(spark):
+    """register_corpus_views publishes the curation surface for pure-SQL
+    use: scoring views match the API, and a realistic curation query (keep
+    quality-passing, PII-clean, non-duplicate docs) composes across views."""
+    from klog_spark.datapipe.textstats import unigram_lm_scores
+    from klog_spark.sql import register_corpus_views
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    names = register_corpus_views(spark, docs, prefix="c1")
+    assert "c1_lm_scores" in names and "c1_bpe_pairs" in names
+
+    got = {r["doc_id"]: r["avg_nll"]
+           for r in spark.sql("SELECT doc_id, avg_nll FROM c1_lm_scores").collect()}
+    want = {r["doc_id"]: r["avg_nll"] for r in unigram_lm_scores(docs).collect()}
+    assert got == want
+
+    kept = spark.sql("""
+        SELECT q.doc_id
+        FROM c1_quality q
+        JOIN c1_pii p USING (doc_id)
+        LEFT JOIN c1_exact_dups d ON q.doc_id = d.doc_id AND q.doc_id <> d.keep_doc_id
+        WHERE q.passes_quality AND NOT p.had_pii AND d.doc_id IS NULL
+    """).count()
+    assert 0 < kept <= docs.count()
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
