@@ -1,0 +1,94 @@
+"""Distributed training of a linear quality classifier.
+
+The classic corpus-filtering setup (CCNet / fastText-style): hand-labeled
+or heuristic-labeled examples, cheap per-document features (the
+textstats.quality_scores family), and a logistic-regression filter that
+generalizes the hand rules. Training is full-batch gradient descent where
+EVERY iteration is one JVM-side aggregation: the margin ``w·x`` is a
+codegen'd column expression, the per-feature gradient components are
+``sum((sigmoid(margin) - y) * x_i)`` hash aggregates — no Python touches a
+row, the driver only sees the (n_features+1)-vector of sums per iteration.
+Deterministic up to float-summation order (tests pin agreement with a
+sequential NumPy reference to 1e-6).
+
+At 10^12 rows each iteration is a single map-side-combined pass; for a
+few hundred iterations that is the standard, perfectly scalable shape
+(what MLlib's own LogisticRegression does under the hood, re-expressed on
+the public DataFrame API).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def train_logreg(df: DataFrame, feature_cols: list[str], label_col: str,
+                 iters: int = 100, lr: float = 1.0,
+                 reg: float = 0.0) -> dict:
+    """Full-batch gradient-descent logistic regression.
+
+    Returns {"weights": [w_bias, w_f1, ...], "losses": [...]} — weights in
+    ``[bias, *feature_cols]`` order. ``label_col`` must be 0/1. Features
+    are used as-is; standardize upstream if their scales differ wildly.
+    """
+    n = df.count()
+    if n == 0:
+        raise ValueError("empty training set")
+    k = len(feature_cols)
+    w = [0.0] * (k + 1)
+    losses: list[float] = []
+    xs = [F.lit(1.0), *[F.col(c).cast("double") for c in feature_cols]]
+    y = F.col(label_col).cast("double")
+    for _ in range(iters):
+        margin = sum((F.lit(wi) * xi for wi, xi in zip(w, xs)), F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        err = p - y
+        # log-loss with the numerically stable log1p(exp(-|m|)) form
+        loss_term = F.log1p(F.exp(-F.abs(margin))) + F.when(
+            (margin > 0) != (y > 0.5), F.abs(margin)
+        ).otherwise(F.lit(0.0))
+        row = df.agg(
+            *[F.sum(err * xi).alias(f"g{i}") for i, xi in enumerate(xs)],
+            F.sum(loss_term).alias("loss"),
+        ).collect()[0]
+        grad = [row[f"g{i}"] / n + reg * w[i] for i in range(k + 1)]
+        w = [wi - lr * g for wi, g in zip(w, grad)]
+        losses.append(row["loss"] / n + reg * 0.5 * sum(wi * wi for wi in w))
+    return {"weights": w, "losses": losses}
+
+
+def score_expr(weights: list[float], feature_cols: list[str]) -> Column:
+    """The fitted classifier as a pure column expression (sigmoid(w·x)) —
+    filterable, pushdown-friendly, zero UDF."""
+    margin = sum(
+        (F.lit(wi) * F.col(c).cast("double")
+         for wi, c in zip(weights[1:], feature_cols)),
+        F.lit(float(weights[0])),
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
+def numpy_reference(X, y, iters: int = 100, lr: float = 1.0, reg: float = 0.0):
+    """Sequential oracle for the tests: identical math, NumPy order."""
+    import numpy as np
+
+    Xb = np.hstack([np.ones((len(X), 1)), np.asarray(X, dtype=np.float64)])
+    yv = np.asarray(y, dtype=np.float64)
+    w = np.zeros(Xb.shape[1])
+    losses = []
+    for _ in range(iters):
+        m = Xb @ w
+        p = 1.0 / (1.0 + np.exp(-m))
+        grad = Xb.T @ (p - yv) / len(yv) + reg * w
+        w = w - lr * grad
+        ll = np.log1p(np.exp(-np.abs(m))) + np.where((m > 0) != (yv > 0.5),
+                                                     np.abs(m), 0.0)
+        losses.append(float(ll.mean() + reg * 0.5 * float(w @ w)))
+    return w.tolist(), losses
+
+
+def _sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))

@@ -1066,3 +1066,41 @@ def test_cms_sketch_properties(spark):
     unk = cms_estimate(narrow, spark.createDataFrame([("never-seen-xyz",)],
                        "v string"), "v", depth=4, width=16).collect()[0]
     assert unk["cms_count"] >= 0
+
+
+def test_logreg_trainer_matches_numpy(spark):
+    """Distributed full-batch GD vs the sequential NumPy oracle: same
+    weights and loss trajectory to 1e-6 (only float-summation order can
+    differ), >95% accuracy on separable blobs, partition-invariant, and
+    the fitted model usable as a pure filter expression."""
+    import numpy as np
+
+    from klog_spark.datapipe.classifier import (
+        numpy_reference, score_expr, train_logreg,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    X0 = rng.normal((-1.0, -0.5), 0.6, size=(n // 2, 2))
+    X1 = rng.normal((1.0, 0.8), 0.6, size=(n // 2, 2))
+    X = np.vstack([X0, X1])
+    y = np.array([0] * (n // 2) + [1] * (n // 2))
+    rows = [(float(a), float(b), int(t)) for (a, b), t in zip(X, y)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, label int")
+
+    fit = train_logreg(df, ["f1", "f2"], "label", iters=60, lr=1.0, reg=1e-3)
+    w_ref, loss_ref = numpy_reference(X, y, iters=60, lr=1.0, reg=1e-3)
+    assert np.allclose(fit["weights"], w_ref, atol=1e-6)
+    assert np.allclose(fit["losses"], loss_ref, atol=1e-6)
+    assert fit["losses"][-1] < fit["losses"][0]  # it actually trained
+
+    scored = df.withColumn("p", score_expr(fit["weights"], ["f1", "f2"]))
+    acc = scored.filter(
+        ((F.col("p") > 0.5) & (F.col("label") == 1))
+        | ((F.col("p") <= 0.5) & (F.col("label") == 0))
+    ).count() / n
+    assert acc > 0.95
+
+    fit2 = train_logreg(df.repartition(9), ["f1", "f2"], "label",
+                        iters=60, lr=1.0, reg=1e-3)
+    assert np.allclose(fit2["weights"], fit["weights"], atol=1e-6)
