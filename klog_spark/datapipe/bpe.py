@@ -95,8 +95,7 @@ def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text",
     rows = (
         word_freqs(docs, text_col)
         .orderBy(F.desc("freq"), F.asc("word"))
-        .limit(max_vocab)
-        .collect()
+        .limit(max_vocab).collect()
     )
     vocab = {tuple([*r["word"], EOW]): r["freq"] for r in rows}
     merges: list[tuple[str, str, int]] = []

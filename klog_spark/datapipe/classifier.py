@@ -50,10 +50,11 @@ def train_logreg(df: DataFrame, feature_cols: list[str], label_col: str,
         loss_term = F.log1p(F.exp(-F.abs(margin))) + F.when(
             (margin > 0) != (y > 0.5), F.abs(margin)
         ).otherwise(F.lit(0.0))
+        # .first() on a global aggregate: always exactly one driver row
         row = df.agg(
             *[F.sum(err * xi).alias(f"g{i}") for i, xi in enumerate(xs)],
             F.sum(loss_term).alias("loss"),
-        ).collect()[0]
+        ).first()
         grad = [row[f"g{i}"] / n + reg * w[i] for i in range(k + 1)]
         w = [wi - lr * g for wi, g in zip(w, grad)]
         losses.append(row["loss"] / n + reg * 0.5 * sum(wi * wi for wi in w))

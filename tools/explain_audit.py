@@ -157,6 +157,20 @@ def main() -> None:
     sections.append(("weighted sample (global A-ES)", plan_of(ws), ["TakeOrderedAndProject"]))
     assert "TakeOrderedAndProject" in ws_plan, "global sample must be TakeOrdered"
 
+    # 8g. sketches & corpus stats: fixed-size hash aggregations; the CMS
+    #     estimate is a bounded (by, d, bucket) equi-join; the repeated-span
+    #     merge is windows + aggregates with no nested loop anywhere
+    cms = eq.q_cms_user_counts(spark, SF_DIR)
+    cms_plan = plan_of(cms, "simple")
+    sections.append(("Count-Min sketch build+estimate", plan_of(cms), ["HashAggregate", "Join"]))
+    assert "CartesianProduct" not in cms_plan
+    bp = eq.q_bpe_pair_counts(spark, SF_DIR)
+    sections.append(("BPE pair counts", plan_of(bp), ["HashAggregate"]))
+    rs = eq.q_repeated_spans(spark, SF_DIR)
+    rs_plan = plan_of(rs, "simple")
+    sections.append(("repeated-span detection", plan_of(rs), ["Window", "HashAggregate"]))
+    assert "CartesianProduct" not in rs_plan and "BroadcastNestedLoopJoin" not in rs_plan
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
