@@ -16,6 +16,13 @@ against their DuckDB oracles on every local gate pass
 (``tools/check_queries.py``), just not competing for driver rows. Every
 retired variant's capability keeps a driver row through the query that
 subsumes it (noted inline) plus dedicated pytests.
+
+Round 5 rotated three never-driver-gated pairs into the 50 (VERDICT r4 #5)
+and added nine new operator classes as extras (lm_quality_score,
+weighted_sample_by_source, pii_redaction, repeated_spans, event_funnel,
+user_retention, cms_user_counts, bpe_pair_counts + the streaming/classifier
+pytest-only surface); they are candidates for the next rotation once they
+have a round of local-gate history.
 """
 
 from __future__ import annotations
