@@ -19,8 +19,6 @@ the public DataFrame API).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -90,6 +88,3 @@ def numpy_reference(X, y, iters: int = 100, lr: float = 1.0, reg: float = 0.0):
         losses.append(float(ll.mean() + reg * 0.5 * float(w @ w)))
     return w.tolist(), losses
 
-
-def _sigmoid(x: float) -> float:
-    return 1.0 / (1.0 + math.exp(-x))

@@ -76,6 +76,27 @@ def kmv_distinct(df: DataFrame, value_col: str, by: list[str], k: int = 64) -> D
     )
 
 
+def _cms_cells(value_col: str, depth: int, width: int):
+    """Exploded (d, bucket) cell coordinates for a value: java-hash of the
+    d-salted sha256 digest mod width — shared by build and estimate so the
+    two sides can never drift."""
+    from ..javahash import java_hash_u32_expr
+
+    digest = F.sha2(F.col(value_col).cast("string"), 256)
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(
+                    java_hash_u32_expr(F.concat(F.lit(f"d{d}:"), digest)),
+                    F.lit(width),
+                ).cast("int").alias("bucket"),
+            )
+            for d in range(depth)
+        ])
+    ).alias("cell")
+
+
 def cms_build(df: DataFrame, value_col: str, by: list[str] | None = None,
               depth: int = 4, width: int = 256) -> DataFrame:
     """Count-Min sketch build: a ``depth x width`` counter matrix per
@@ -90,27 +111,8 @@ def cms_build(df: DataFrame, value_col: str, by: list[str] | None = None,
     kmv_distinct), so estimates are oracle-checkable bit-for-bit, which an
     RNG-seeded implementation would not be.
     """
-    from pyspark.sql import functions as F  # noqa: PLC0415 (local style)
-
-    from ..javahash import java_hash_u32_expr
-
     by = by or []
-    digest = F.sha2(F.col(value_col).cast("string"), 256)
-    rows = df.select(
-        *by,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    F.pmod(
-                        java_hash_u32_expr(F.concat(F.lit(f"d{d}:"), digest)),
-                        F.lit(width),
-                    ).cast("int").alias("bucket"),
-                )
-                for d in range(depth)
-            ])
-        ).alias("cell"),
-    )
+    rows = df.select(*by, _cms_cells(value_col, depth, width))
     return rows.groupBy(*by, F.col("cell.d").alias("d"),
                         F.col("cell.bucket").alias("bucket")).agg(
         F.count("*").cast("long").alias("cnt")
@@ -126,26 +128,9 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, value_col: str,
     replicate depth-fold and hit the sketch via one (by, d, bucket)
     equi-join; a missing cell means a zero count.
     """
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
-    from ..javahash import java_hash_u32_expr
-
     by = by or []
-    digest = F.sha2(F.col(value_col).cast("string"), 256)
     q = queries.select(
-        *by, value_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    F.pmod(
-                        java_hash_u32_expr(F.concat(F.lit(f"d{d}:"), digest)),
-                        F.lit(width),
-                    ).cast("int").alias("bucket"),
-                )
-                for d in range(depth)
-            ])
-        ).alias("cell"),
+        *by, value_col, _cms_cells(value_col, depth, width)
     ).select(*by, value_col, F.col("cell.d").alias("d"),
              F.col("cell.bucket").alias("bucket"))
     joined = q.join(sketch, [*by, "d", "bucket"], "left").withColumn(
