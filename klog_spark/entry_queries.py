@@ -1957,6 +1957,12 @@ def q_pii_redaction(spark, sf_dir):
             F.lit(" contact user"), F.col("doc_id").cast("string"),
             F.lit("@example.com at 10.0.0."),
             (F.col("doc_id") % 200).cast("string"),
+            F.lit(" tel "),
+            (F.lit(200) + F.col("doc_id") % 700).cast("string"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 990 + 10).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
             F.lit(" ref 123-45-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ).alias("text"),
@@ -1969,6 +1975,9 @@ def _sql_pii_redaction() -> str:
 
     planted = ("""text || ' contact user' || CAST(doc_id AS VARCHAR)
         || '@example.com at 10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+        || ' tel ' || CAST(200 + doc_id % 700 AS VARCHAR)
+        || '-' || lpad(CAST(doc_id % 990 + 10 AS VARCHAR), 3, '0')
+        || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
         || ' ref 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')""")
     red = "t"
     for name in PII_ORDER:
