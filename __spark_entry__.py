@@ -140,6 +140,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention": eq.q_user_retention,                   # weekly cohort retention triangle
         "cms_user_counts": eq.q_cms_user_counts,                 # Count-Min sketch estimates vs exact
         "bpe_pair_counts": eq.q_bpe_pair_counts,                 # BPE training statistic (argmax = first merge)
+        "media_resize": eq.q_media_resize,                       # real decode->NN-resize->re-encode vs closed form
     }
 
 
@@ -241,4 +242,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "user_retention": eq.SQL_USER_RETENTION,
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
+        "media_resize": eq.SQL_MEDIA_RESIZE,
     }

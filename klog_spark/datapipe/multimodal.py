@@ -505,3 +505,83 @@ def decode_bmp(blob: bytes) -> np.ndarray:
         line = np.frombuffer(blob, dtype=np.uint8, count=row, offset=data_off + i * stride)
         out[y] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
     return out
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("media", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("decode_ok", BooleanType()),
+    ]
+)
+
+
+def resize_image(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (the deterministic, library-free baseline):
+    output[y][x] = input[floor(y*h/th)][floor(x*w/tw)] — exactly the
+    sampling every image pipeline's cheapest path uses."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return arr[ys][:, xs]
+
+
+def resize_media(media_df: DataFrame, target_w: int, target_h: int,
+                 on_unsupported: str = "flag") -> DataFrame:
+    """Distributed image resize over binary media columns: decode
+    (stdlib PNG/BMP/PPM), nearest-neighbor resample to (target_w,
+    target_h), re-encode as PNG — the normalize-resolution stage in front
+    of any vision training set, with the same poison-row contract as
+    extract_decoded_features (corrupt blobs and — under 'flag' — unknown
+    media types come back decode_ok=false with the original blob, never a
+    job failure). Audio/unknown types are not resizable and flag likewise.
+    Arrow-batched mapInPandas; pixels never leave the executor."""
+    if on_unsupported not in ("flag", "error"):
+        raise ValueError(f"on_unsupported must be 'flag'|'error', got {on_unsupported!r}")
+    decoders = {
+        "image/png": decode_png,
+        "image/bmp": decode_bmp,
+        "image/x-portable-pixmap": decode_ppm,
+        "image/ppm": decode_ppm,
+    }
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", "media_type", "media", "width",
+                                   "height", "pixel_sum", "decode_ok")}
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], pdf["media_type"]):
+                dec = decoders.get(mt)
+                if dec is None and on_unsupported == "error":
+                    raise NotImplementedError(f"cannot resize media type {mt!r}")
+                try:
+                    if dec is None:
+                        raise ValueError("unsupported")
+                    arr = dec(bytes(blob))
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    small = resize_image(arr, target_w, target_h)
+                    enc = encode_png(
+                        small if small.shape[2] in (1, 3, 4) else small[:, :, :3]
+                    )
+                    out["media"].append(enc)
+                    out["width"].append(target_w)
+                    out["height"].append(target_h)
+                    out["pixel_sum"].append(int(small.astype(np.int64).sum()))
+                    out["decode_ok"].append(True)
+                except Exception:  # noqa: BLE001 - poison rows flag, never kill
+                    out["media"].append(bytes(blob))
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["pixel_sum"].append(None)
+                    out["decode_ok"].append(False)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(gen, RESIZED_SCHEMA)

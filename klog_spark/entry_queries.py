@@ -3163,6 +3163,44 @@ FROM pairs GROUP BY sym_left, sym_right
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """Distributed image resize (multimodal.resize_media): the synthetic
+    closed-form PNGs resampled to 4x6 nearest-neighbor — Spark decodes,
+    resamples and re-encodes REAL bytes executor-side, while the oracle
+    computes the resized pixel sum straight from the generation formula
+    composed with the NN index map (floor(x*w/tw)); audio rows prove the
+    poison contract (decode_ok=false) inside the gate."""
+    from .datapipe.multimodal import resize_media, synthetic_media_table
+
+    return resize_media(synthetic_media_table(spark, n=200), 4, 6).select(
+        "doc_id", "media_type", "width", "height", "pixel_sum", "decode_ok"
+    )
+
+
+SQL_MEDIA_RESIZE = """
+WITH ids AS (SELECT range AS i FROM range(0, 200)),
+png AS (
+  SELECT i AS doc_id, 'image/png' AS media_type,
+         CAST(4 AS INT) AS width, CAST(6 AS INT) AS height,
+         CAST((SELECT SUM((((x.range * (8 + i % 5)) // 4) * 7
+                         + ((y.range * (6 + i % 7)) // 6) * 13
+                         + c.range * 29 + i * 31) % 256)
+               FROM range(0, 4) x, range(0, 6) y, range(0, 3) c)
+              AS BIGINT) AS pixel_sum,
+         true AS decode_ok
+  FROM ids WHERE i % 2 = 0
+),
+audio AS (
+  SELECT i AS doc_id,
+         CASE WHEN i % 4 = 1 THEN 'audio/wav' ELSE 'audio/x-aiff' END AS media_type,
+         CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+         CAST(NULL AS BIGINT) AS pixel_sum, false AS decode_ok
+  FROM ids WHERE i % 2 = 1
+)
+SELECT * FROM png UNION ALL SELECT * FROM audio
+"""
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV bottom-k distinct sketch: estimated distinct users per event
     type at k=16, alongside the exact count — deterministic java-hash

@@ -1104,3 +1104,44 @@ def test_logreg_trainer_matches_numpy(spark):
     fit2 = train_logreg(df.repartition(9), ["f1", "f2"], "label",
                         iters=60, lr=1.0, reg=1e-3)
     assert np.allclose(fit2["weights"], fit["weights"], atol=1e-6)
+
+
+def test_resize_media_distributed(spark):
+    """Distributed nearest-neighbor resize: the resized blob decodes to
+    exactly the NumPy-reference resample of the closed-form source image
+    (pixel-for-pixel), gray images survive, corrupt blobs and audio rows
+    flag decode_ok=false instead of failing the batch."""
+    import numpy as np
+
+    from klog_spark.datapipe.multimodal import (
+        decode_png, encode_png, encode_wav_pcm16, resize_image, resize_media,
+    )
+
+    def img(i, w=11, h=9):
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        ch = np.arange(3)[None, None, :]
+        return ((x * 7 + y * 13 + ch * 29 + i * 31) % 256).astype(np.uint8)
+
+    gray = (np.arange(35, dtype=np.uint8).reshape(5, 7) * 3) % 256
+    rows = [
+        (0, bytearray(encode_png(img(0))), "image/png"),
+        (1, bytearray(encode_png(img(1), filter_type=2)), "image/png"),
+        (2, bytearray(encode_png(gray)), "image/png"),
+        (3, bytearray(b"\x89PNG\r\n\x1a\nBROKEN"), "image/png"),
+        (4, bytearray(encode_wav_pcm16(np.arange(8, dtype=np.int64))), "audio/wav"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary, media_type string")
+    out = {r["doc_id"]: r for r in resize_media(df, 4, 6).collect()}
+
+    for i in (0, 1):
+        want = resize_image(img(i), 4, 6)
+        got = decode_png(bytes(out[i]["media"]))
+        assert np.array_equal(got, want)
+        assert out[i]["pixel_sum"] == int(want.astype(np.int64).sum())
+        assert (out[i]["width"], out[i]["height"]) == (4, 6)
+    wg = resize_image(gray[:, :, None], 4, 6)
+    assert np.array_equal(decode_png(bytes(out[2]["media"]))[:, :, 0], wg[:, :, 0])
+    assert not out[3]["decode_ok"] and out[3]["pixel_sum"] is None
+    assert not out[4]["decode_ok"]  # audio is not resizable
+    assert bytes(out[4]["media"]) == bytes(rows[4][1])  # original preserved
