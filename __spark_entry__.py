@@ -141,6 +141,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": eq.q_cms_user_counts,                 # Count-Min sketch estimates vs exact
         "bpe_pair_counts": eq.q_bpe_pair_counts,                 # BPE training statistic (argmax = first merge)
         "media_resize": eq.q_media_resize,                       # real decode->NN-resize->re-encode vs closed form
+        "audio_features": eq.q_audio_features,                   # energy/ZCR/peak over real decoded audio
     }
 
 
@@ -243,4 +244,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "media_resize": eq.SQL_MEDIA_RESIZE,
+        "audio_features": eq.SQL_AUDIO_FEATURES,
     }

@@ -585,3 +585,78 @@ def resize_media(media_df: DataFrame, target_w: int, target_h: int,
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("energy", LongType()),            # sum of squares, exact int
+        StructField("n_zero_crossings", IntegerType()),
+        StructField("peak_abs", IntegerType()),
+        StructField("decode_ok", BooleanType()),
+    ]
+)
+
+
+def extract_audio_features(media_df: DataFrame,
+                           on_unsupported: str = "flag") -> DataFrame:
+    """Audio feature extraction over decoded WAV/AIFF blobs: exact-integer
+    energy (sum of squared samples), zero-crossing count (sign-change
+    transitions, zeros carrying the previous sign — the standard ZCR
+    convention) and peak amplitude — the cheap filters in front of an
+    audio training set (silence / clipping / noise screens). All-integer
+    features, so the gate oracle recomputes them bit-for-bit from the
+    generation formula. Same poison-row contract as the other media ops."""
+    if on_unsupported not in ("flag", "error"):
+        raise ValueError(f"on_unsupported must be 'flag'|'error', got {on_unsupported!r}")
+    decoders = {"audio/wav": decode_wav, "audio/aiff": decode_aiff,
+                "audio/x-aiff": decode_aiff}
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = {k: [] for k in ("doc_id", "media_type", "sample_rate",
+                                   "n_samples", "energy", "n_zero_crossings",
+                                   "peak_abs", "decode_ok")}
+            for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], pdf["media_type"]):
+                dec = decoders.get(mt)
+                if dec is None and on_unsupported == "error":
+                    raise NotImplementedError(f"no audio decoder for {mt!r}")
+                try:
+                    if dec is None:
+                        raise ValueError("unsupported")
+                    samples, sr, _ch = dec(bytes(blob))
+                    s = samples[:, 0].astype(np.int64)  # mono/first channel
+                    signs = np.sign(s)
+                    # zeros inherit the previous nonzero sign (standard ZCR)
+                    nz = signs != 0
+                    if nz.any():
+                        idx = np.maximum.accumulate(np.where(nz, np.arange(len(s)), -1))
+                        carried = np.where(idx >= 0, signs[np.maximum(idx, 0)], 0)
+                    else:
+                        carried = signs
+                    # a transition counts only between two SIGNED regions:
+                    # the leading-zeros -> first-sign step is not a crossing
+                    zc = int(np.count_nonzero(
+                        (np.diff(carried) != 0) & (carried[:-1] != 0)
+                    ))
+                    out["sample_rate"].append(int(sr))
+                    out["n_samples"].append(int(len(s)))
+                    out["energy"].append(int((s * s).sum()))
+                    out["n_zero_crossings"].append(zc)
+                    out["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+                    out["decode_ok"].append(True)
+                except Exception:  # noqa: BLE001 - poison rows flag, never kill
+                    for k in ("sample_rate", "n_samples", "energy",
+                              "n_zero_crossings", "peak_abs"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)

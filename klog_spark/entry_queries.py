@@ -3201,6 +3201,60 @@ SELECT * FROM png UNION ALL SELECT * FROM audio
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio screening features (multimodal.extract_audio_features): exact
+    integer energy, standard zero-crossing count (zeros inherit the last
+    nonzero sign; the leading-zero run never counts) and peak amplitude
+    over REAL decoded WAV/AIFF bytes — the oracle recomputes all three
+    from the sample-generation formula with the identical carried-sign
+    window. Image rows prove the poison contract in-gate."""
+    from .datapipe.multimodal import extract_audio_features, synthetic_media_table
+
+    return extract_audio_features(synthetic_media_table(spark, n=200))
+
+
+SQL_AUDIO_FEATURES = """
+WITH ids AS (SELECT range AS i FROM range(0, 200)),
+a AS (
+  SELECT i, t.range AS t, ((t.range * (i % 13 + 3)) % 2001 - 1000) AS v
+  FROM ids, range(0, 352) t
+  WHERE i % 2 = 1 AND t.range < 64 + (i % 37) * 8
+),
+c AS (
+  SELECT i, t, v,
+         LAST_VALUE(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY i ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS car
+  FROM a
+),
+z AS (
+  SELECT i,
+         CAST(COUNT(*) AS INT) AS n_samples,
+         CAST(SUM(v * v) AS BIGINT) AS energy,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND car <> prev
+                       THEN 1 ELSE 0 END) AS INT) AS n_zero_crossings,
+         CAST(MAX(ABS(v)) AS INT) AS peak_abs
+  FROM (SELECT *, LAG(car) OVER (PARTITION BY i ORDER BY t) AS prev FROM c)
+  GROUP BY i
+),
+audio AS (
+  SELECT i AS doc_id,
+         CASE WHEN i % 4 = 1 THEN 'audio/wav' ELSE 'audio/x-aiff' END AS media_type,
+         CAST(CASE WHEN i % 4 = 1 THEN 8000 ELSE 11025 END AS INT) AS sample_rate,
+         n_samples, energy, n_zero_crossings, peak_abs, true AS decode_ok
+  FROM z
+),
+png AS (
+  SELECT i AS doc_id, 'image/png' AS media_type,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+         CAST(NULL AS BIGINT) AS energy, CAST(NULL AS INT) AS n_zero_crossings,
+         CAST(NULL AS INT) AS peak_abs, false AS decode_ok
+  FROM ids WHERE i % 2 = 0
+)
+SELECT * FROM audio UNION ALL SELECT * FROM png
+"""
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """KMV bottom-k distinct sketch: estimated distinct users per event
     type at k=16, alongside the exact count — deterministic java-hash

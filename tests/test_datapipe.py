@@ -1145,3 +1145,32 @@ def test_resize_media_distributed(spark):
     assert not out[3]["decode_ok"] and out[3]["pixel_sum"] is None
     assert not out[4]["decode_ok"]  # audio is not resizable
     assert bytes(out[4]["media"]) == bytes(rows[4][1])  # original preserved
+
+
+def test_audio_features_zcr_edges(spark):
+    """Zero-crossing convention pinned: zeros inherit the previous sign,
+    the leading-zero run never counts, an all-zero signal has zero
+    crossings; energy/peak are exact integers."""
+    import numpy as np
+
+    from klog_spark.datapipe.multimodal import (
+        encode_wav_pcm16, extract_audio_features,
+    )
+
+    sigs = {
+        1: [0, 0, 5, -3, 0, 0, -2, 7],   # lead zeros no count; 5->-3, -2->7 = 2... and zeros carry -3
+        2: [0, 0, 0, 0],                  # all zero -> 0 crossings
+        3: [1, -1, 1, -1, 1],             # alternating -> 4
+        4: [3, 3, 3],                     # constant sign -> 0
+    }
+    rows = [(i, bytearray(encode_wav_pcm16(np.array(s, dtype=np.int64))), "audio/wav")
+            for i, s in sigs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, media binary, media_type string")
+    out = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    # sig 1: carried = [0,0,+,-,-,-,-,+]; transitions with signed prev: +->- and -> + = 2
+    assert out[1]["n_zero_crossings"] == 2
+    assert out[1]["energy"] == sum(v * v for v in sigs[1])
+    assert out[1]["peak_abs"] == 7
+    assert out[2]["n_zero_crossings"] == 0 and out[2]["energy"] == 0
+    assert out[3]["n_zero_crossings"] == 4
+    assert out[4]["n_zero_crossings"] == 0
