@@ -142,6 +142,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": eq.q_bpe_pair_counts,                 # BPE training statistic (argmax = first merge)
         "media_resize": eq.q_media_resize,                       # real decode->NN-resize->re-encode vs closed form
         "audio_features": eq.q_audio_features,                   # energy/ZCR/peak over real decoded audio
+        "corpus_curate": eq.q_corpus_curate,                     # quality+PII+dedup+span-coverage composed pipeline
     }
 
 
@@ -245,4 +246,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "media_resize": eq.SQL_MEDIA_RESIZE,
         "audio_features": eq.SQL_AUDIO_FEATURES,
+        "corpus_curate": eq.SQL_CORPUS_CURATE,
     }

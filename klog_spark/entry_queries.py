@@ -1772,6 +1772,118 @@ def q_corpus_clean(spark, sf_dir):
     )
 
 
+def q_corpus_curate(spark, sf_dir):
+    """The round-5 curation pipeline as ONE composed, gate-verified query:
+    plant PII on a deterministic subset (doc_id % 7 == 0 gets an email
+    appended, so the scrub stage genuinely removes documents), then keep
+    documents that pass quality AND carry no PII AND are the keeper of
+    their exact-duplicate group, reporting each survivor's cross-document
+    repeated-span word coverage (the boilerplate signal) alongside. Every
+    stage is an independently gated operator; this verifies the four-stage
+    composition end to end."""
+    from .datapipe.dedup import exact_dedup_keep_best, repeated_ngram_spans
+    from .datapipe.textstats import quality_scores, redact_pii
+
+    corpus = _dup_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" reach me: u"),
+                     F.col("doc_id").cast("string"), F.lit("@x.io")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    q = quality_scores(corpus).filter(F.col("passes_quality")).select("doc_id", "n_words")
+    clean = redact_pii(corpus).filter(~F.col("had_pii")).select("doc_id")
+    eligible = corpus.join(q, "doc_id").join(clean, "doc_id")
+    resolved = exact_dedup_keep_best(eligible, F.col("n_words").cast("long"))
+    spans = (
+        repeated_ngram_spans(corpus, n=8, min_df=2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("cov"))
+    )
+    return (
+        resolved.filter(F.col("kept"))
+        .join(q, "doc_id")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "group_size",
+            F.coalesce("cov", F.lit(0)).cast("long").alias("span_cov_words"),
+        )
+    )
+
+
+def _sql_corpus_curate() -> str:
+    from .datapipe.textstats import PII_PATTERNS
+
+    email = PII_PATTERNS["email"]
+    return f"""
+WITH {SQL_DUP_CORPUS},
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach me: u' || CAST(doc_id AS VARCHAR) || '@x.io'
+              ELSE text END AS text
+  FROM corpus
+),
+w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM planted
+),
+m AS (
+  SELECT doc_id, text, len(words) AS n_words,
+         len(list_filter(words, x -> list_contains({{STOPS}}, x))) AS n_stop,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '{email}')) AS n_email
+  FROM w
+),
+eligible AS (
+  SELECT doc_id, text, CAST(n_words AS INT) AS n_words
+  FROM m
+  WHERE n_words >= 5 AND n_stop / n_words >= 0.01
+        AND n_punct / length(text) < 0.3 AND n_email = 0
+),
+ranked AS (
+  SELECT doc_id, n_words,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY n_words DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY text) AS group_size
+  FROM eligible
+),
+pg AS (
+  SELECT doc_id, p.range AS pos,
+         array_to_string(words[p.range + 1 : p.range + 8], ' ') AS gram
+  FROM w, range(0, 512) p
+  WHERE len(words) >= 8 AND p.range <= len(words) - 8
+),
+hot AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+fl AS (SELECT doc_id, pos FROM pg JOIN hot USING (gram)),
+mm AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos >= COALESCE(MAX(pos + 8) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM fl
+),
+ss AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+  FROM (SELECT *, CAST(SUM(new_span) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+        FROM mm)
+  GROUP BY doc_id, span_id
+),
+cov AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cov FROM ss GROUP BY doc_id)
+SELECT r.doc_id, r.n_words, CAST(r.group_size AS BIGINT) AS group_size,
+       CAST(COALESCE(cov.cov, 0) AS BIGINT) AS span_cov_words
+FROM ranked r LEFT JOIN cov USING (doc_id)
+WHERE r.rn = 1
+""".replace("{STOPS}", _sql_stoplist_all())
+
+
+# SQL_CORPUS_CURATE is assigned after _sql_stoplist_all is defined below
+
+
 def q_text_token_counts(spark, sf_dir):
     from .datapipe.textstats import token_counts
 
@@ -1818,6 +1930,9 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words,
        (n_words >= 5 AND n_stop / n_words >= 0.01 AND n_punct / length(text) < 0.3) AS passes_quality
 FROM m
 """.replace("{STOPS}", _sql_stoplist_all())
+
+
+SQL_CORPUS_CURATE = _sql_corpus_curate()
 
 
 SQL_CORPUS_CLEAN = f"""
