@@ -342,3 +342,25 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
     )
+
+
+def cms_cells_stream(stream: DataFrame, value_col: str,
+                     by: list[str] | None = None,
+                     depth: int = 4, width: int = 256) -> DataFrame:
+    """Live Count-Min sketch over a stream: the sketch's cells ARE a
+    streaming aggregation (``groupBy(by, d, bucket).count()`` in update
+    mode), so the engine's aggregation state IS the sketch — bounded at
+    depth x width counters per group by construction, no custom state
+    handler needed. After any prefix of the stream the emitted cells equal
+    ``sketch.cms_build`` over the same rows (pytest-pinned), and
+    ``sketch.cms_estimate`` answers point queries against the latest
+    snapshot. The natural shape for a live heavy-hitters / hot-key monitor
+    on an unbounded stream, where an exact per-key count would grow state
+    with key cardinality."""
+    from .datapipe.sketch import _cms_cells
+
+    by = by or []
+    cells = stream.select(*by, _cms_cells(value_col, depth, width))
+    return cells.groupBy(
+        *by, F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("cnt"))

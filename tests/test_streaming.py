@@ -284,3 +284,35 @@ def test_dedup_stream_matches_batch_distinct(spark, tmp_path_factory):
     out = spark.sql("select * from dedup_out").collect()
     assert len(out) == 40
     assert {r["text"] for r in out} == set(texts)
+
+
+def test_cms_cells_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming CMS: after consuming all micro-batches, the emitted cells
+    equal the batch cms_build over the same rows — the engine's aggregation
+    state is the sketch, bounded at depth x width per group."""
+    from klog_spark.datapipe.sketch import cms_build
+    from klog_spark.streaming import cms_cells_stream
+
+    src = tmp_path_factory.mktemp("cms_stream")
+    rows = [(f"g{i % 2}", f"v{i % 50}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    df.repartition(6).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+    )
+    q = (
+        cms_cells_stream(stream, "v", by=["g"], depth=4, width=32)
+        .writeStream.format("memory").queryName("cms_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["g"], r["d"], r["bucket"]): r["cnt"]
+           for r in spark.sql("select * from cms_cells").collect()}
+    want = {(r["g"], r["d"], r["bucket"]): r["cnt"]
+            for r in cms_build(df, "v", by=["g"], depth=4, width=32).collect()}
+    assert got == want and len(got) <= 2 * 4 * 32
