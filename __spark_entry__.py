@@ -143,6 +143,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": eq.q_media_resize,                       # real decode->NN-resize->re-encode vs closed form
         "audio_features": eq.q_audio_features,                   # energy/ZCR/peak over real decoded audio
         "corpus_curate": eq.q_corpus_curate,                     # quality+PII+dedup+span-coverage composed pipeline
+        "vocab_coverage": eq.q_vocab_coverage,                   # top-k vocabulary coverage / OOV curve
+        "events_anomaly": eq.q_events_anomaly,                   # integer-exact 3-sigma daily-volume anomalies
     }
 
 
@@ -247,4 +249,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "media_resize": eq.SQL_MEDIA_RESIZE,
         "audio_features": eq.SQL_AUDIO_FEATURES,
         "corpus_curate": eq.SQL_CORPUS_CURATE,
+        "vocab_coverage": eq.SQL_VOCAB_COVERAGE,
+        "events_anomaly": eq.SQL_EVENTS_ANOMALY,
     }

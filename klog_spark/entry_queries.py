@@ -1881,6 +1881,120 @@ WHERE r.rn = 1
 """.replace("{STOPS}", _sql_stoplist_all())
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage curve: what fraction of the corpus' running
+    words a top-k word vocabulary covers, at ladder points scaled to the fixture vocabulary — the
+    number a tokenizer/vocab-size decision is made on. Words ranked by
+    (freq DESC, word ASC); coverage = exact integer cumulative-freq /
+    total, a deterministic double division (OOV rate = 1 - coverage).
+    Scale note: the ranking window is global BUT over the word-frequency
+    table — vocabulary-sized by Heaps' law, never the corpus; the
+    corpus-scale work is the word count feeding it."""
+    from pyspark.sql import Window
+
+    from .datapipe.bpe import word_freqs
+
+    wf = word_freqs(_docs(spark, sf_dir))
+    w = Window.orderBy(F.desc("freq"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = wf.select(
+        "word", "freq",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word"))).alias("rank"),
+        F.sum("freq").over(w).cast("long").alias("cum_freq"),
+    )
+    total = wf.agg(F.sum("freq").cast("long").alias("n_total"))
+    ks = [3, 5, 10, 20, 30]
+    return (
+        ranked.filter(F.col("rank").isin(ks))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("vocab_size"),
+            "cum_freq",
+            (F.col("cum_freq").cast("double") / F.col("n_total")).alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH wf AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+r AS (
+  SELECT word, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rank,
+         CAST(SUM(freq) OVER (ORDER BY freq DESC, word ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq
+  FROM wf
+),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM wf)
+SELECT CAST(rank AS BIGINT) AS vocab_size, cum_freq,
+       CAST(cum_freq AS DOUBLE) / n_total AS coverage
+FROM r, tot WHERE rank IN (3, 5, 10, 20, 30)
+"""
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Daily-volume anomaly detection per event type: each day judged
+    against its trailing 7 PRIOR days' mean/variance. The 3-sigma test is
+    cross-multiplied into pure integer arithmetic —
+    ``(n*n7 - sum)^2 > 9*n7*(n7*sumsq - sum^2)`` — so the anomaly flag
+    involves no sqrt and no float anywhere: bit-exact on any engine. The
+    reported mean/variance are exact-integer divisions (double)."""
+    from pyspark.sql import Window
+
+    ev = _read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc_nulls_first())
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "day", "event_type", "n",
+        F.count("n").over(w).cast("long").alias("n7"),
+        F.sum("n").over(w).cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("sq"),
+    ).filter(F.col("n7") == 7)
+    lhs = (F.col("n") * F.col("n7") - F.col("s"))
+    rhs = F.lit(9) * F.col("n7") * (F.col("n7") * F.col("sq") - F.col("s") * F.col("s"))
+    return stats.select(
+        "day", "event_type", "n",
+        (F.col("s").cast("double") / F.col("n7")).alias("mean_7d"),
+        ((F.col("n7") * F.col("sq") - F.col("s") * F.col("s")).cast("double")
+         / (F.col("n7") * F.col("n7"))).alias("var_7d"),
+        (lhs * lhs > rhs).alias("is_anomaly"),
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT day, event_type, n,
+         CAST(COUNT(n) OVER w AS BIGINT) AS n7,
+         CAST(SUM(n) OVER w AS BIGINT) AS s,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS sq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day NULLS FIRST
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, event_type, n,
+       CAST(s AS DOUBLE) / n7 AS mean_7d,
+       CAST(n7 * sq - s * s AS DOUBLE) / (n7 * n7) AS var_7d,
+       (n * n7 - s) * (n * n7 - s) > 9 * n7 * (n7 * sq - s * s) AS is_anomaly
+FROM st WHERE n7 = 7
+"""
+
+
 # SQL_CORPUS_CURATE is assigned after _sql_stoplist_all is defined below
 
 
