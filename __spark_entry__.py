@@ -145,6 +145,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": eq.q_corpus_curate,                     # quality+PII+dedup+span-coverage composed pipeline
         "vocab_coverage": eq.q_vocab_coverage,                   # top-k vocabulary coverage / OOV curve
         "events_anomaly": eq.q_events_anomaly,                   # integer-exact 3-sigma daily-volume anomalies
+        "near_dup_canonical": eq.q_near_dup_canonical,           # one representative per near-dup cluster
     }
 
 
@@ -251,4 +252,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_curate": eq.SQL_CORPUS_CURATE,
         "vocab_coverage": eq.SQL_VOCAB_COVERAGE,
         "events_anomaly": eq.SQL_EVENTS_ANOMALY,
+        "near_dup_canonical": eq.SQL_NEAR_DUP_CANONICAL,
     }

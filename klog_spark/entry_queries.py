@@ -1428,6 +1428,61 @@ SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
 """
 
 
+SQL_NEAR_DUP_CANONICAL = SQL_DEDUP_CLUSTERS.replace(
+    "SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id",
+    """, cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+nw AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT) AS n_words
+  FROM corpus
+),
+rk AS (
+  SELECT cl.doc_id, cl.cluster_id, nw.n_words,
+         ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY nw.n_words DESC, cl.doc_id ASC) AS rn
+  FROM cl JOIN nw USING (doc_id)
+)
+SELECT doc_id, cluster_id, n_words,
+       MIN(CASE WHEN rn = 1 THEN doc_id END)
+         OVER (PARTITION BY cluster_id) AS keep_doc_id,
+       rn = 1 AS kept
+FROM rk""",
+)
+
+
+def q_near_dup_canonical(spark, sf_dir):
+    """Cluster canonicalization — the dedup endgame: one representative per
+    NEAR-dup connected component (not just per byte-identical group),
+    chosen by (n_words DESC, doc_id ASC); every clustered doc reports its
+    cluster, its keeper and whether it survives. Composes the gated
+    clustering with the keep-best policy; the oracle extends the recursive
+    reachability CTE with the same ranking."""
+    from pyspark.sql import Window
+
+    from .datapipe.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    corpus = _dup_corpus(spark, sf_dir)
+    clusters = near_dup_clusters(
+        ngram_jaccard_pairs(corpus, n=3, threshold=0.5, max_df=20)
+    )
+    n_words = corpus.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("int").alias("n_words"),
+    )
+    ranked = clusters.join(n_words, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(F.desc("n_words"), F.asc("doc_id"))
+        ),
+    )
+    keepers = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("keep_doc_id")
+    )
+    return ranked.join(keepers, "cluster_id").select(
+        "doc_id", "cluster_id", "n_words", "keep_doc_id",
+        (F.col("rn") == 1).alias("kept"),
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs, hash-verified: ``hash_fn='java32'`` (the
     Java String.hashCode fold) is bit-replicable in DuckDB, so signatures,
