@@ -215,3 +215,46 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
         *[F.col(f"n_{name}") for name in PII_PATTERNS],
         (sum(F.col(f"n_{name}") for name in PII_PATTERNS) > 0).alias("had_pii"),
     )
+
+
+def compression_ratio_scores(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher-family heuristic):
+    zlib-compressed size / raw size per document — highly compressible text
+    is repetitive/templated, incompressible text is often binary junk; the
+    healthy middle band is what a corpus filter keeps. Arrow-batched
+    mapInPandas (zlib releases the GIL, the C deflate IS the work). Scores
+    are deterministic for a fixed zlib/level (pytest-oracled against
+    direct zlib; no cross-engine SQL oracle is possible since the ratio is
+    definitionally the codec's output)."""
+    import zlib
+
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("raw_bytes", IntegerType()),
+        StructField("compressed_bytes", IntegerType()),
+        StructField("compression_ratio", DoubleType()),
+    ])
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "raw_bytes": [], "compressed_bytes": [],
+                   "compression_ratio": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = str(text).encode("utf-8")
+                comp = zlib.compress(raw, level)
+                out["doc_id"].append(doc_id)
+                out["raw_bytes"].append(len(raw))
+                out["compressed_bytes"].append(len(comp))
+                out["compression_ratio"].append(
+                    len(comp) / len(raw) if raw else None
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)

@@ -1174,3 +1174,32 @@ def test_audio_features_zcr_edges(spark):
     assert out[2]["n_zero_crossings"] == 0 and out[2]["energy"] == 0
     assert out[3]["n_zero_crossings"] == 4
     assert out[4]["n_zero_crossings"] == 0
+
+
+def test_compression_ratio_scores(spark):
+    """Ratio parity with direct zlib, and the signal's defining ordering:
+    repetitive text compresses far better than high-entropy text."""
+    import zlib
+
+    from klog_spark.datapipe.textstats import compression_ratio_scores
+
+    import random
+
+    rng = random.Random("zratio")
+    noisy = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                             for _ in range(8)) for _ in range(60))
+    rows = [
+        (1, "spam spam spam " * 40),
+        (2, noisy),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio_scores(df).collect()}
+    for i, t in rows:
+        raw = t.encode()
+        if raw:
+            assert out[i]["compressed_bytes"] == len(zlib.compress(raw, 6))
+            assert out[i]["raw_bytes"] == len(raw)
+    assert out[1]["compression_ratio"] < 0.1          # templated: tiny
+    assert out[2]["compression_ratio"] > 0.5          # high entropy: poor
+    assert out[3]["compression_ratio"] is None        # empty doc: undefined
