@@ -3279,8 +3279,12 @@ def q_event_funnel(spark, sf_dir):
         .crossJoin(n3.select(F.col("n").alias("n_purchase")))
         .select(
             "n_view", "n_click", "n_purchase",
-            (F.col("n_click").cast("double") / F.col("n_view")).alias("view_to_click"),
-            (F.col("n_purchase").cast("double") / F.col("n_click")).alias("click_to_purchase"),
+            # try_divide: an empty funnel step yields NULL, not an ANSI
+            # divide-by-zero crash (property-test-found; oracle NULLIFs)
+            F.try_divide(F.col("n_click").cast("double"), F.col("n_view"))
+            .alias("view_to_click"),
+            F.try_divide(F.col("n_purchase").cast("double"), F.col("n_click"))
+            .alias("click_to_purchase"),
         )
     )
 
@@ -3305,9 +3309,9 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
        CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
        CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase,
        CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
-         / (SELECT COUNT(*) FROM s1) AS view_to_click,
+         / NULLIF((SELECT COUNT(*) FROM s1), 0) AS view_to_click,
        CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
-         / (SELECT COUNT(*) FROM s2) AS click_to_purchase
+         / NULLIF((SELECT COUNT(*) FROM s2), 0) AS click_to_purchase
 """
 
 

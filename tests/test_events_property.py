@@ -193,3 +193,64 @@ def test_boundary_gap_exactly_1800s(spark, tmp_path_factory):
         (1, 0): (3, BASE_MS, BASE_MS + GAP_MS, GAP_MS),
         (1, 1): (1, BASE_MS + 2 * GAP_MS + 1, BASE_MS + 2 * GAP_MS + 1, 0),
     }
+
+
+def _write_simple_events(tmpdir, events):
+    return _write_events(tmpdir, events)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_streams())
+def test_funnel_and_retention_three_way(spark, tmp_path_factory, events):
+    """Property parity for the round-5 event analytics: the funnel's
+    step-k-after-step-(k-1) semantics and the weekly retention triangle
+    must match a sequential Python oracle on random hostile streams (null
+    timestamps, boundary gaps), under the module's non-UTC session TZ."""
+    from klog_spark.entry_queries import (
+        SQL_EVENT_FUNNEL, SQL_USER_RETENTION, q_event_funnel, q_user_retention,
+    )
+
+    tmpdir = tmp_path_factory.mktemp("events_prop5")
+    _write_simple_events(tmpdir, events)
+    _compare(spark, tmpdir, q_user_retention, SQL_USER_RETENTION)
+    srows, scols = _compare(spark, tmpdir, q_event_funnel, SQL_EVENT_FUNNEL)
+
+    # sequential oracle for the funnel (view -> click -> purchase)
+    def first_at_or_after(uid, etype, t0):
+        ts = sorted(t for _eid, t, u, e, _v in events
+                    if u == uid and e == etype and t is not None
+                    and (t0 is None or t >= t0))
+        return ts[0] if ts else None
+
+    users = {u for _eid, _t, u, _e, _v in events}
+    n1 = n2 = n3 = 0
+    for u in users:
+        t1 = first_at_or_after(u, "view", None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = first_at_or_after(u, "click", t1)
+        if t2 is None:
+            continue
+        n2 += 1
+        if first_at_or_after(u, "purchase", t2) is not None:
+            n3 += 1
+    idx = {c: i for i, c in enumerate(scols)}
+    row = srows[0]
+    assert (row[idx["n_view"]], row[idx["n_click"]], row[idx["n_purchase"]]) == (n1, n2, n3)
+
+    # sequential oracle for retention
+    week = 7 * 86_400_000
+    wk = {(u, t // week) for _eid, t, u, _e, _v in events if t is not None}
+    cohort = {}
+    for u, w in wk:
+        cohort[u] = min(cohort.get(u, w), w)
+    want = {}
+    for u, w in wk:
+        key = (cohort[u], w - cohort[u])
+        want.setdefault(key, set()).add(u)
+    got = {
+        (r[0], r[1]): r[2]
+        for r in [tuple(r) for r in q_user_retention(spark, str(tmpdir)).collect()]
+    }
+    assert got == {k: len(v) for k, v in want.items()}
