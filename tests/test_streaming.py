@@ -316,3 +316,35 @@ def test_cms_cells_stream_matches_batch(spark, tmp_path_factory):
     want = {(r["g"], r["d"], r["bucket"]): r["cnt"]
             for r in cms_build(df, "v", by=["g"], depth=4, width=32).collect()}
     assert got == want and len(got) <= 2 * 4 * 32
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path_factory):
+    """The watermark-bounded dedup variant: duplicates arriving within the
+    watermark window are dropped; the output carries exactly one row per
+    distinct text when all dups are inside the window."""
+    import datetime as dt
+
+    from klog_spark.streaming import dedup_stream
+
+    src = tmp_path_factory.mktemp("dedup_wm")
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, f"txt {i % 25}", base + dt.timedelta(seconds=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    df.repartition(4).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stream(stream, watermark_col="ts", watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from dedup_wm_out").collect()
+    assert len(out) == 25
+    assert {r["text"] for r in out} == {f"txt {i}" for i in range(25)}

@@ -137,3 +137,36 @@ def test_bpe_train_and_encode(spark):
         assert enc[doc_id]["n_words"] == len(words)
     # heavily repeated words compress: fertility well under char count
     assert enc[0]["n_tokens"] == 5  # 'low</w>' fully merged after 12 merges
+
+
+def test_bpe_to_packing_end_to_end(spark):
+    """Tokenizer -> trainer batch construction end to end: BPE-encode the
+    corpus with learned merges, then pack the token sequences to a budget —
+    every pack respects the budget (oversized docs stand alone) and token
+    counts are conserved."""
+    from pyspark.sql import functions as F
+
+    from klog_spark.datapipe.bpe import apply_bpe, train_bpe
+    from klog_spark.tokens import pack_sequences
+
+    texts = [(i, ("lorem ipsum dolor sit amet " * ((i % 5) + 1)).strip())
+             for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=20)
+    enc = apply_bpe(df, merges).select(
+        F.concat(F.lit("f:"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.col("n_tokens").alias("n_tok"),
+    )
+    budget = 40
+    packed = pack_sequences(enc, budget=budget)
+    stats = packed.groupBy("pack_id").agg(
+        F.sum("n_tok").alias("tok"), F.count("*").alias("docs"),
+        F.max("n_tok").alias("biggest"),
+    ).collect()
+    total = enc.agg(F.sum("n_tok")).collect()[0][0]
+    assert sum(r["tok"] for r in stats) == total          # conservation
+    # contract: a pack closes as soon as its budget is CROSSED — the
+    # crossing sequence stays, so total minus one sequence is under budget
+    for r in stats:
+        assert r["tok"] - r["biggest"] < budget
+    assert len(stats) >= total // (2 * budget)            # actually packs
