@@ -146,6 +146,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": eq.q_vocab_coverage,                   # top-k vocabulary coverage / OOV curve
         "events_anomaly": eq.q_events_anomaly,                   # integer-exact 3-sigma daily-volume anomalies
         "near_dup_canonical": eq.q_near_dup_canonical,           # one representative per near-dup cluster
+        "doc_keywords": eq.q_doc_keywords,                       # TF-IDF top-k terms, integer micro-nat idf
     }
 
 
@@ -253,4 +254,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "vocab_coverage": eq.SQL_VOCAB_COVERAGE,
         "events_anomaly": eq.SQL_EVENTS_ANOMALY,
         "near_dup_canonical": eq.SQL_NEAR_DUP_CANONICAL,
+        "doc_keywords": eq.SQL_DOC_KEYWORDS,
     }

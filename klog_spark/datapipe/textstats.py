@@ -258,3 +258,47 @@ def compression_ratio_scores(docs: DataFrame, text_col: str = "text",
             yield pd.DataFrame(out)
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def doc_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF keyword extraction: the top-``k`` terms per document by
+    tf * idf with idf = ln(N_docs / df) — the classic corpus summarization
+    / topic-tagging primitive. Determinism across engines and
+    partitionings via the LM-scorer trick: idf is rounded ONCE per term to
+    integer micro-nats (a pure function of document frequencies), scores
+    are exact integer products, and ranking ties break on (score DESC,
+    word ASC). Scale shape: distinct (doc, word) explode -> one df-keyed
+    groupBy for the IDF table -> join back on the word key -> one bounded
+    per-doc window."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_WORDS(text_col)).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("tf"))
+    n_docs = docs.select(F.countDistinct(id_col).cast("long").alias("n_docs"))
+    idf = (
+        tf.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w",
+            F.round(F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000, 0)
+            .cast("long").alias("idf_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = tf.join(idf, "w").select(
+        "doc_id", "w", "tf",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                F.col("w").alias("keyword"), "tf",
+                (F.col("score_micro").cast("double") / 1000000.0).alias("tfidf"))
+    )

@@ -1936,6 +1936,50 @@ WHERE r.rn = 1
 """.replace("{STOPS}", _sql_stoplist_all())
 
 
+def q_doc_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction (textstats.doc_keywords): top-3 terms per
+    document; idf rounded once per term to integer micro-nats so ranking is
+    an exact-integer comparison — the same engine-replicable construction
+    as the LM scorer. The oracle rebuilds tf/df/idf/ranking from scratch."""
+    from .datapipe.textstats import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir), k=3)
+
+
+SQL_DOC_KEYWORDS = """
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, w
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+idf AS (
+  SELECT w,
+         CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / COUNT(DISTINCT doc_id)) * 1000000)
+              AS BIGINT) AS idf_micro
+  FROM tf, nd GROUP BY w, n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, tf.tf * idf.idf_micro AS score_micro
+  FROM tf JOIN idf USING (w)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, w ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, w AS keyword, tf,
+       CAST(score_micro AS DOUBLE) / 1000000.0 AS tfidf
+FROM r WHERE rank <= 3
+"""
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary-coverage curve: what fraction of the corpus' running
     words a top-k word vocabulary covers, at ladder points scaled to the fixture vocabulary — the

@@ -1203,3 +1203,45 @@ def test_compression_ratio_scores(spark):
     assert out[1]["compression_ratio"] < 0.1          # templated: tiny
     assert out[2]["compression_ratio"] > 0.5          # high entropy: poor
     assert out[3]["compression_ratio"] is None        # empty doc: undefined
+
+
+def test_doc_keywords_python_parity(spark):
+    """TF-IDF keywords match a sequential Python replication exactly
+    (micro-int idf makes ranks integer-comparable), invariant under
+    repartitioning, with ties broken (score DESC, word ASC)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from klog_spark.datapipe.textstats import doc_keywords
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "cherry cherry cherry apple"),
+        (4, "unique singular special terms"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["keyword"], r["tf"], r["tfidf"])
+           for r in doc_keywords(df, k=3).collect()}
+
+    words = {i: [w for w in t.lower().split() if w] for i, t in docs}
+    n_docs = len(docs)
+    dfreq = Counter()
+    for ws in words.values():
+        for w in set(ws):
+            dfreq[w] += 1
+    idf_micro = {
+        w: int(Decimal(math.log(n_docs / c) * 1e6).quantize(0, ROUND_HALF_UP))
+        for w, c in dfreq.items()
+    }
+    want = {}
+    for i, ws in words.items():
+        tfs = Counter(ws)
+        ranked = sorted(tfs.items(), key=lambda kv: (-kv[1] * idf_micro[kv[0]], kv[0]))
+        for rank, (w, tf) in enumerate(ranked[:3], start=1):
+            want[(i, rank)] = (w, tf, tf * idf_micro[w] / 1e6)
+    assert got == want
+    got2 = {(r["doc_id"], r["rank"]): (r["keyword"], r["tf"], r["tfidf"])
+            for r in doc_keywords(df.repartition(5), k=3).collect()}
+    assert got2 == got
