@@ -147,6 +147,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": eq.q_events_anomaly,                   # integer-exact 3-sigma daily-volume anomalies
         "near_dup_canonical": eq.q_near_dup_canonical,           # one representative per near-dup cluster
         "doc_keywords": eq.q_doc_keywords,                       # TF-IDF top-k terms, integer micro-nat idf
+        "klog_file_health": eq.q_file_health,                    # per-file corrupt-rate/gap dashboard
     }
 
 
@@ -255,4 +256,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_anomaly": eq.SQL_EVENTS_ANOMALY,
         "near_dup_canonical": eq.SQL_NEAR_DUP_CANONICAL,
         "doc_keywords": eq.SQL_DOC_KEYWORDS,
+        "klog_file_health": eq.SQL_FILE_HEALTH,
     }

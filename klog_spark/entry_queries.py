@@ -1936,6 +1936,53 @@ WHERE r.rn = 1
 """.replace("{STOPS}", _sql_stoplist_all())
 
 
+def q_file_health(spark, sf_dir):
+    """Per-dump-file health report — the fleet dashboard an operator runs
+    before anything else: line/batch/corrupt counts, exact corrupt rate
+    and offset-gap count per segment file. Composes the routed classes
+    with the gap detection; the oracle recomputes both from the text CTEs."""
+    from .operators.aggregates import offset_gaps
+
+    parsed = load_parsed(spark, sf_dir)
+    base = parsed.groupBy("file", "segment_type").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((F.col("record_class") == "batch").cast("int")).cast("long").alias("n_batches"),
+        F.sum((F.col("record_class") == "corrupt").cast("int")).cast("long").alias("n_corrupt"),
+    )
+    gaps = offset_gaps(load_parsed_raw(spark, sf_dir)).groupBy("file").agg(
+        F.count("*").cast("long").alias("n_offset_gaps")
+    )
+    return base.join(gaps, "file", "left").select(
+        "file", "segment_type", "n_lines", "n_batches", "n_corrupt",
+        (F.col("n_corrupt").cast("double") / F.col("n_lines")).alias("corrupt_rate"),
+        F.coalesce("n_offset_gaps", F.lit(0)).cast("long").alias("n_offset_gaps"),
+    )
+
+
+SQL_FILE_HEALTH = f"""
+WITH {klog_base_cte()},
+per_file AS (
+  SELECT file, segment_type,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN record_class = 'batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_batches,
+         CAST(SUM(CASE WHEN record_class = 'corrupt' THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+  FROM classified GROUP BY file, segment_type
+),
+g AS (
+  SELECT file, COUNT(*) AS ng FROM (
+    SELECT file, base_offset,
+           LAG(last_offset) OVER (PARTITION BY file ORDER BY line_no) AS plo
+    FROM batches WHERE segment_type = 'data') t
+  WHERE plo IS NOT NULL AND base_offset <> plo + 1
+  GROUP BY file
+)
+SELECT p.file, p.segment_type, p.n_lines, p.n_batches, p.n_corrupt,
+       CAST(p.n_corrupt AS DOUBLE) / p.n_lines AS corrupt_rate,
+       CAST(COALESCE(g.ng, 0) AS BIGINT) AS n_offset_gaps
+FROM per_file p LEFT JOIN g USING (file)
+"""
+
+
 def q_doc_keywords(spark, sf_dir):
     """TF-IDF keyword extraction (textstats.doc_keywords): top-3 terms per
     document; idf rounded once per term to integer micro-nats so ranking is
