@@ -286,6 +286,29 @@ def cmd_group(spark, args) -> int:
     return 0
 
 
+def cmd_segment_health(spark, args) -> int:
+    """Per-file health dashboard (the q_file_health composition over
+    arbitrary CLI input): line/batch/corrupt counts, corrupt rate,
+    offset-gap count per segment file — the first look at a dump fleet."""
+    from .operators.aggregates import offset_gaps
+
+    parsed = _parsed(spark, args.input)
+    routed = _routed(spark, args.input)
+    base = routed.groupBy("file", "segment_type").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("record_class") == "batch").cast("int")).alias("n_batches"),
+        F.sum((F.col("record_class") == "corrupt").cast("int")).alias("n_corrupt"),
+    )
+    gaps = offset_gaps(parsed).groupBy("file").agg(F.count("*").alias("n_offset_gaps"))
+    df = base.join(gaps, "file", "left").select(
+        "file", "segment_type", "n_lines", "n_batches", "n_corrupt",
+        F.round(F.col("n_corrupt") / F.col("n_lines"), 4).alias("corrupt_rate"),
+        F.coalesce("n_offset_gaps", F.lit(0)).alias("n_offset_gaps"),
+    ).orderBy("file")
+    _print_rows(df)
+    return 0
+
+
 def cmd_route(spark, args) -> int:
     from .operators.route import sink_counts, write_routed
 
@@ -317,6 +340,9 @@ def build_parser() -> argparse.ArgumentParser:
     ts.add_argument("--producer-epoch", type=int, dest="producer_epoch")
     ts.add_argument("--leader-epoch", type=int, dest="leader_epoch")
     ts.set_defaults(fn=cmd_segment_txn_stat)
+    sh = seg.add_parser("health")
+    sh.add_argument("input")
+    sh.set_defaults(fn=cmd_segment_health)
 
     snap = sub.add_parser("snapshot").add_subparsers(dest="sub", required=True)
     scat = snap.add_parser("cat")

@@ -84,6 +84,20 @@ def register_views(spark: SparkSession, input_data, prefix: str = "klog") -> lis
             "group_offset_rewinds": group_offsets.offset_rewinds(routed),
         }
     )
+    # per-file health dashboard (q_file_health shape over this input)
+    gaps = aggregates.offset_gaps(parsed).groupBy("file").agg(
+        F.count("*").alias("n_offset_gaps")
+    )
+    views["file_health"] = (
+        routed.groupBy("file", "segment_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("record_class") == "batch").cast("int")).alias("n_batches"),
+            F.sum((F.col("record_class") == "corrupt").cast("int")).alias("n_corrupt"),
+        )
+        .join(gaps, "file", "left")
+        .withColumn("n_offset_gaps", F.coalesce("n_offset_gaps", F.lit(0)))
+    )
     names = []
     for view, df in views.items():
         name = f"{prefix}_{view}"

@@ -331,3 +331,30 @@ def test_dump_source_survives_junk_bytes(spark, tmp_path_factory):
     classes = {r["doc_id"]: r["record_class"] for r in parsed.collect()}
     assert classes["j.log.dump.txt:1"] == "header"
     assert classes["j.log.dump.txt:2"] == "corrupt"
+
+
+def test_cli_segment_health(spark, dump_dir, capsys):
+    """`segment health` prints the per-file dashboard over CLI input and
+    its counts agree with direct aggregation; the same table is published
+    as a SQL view."""
+    from klog_spark.__main__ import main
+    from klog_spark.operators.parse import parse_sequences
+    from klog_spark.operators.route import apply_validity_routing
+    from klog_spark.sources.dump_files import read_dump_files
+    from klog_spark.sql import register_views
+
+    assert main(["segment", "health", dump_dir], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    routed = apply_validity_routing(
+        parse_sequences(read_dump_files(spark, dump_dir + "/*.dump.txt"))
+    )
+    n_files = routed.select("file").distinct().count()
+    assert len(out) == n_files
+    assert all("n_corrupt=" in ln and "corrupt_rate=" in ln for ln in out)
+    total_lines = sum(int(ln.split("n_lines=")[1].split(" ")[0]) for ln in out)
+    assert total_lines == routed.count()
+
+    names = register_views(spark, dump_dir, prefix="h1")
+    assert "h1_file_health" in names
+    n = spark.sql("SELECT SUM(n_lines) s FROM h1_file_health").collect()[0]["s"]
+    assert n == total_lines
