@@ -93,18 +93,32 @@ def test_coordinating_partition_matches_reference_rule():
 # --- checkpoint / resume ------------------------------------------------------
 
 def test_checkpoint_resume_idempotent(spark, fixture_dir, tmp_path):
+    """Idempotent resume. The body retries ONCE on PySpark's own exception
+    types only — the documented ~1/10 full-suite environmental flake on
+    this VM (CLAUDE.md): a loaded-box Spark error is not an idempotence
+    violation. AssertionErrors (real regressions: re-processed files,
+    duplicated rows) propagate immediately with no retry."""
+    from pyspark.errors import PySparkException
+
     from klog_spark.checkpoint import Checkpoint, run_incremental
 
-    out = tmp_path / "routed_out"
-    ckpt = Checkpoint(out / "_checkpoint")
-    r1 = run_incremental(spark, f"{fixture_dir}/sequences.parquet", str(out), ckpt)
-    assert r1["n_files"] > 0
-    total1 = sum(r1["sink_counts"].values())
-    # resume: everything already processed -> zero new rows
-    r2 = run_incremental(spark, f"{fixture_dir}/sequences.parquet", str(out), ckpt)
-    assert r2["n_files"] == 0
-    routed = spark.read.parquet(str(out / "routed"))
-    assert routed.count() == total1  # no duplicates after re-run
+    last_env_err = None
+    for attempt in range(2):
+        out = tmp_path / f"routed_out{attempt}"
+        try:
+            ckpt = Checkpoint(out / "_checkpoint")
+            r1 = run_incremental(spark, f"{fixture_dir}/sequences.parquet", str(out), ckpt)
+            assert r1["n_files"] > 0
+            total1 = sum(r1["sink_counts"].values())
+            # resume: everything already processed -> zero new rows
+            r2 = run_incremental(spark, f"{fixture_dir}/sequences.parquet", str(out), ckpt)
+            assert r2["n_files"] == 0
+            routed = spark.read.parquet(str(out / "routed"))
+            assert routed.count() == total1  # no duplicates after re-run
+            return
+        except PySparkException as e:  # noqa: PERF203 - environmental only
+            last_env_err = e
+    raise last_env_err
 
 
 def test_monotonic_checks_flag_planted_violations(spark):
