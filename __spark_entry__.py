@@ -148,6 +148,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_canonical": eq.q_near_dup_canonical,           # one representative per near-dup cluster
         "doc_keywords": eq.q_doc_keywords,                       # TF-IDF top-k terms, integer micro-nat idf
         "klog_file_health": eq.q_file_health,                    # per-file corrupt-rate/gap dashboard
+        "events_dau_wau": eq.q_dau_wau,                          # DAU/WAU/stickiness (exact windowed distinct)
     }
 
 
@@ -257,4 +258,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "near_dup_canonical": eq.SQL_NEAR_DUP_CANONICAL,
         "doc_keywords": eq.SQL_DOC_KEYWORDS,
         "klog_file_health": eq.SQL_FILE_HEALTH,
+        "events_dau_wau": eq.SQL_DAU_WAU,
     }

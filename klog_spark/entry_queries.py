@@ -3406,6 +3406,53 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
 """
 
 
+def q_dau_wau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day. Distinct aggregates
+    are illegal inside window frames, so WAU uses the standard exact
+    construction: each (user, active-day) contributes itself to the WAU of
+    days d..d+6 via a 7-row explode, then one countDistinct per target day
+    — exact, shuffle keyed on day, no approximation. Output restricted to
+    days that actually have activity; stickiness = try_divide(dau, wau)."""
+    day_ms = 86_400_000
+    ev = _read_events(spark, sf_dir).select(
+        "user_id", (F.floor(_ts_ms_ntz("ts") / day_ms)).cast("long").alias("d")
+    ).filter(F.col("d").isNotNull()).distinct()
+    dau = ev.groupBy("d").agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    wau = (
+        ev.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d"),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("epoch_day"), "dau", "wau",
+            F.try_divide(F.col("dau").cast("double"), F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+SQL_DAU_WAU = """
+WITH e AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_ms(ts) / 86400000.0) AS BIGINT) AS d
+  FROM events WHERE ts IS NOT NULL
+),
+dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM e GROUP BY d),
+wau AS (
+  SELECT e.d + r.range AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM e, range(0, 7) r
+  GROUP BY e.d + r.range
+)
+SELECT dau.d AS epoch_day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / NULLIF(wau.wau, 0) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
 def q_user_retention(spark, sf_dir):
     """Weekly cohort retention: users bucketed by first-activity week,
     counted distinct per (cohort_week, weeks_since) — the standard
