@@ -149,6 +149,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": eq.q_doc_keywords,                       # TF-IDF top-k terms, integer micro-nat idf
         "klog_file_health": eq.q_file_health,                    # per-file corrupt-rate/gap dashboard
         "events_dau_wau": eq.q_dau_wau,                          # DAU/WAU/stickiness (exact windowed distinct)
+        "source_curation_report": eq.q_source_curation_report,   # per-source PII-rate + mean-LM dashboard
     }
 
 
@@ -259,4 +260,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_keywords": eq.SQL_DOC_KEYWORDS,
         "klog_file_health": eq.SQL_FILE_HEALTH,
         "events_dau_wau": eq.SQL_DAU_WAU,
+        "source_curation_report": eq.SQL_SOURCE_CURATION_REPORT,
     }

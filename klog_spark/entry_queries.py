@@ -3406,6 +3406,96 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
 """
 
 
+def q_source_curation_report(spark, sf_dir):
+    """Per-source curation dashboard over the round-5 scores: document
+    count, PII-document rate (PII planted on doc_id % 7 == 0 exactly as
+    the pii gate plants it, so the rate is non-trivial), and the mean
+    unigram-LM negative log-likelihood — the table that decides which
+    crawl sources live or die. Decimal sums keep the mean
+    summation-order-free (the source_quality trick); the rate is an exact
+    integer division."""
+    from .datapipe.textstats import redact_pii, unigram_lm_scores
+
+    raw = _docs(spark, sf_dir)
+    planted = raw.select(
+        "doc_id", "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" reach me: u"),
+                     F.col("doc_id").cast("string"), F.lit("@x.io")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    pii = redact_pii(planted).select("doc_id", "had_pii")
+    lm = unigram_lm_scores(planted).select("doc_id", "avg_nll")
+    j = planted.select("doc_id", "source").join(pii, "doc_id").join(lm, "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("had_pii").cast("int")).cast("long").alias("n_pii_docs"),
+        (F.sum(F.col("had_pii").cast("int")).cast("double") / F.count("*"))
+        .alias("pii_rate"),
+        F.round(
+            (F.sum(F.col("avg_nll").cast("decimal(28,6)")) / F.count("*"))
+            .cast("double"), 4
+        ).alias("mean_nll"),
+    )
+
+
+def _sql_source_curation_report() -> str:
+    from .datapipe.textstats import PII_PATTERNS
+
+    any_pii = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    # the LM CTEs over the PLANTED text (same construction as SQL_LM_QUALITY)
+    return f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach me: u' || CAST(doc_id AS VARCHAR) || '@x.io'
+              ELSE text END AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM planted)
+  WHERE w <> ''
+),
+lm AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM lm),
+nll AS (
+  SELECT w,
+         CAST(ROUND(-LN(CAST(c AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+           AS nll_micro
+  FROM lm, tot
+),
+doc_nll AS (
+  SELECT words.doc_id,
+         CAST(CAST(SUM(nll_micro) AS BIGINT) AS DOUBLE)
+           / (1000000.0 * COUNT(*)) AS avg_nll
+  FROM words JOIN nll USING (w)
+  GROUP BY words.doc_id
+),
+pii AS (
+  SELECT doc_id, ({any_pii}) > 0 AS had_pii
+  FROM planted
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pii.had_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+       CAST(SUM(CASE WHEN pii.had_pii THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS pii_rate,
+       ROUND(CAST(SUM(CAST(d.avg_nll AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE), 4)
+         AS mean_nll
+FROM planted p JOIN pii USING (doc_id) JOIN doc_nll d USING (doc_id)
+GROUP BY p.source
+"""
+
+
+SQL_SOURCE_CURATION_REPORT = _sql_source_curation_report()
+
+
 def q_dau_wau(spark, sf_dir):
     """DAU / trailing-7-day WAU / stickiness per day. Distinct aggregates
     are illegal inside window frames, so WAU uses the standard exact
