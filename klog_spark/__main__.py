@@ -196,8 +196,11 @@ def cmd_segment_txn_stat(spark, args) -> int:
     BatchPredicate filters as cat apply to the batch stream (:85-89); the
     aggregate families print in the reference's order with
     IntSummaryStatistics formatting, followed by one line per empty and
-    open transaction with file:line lineage (:103,117, printEmpty/printOpen
-    at :105-125).
+    open transaction rendered as the reference's record toStrings —
+    ``EmptyTransaction[closingBatch=Batch(...), controlMessage=
+    ControlMessage(...)]`` and ``ProducerSession[...]->FirstBatchInTxn[...]``
+    — with the multi-file filename prefix and the ``--line-numbers`` option
+    (printEmpty/printOpen at :105-127; ADVICE r5 #4 print parity).
 
     Beyond the reference: snapshot dumps mixed into the input are tolerated
     (their producer_state rows cannot perturb the batch-stream aggregates);
@@ -235,15 +238,84 @@ def cmd_segment_txn_stat(spark, args) -> int:
         row["txn_dur_count"], row["txn_dur_sum"],
         row["txn_dur_min"], row["txn_dur_max"]))
     multi = parsed.select("file").distinct().limit(2).count() > 1
-    for r in empty_txns(parsed).orderBy("closing_batch_doc_id").toLocalIterator():
-        loc = (r["closing_batch_doc_id"] + ": ") if multi else " "
-        print(f"empty_txn:{loc}producer_id={r['producer_id']} "
-              f"producer_epoch={r['producer_epoch']} commit={r['commit']}")
-    for r in open_txns(parsed).orderBy("first_batch_doc_id").toLocalIterator():
-        loc = (r["first_batch_doc_id"] + ": ") if multi else " "
-        print(f"open_txn:{loc}producer_id={r['producer_id']} "
-              f"producer_epoch={r['producer_epoch']} "
-              f"num_data_batches={r['n_data_batches']}")
+    # Detail lines render the reference's record toStrings byte-for-byte
+    # (printEmpty/printOpen TxnStat.java:106-127 print "%s" of the Java
+    # records): EmptyTransaction[closingBatch=Batch(...),
+    # controlMessage=ControlMessage(...)] and
+    # ProducerSession[...]->FirstBatchInTxn[firstBatchInTxn=Batch(...),
+    # numDataBatches=N]. The location prefix is the control message's /
+    # first batch's file (only with >1 segment) and line (--line-numbers).
+    from .operators.aggregates import attach_parent_batch
+    from .operators.render import batch_record_string, control_record_string
+
+    batches = parsed.filter(F.col("record_class") == "batch")
+    bstr = batches.select(
+        F.col("doc_id").alias("_b_doc"), batch_record_string().alias("_b_str")
+    )
+    # closing_batch_doc_id is the control BATCH line (txn_events attributes
+    # controls to klog's currentBatch cursor); the ControlMessage detail is
+    # the last control record inside that batch (Kafka control batches carry
+    # exactly one — the window is just defensive).
+    from pyspark.sql import Window as _W
+
+    ctls = attach_parent_batch(
+        parsed.filter(F.col("record_class").isin("batch", "control_msg"))
+    ).filter(F.col("record_class") == "control_msg")
+    cstr = (
+        ctls.withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.partitionBy("parent.doc_id").orderBy(F.desc("line_no"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("file").alias("_c_file"), F.col("line_no").alias("_c_line"),
+            control_record_string().alias("_c_str"),
+            F.col("parent.doc_id").alias("_parent_doc"),
+        )
+    )
+    et = (
+        empty_txns(parsed)
+        .join(cstr, F.col("closing_batch_doc_id") == F.col("_parent_doc"))
+        .join(bstr, F.col("closing_batch_doc_id") == F.col("_b_doc"))
+    )
+    prefix = F.lit("empty_txn:")
+    if multi:
+        prefix = F.concat(prefix, F.col("_c_file"), F.lit(":"))
+    if args.line_numbers:
+        prefix = F.concat(prefix, F.col("_c_line").cast("string"), F.lit(":"))
+    et_line = F.concat(
+        prefix, F.lit(" EmptyTransaction[closingBatch="), F.col("_b_str"),
+        F.lit(", controlMessage="), F.col("_c_str"), F.lit("]"),
+    )
+    for r in et.orderBy("closing_batch_doc_id").select(et_line.alias("l")).toLocalIterator():
+        print(r["l"])
+
+    ot = open_txns(parsed).join(
+        batches.select(
+            F.col("doc_id").alias("_b_doc"), F.col("file").alias("_b_file"),
+            F.col("line_no").alias("_b_line"), batch_record_string().alias("_b_str"),
+        ),
+        F.col("first_batch_doc_id") == F.col("_b_doc"),
+    )
+    oprefix = F.lit("open_txn:")
+    if multi:
+        oprefix = F.concat(oprefix, F.col("_b_file"), F.lit(":"))
+    if args.line_numbers:
+        oprefix = F.concat(oprefix, F.col("_b_line").cast("string"), F.lit(":"))
+    ot_line = F.concat(
+        oprefix,
+        F.format_string(
+            " ProducerSession[producerId=%d, producerEpoch=%s]->"
+            "FirstBatchInTxn[firstBatchInTxn=",
+            F.col("producer_id"), F.col("producer_epoch").cast("string"),
+        ),
+        F.col("_b_str"),
+        F.format_string(", numDataBatches=%d]", F.col("n_data_batches")),
+    )
+    for r in ot.orderBy("first_batch_doc_id").select(ot_line.alias("l")).toLocalIterator():
+        print(r["l"])
     return 0
 
 
@@ -302,7 +374,9 @@ def cmd_segment_health(spark, args) -> int:
     gaps = offset_gaps(parsed).groupBy("file").agg(F.count("*").alias("n_offset_gaps"))
     df = base.join(gaps, "file", "left").select(
         "file", "segment_type", "n_lines", "n_batches", "n_corrupt",
-        F.round(F.col("n_corrupt") / F.col("n_lines"), 4).alias("corrupt_rate"),
+        # unrounded, matching q_file_health and the h1_file_health SQL view:
+        # every entry point reports the identical value (ADVICE r5 #5)
+        (F.col("n_corrupt").cast("double") / F.col("n_lines")).alias("corrupt_rate"),
         F.coalesce("n_offset_gaps", F.lit(0)).alias("n_offset_gaps"),
     ).orderBy("file")
     _print_rows(df)
@@ -339,6 +413,7 @@ def build_parser() -> argparse.ArgumentParser:
     ts.add_argument("--pid", type=int)
     ts.add_argument("--producer-epoch", type=int, dest="producer_epoch")
     ts.add_argument("--leader-epoch", type=int, dest="leader_epoch")
+    ts.add_argument("--line-numbers", action="store_true", dest="line_numbers")
     ts.set_defaults(fn=cmd_segment_txn_stat)
     sh = seg.add_parser("health")
     sh.add_argument("input")

@@ -196,7 +196,17 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
     use only syntax with identical semantics in Java regex and RE2, which
     is what makes the DuckDB oracle able to replicate the rewrite
     byte-for-byte. NOT a substitute for a trained PII model — the same
-    honestly-labeled stand-in contract as lang_id/quality_scores."""
+    honestly-labeled stand-in contract as lang_id/quality_scores.
+
+    Count semantics (ADVICE r5 #2): ``n_<class>`` are RAW-TEXT match counts —
+    each pattern counted independently on the ORIGINAL text — while the
+    rewrite applies the patterns sequentially in ``PII_ORDER``. A match
+    consumed by an earlier rewrite (an IPv4 inside an email's domain) is
+    therefore counted in ``n_ipv4`` yet never appears as ``<IPV4>`` in
+    ``clean_text``; the counts answer "how much PII-shaped material does
+    this text contain", not "how many tokens did the rewrite insert".
+    ``had_pii`` is unaffected (any raw match implies at least one rewrite).
+    """
     out = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_t"),

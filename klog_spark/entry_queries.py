@@ -1344,6 +1344,9 @@ def q_repeated_spans(spark, sf_dir):
     return repeated_ngram_spans(_dup_corpus(spark, sf_dir), n=8, min_df=2)
 
 
+# Position explode via a list comprehension with the CORRELATED bound
+# len(ws) - 8 (not a fixed range(0, N) cap): a document of any length gets
+# every position, so the oracle can never silently truncate (ADVICE r5 #1).
 SQL_REPEATED_SPANS = f"""
 WITH {SQL_DUP_CORPUS},
 w AS (
@@ -1351,10 +1354,12 @@ w AS (
   FROM corpus
 ),
 pg AS (
-  SELECT doc_id, p.range AS pos,
-         array_to_string(ws[p.range + 1 : p.range + 8], ' ') AS gram
-  FROM w, range(0, 512) p
-  WHERE len(ws) >= 8 AND p.range <= len(ws) - 8
+  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'gram': array_to_string(ws[i + 1 : i + 8], ' ')}}
+                   for i in range(0, len(ws) - 8 + 1)]) AS u
+    FROM w WHERE len(ws) >= 8
+  )
 ),
 hot AS (
   SELECT gram FROM pg GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
@@ -1905,10 +1910,13 @@ ranked AS (
   FROM eligible
 ),
 pg AS (
-  SELECT doc_id, p.range AS pos,
-         array_to_string(words[p.range + 1 : p.range + 8], ' ') AS gram
-  FROM w, range(0, 512) p
-  WHERE len(words) >= 8 AND p.range <= len(words) - 8
+  -- correlated-bound comprehension, no fixed position cap (ADVICE r5 #1)
+  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i, 'gram': array_to_string(words[i + 1 : i + 8], ' ')}}
+                   for i in range(0, len(words) - 8 + 1)]) AS u
+    FROM w WHERE len(words) >= 8
+  )
 ),
 hot AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
 fl AS (SELECT doc_id, pos FROM pg JOIN hot USING (gram)),
@@ -3670,9 +3678,13 @@ sym AS (
   SELECT freq, list_append(string_split(word, ''), '</w>') AS syms FROM wf
 ),
 pairs AS (
-  SELECT syms[r.range + 1] AS sym_left, syms[r.range + 2] AS sym_right, freq
-  FROM sym, range(0, 64) r
-  WHERE r.range <= len(syms) - 2
+  -- correlated-bound comprehension: a word of ANY symbol length contributes
+  -- every adjacent pair, no fixed range(0, N) cap (ADVICE r5 #1)
+  SELECT u.l AS sym_left, u.r AS sym_right, freq FROM (
+    SELECT freq, unnest([{'l': syms[i + 1], 'r': syms[i + 2]}
+                         for i in range(0, len(syms) - 1)]) AS u
+    FROM sym
+  )
 )
 SELECT sym_left, sym_right, CAST(SUM(freq) AS BIGINT) AS pair_count
 FROM pairs GROUP BY sym_left, sym_right

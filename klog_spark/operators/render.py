@@ -107,3 +107,37 @@ def render_cat_lines(parsed: DataFrame, color: bool = True,
             "batch", "control_msg", "data_msg", "txn_state", "txn_deletion"))
         .select("doc_id", "file", "line_no", display.alias("display"))
     )
+
+
+def batch_record_string() -> "F.Column":
+    """The plain (uncolored) ``Batch.toString()`` of the reference
+    (segment/model/Batch.java:100-120) as a column over a parsed batch row —
+    what TxnStat's empty_txn/open_txn detail lines embed (TxnStat.java:106-127
+    prints the record toString, not Cat's styled line)."""
+    s = lambda c: F.col(c).cast("string")  # noqa: E731  Java toString
+    return _fmt(
+        "Batch(baseOffset=%d, lastOffset=%d, count=%d, baseSequence=%d, "
+        "lastSequence=%d, producerId=%d, producerEpoch=%s, partitionLeaderEpoch=%d, "
+        "isTransactional=%s, isControl=%s, position=%d, createTime=%s, size=%d, "
+        "magic=%s, compressCodec='%s', crc=%d, isValid=%s)",
+        F.col("base_offset"), F.col("last_offset"), F.col("count"),
+        F.col("base_sequence"), F.col("last_sequence"), F.col("producer_id"),
+        s("producer_epoch"), F.col("partition_leader_epoch"),
+        s("is_transactional"), s("is_control"), F.col("position"),
+        instant_string(F.col("create_time_ms")), F.col("size"), s("magic"),
+        F.col("compress_codec"), F.col("crc"), s("is_valid"),
+    )
+
+
+def control_record_string() -> "F.Column":
+    """``ControlMessage.toString()`` (segment/model/ControlMessage.java:65-76):
+    note the raw boolean ``commit=true|false`` and the ``headers=`` key —
+    different from Cat's styled commit/abort rendering above."""
+    return _fmt(
+        "ControlMessage(offset=%d, createTime=%s, keySize=%d, valueSize=%d, "
+        "sequence=%d, headers='%s', commit=%s, coordinatorEpoch=%d)",
+        F.col("offset"), instant_string(F.col("msg_create_time_ms")),
+        F.col("key_size"), F.col("value_size"), F.col("sequence"),
+        F.col("header_keys"), F.col("commit").cast("string"),
+        F.col("coordinator_epoch"),
+    )

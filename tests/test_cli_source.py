@@ -71,6 +71,19 @@ def test_cli_commands(spark, dump_dir, capsys, tmp_path):
     assert "num_committed:" in out
     assert "txn_size_stats: IntSummaryStatistics{count=" in out
     assert "empty_txn:" in out and "open_txn:" in out
+    # detail lines are the reference's record toStrings (TxnStat.java:106-127)
+    assert "EmptyTransaction[closingBatch=Batch(baseOffset=" in out
+    assert ", controlMessage=ControlMessage(offset=" in out
+    import re as _re
+    assert _re.search(
+        r"open_txn:.* ProducerSession\[producerId=\d+, producerEpoch=\d+\]->"
+        r"FirstBatchInTxn\[firstBatchInTxn=Batch\(baseOffset=.*, "
+        r"numDataBatches=\d+\]", out)
+    # --line-numbers prepends the control-message / first-batch line number
+    assert main(["segment", "txn-stat", dump_dir + "/payments-*.log.dump.txt",
+                 "--line-numbers"], spark=spark) == 0
+    out_ln = capsys.readouterr().out
+    assert _re.search(r"empty_txn:.*\d+: EmptyTransaction\[", out_ln)
 
     # filtered cat: only pid-1 batches and their records, uncolored.
     # Scoped to the DATA dumps: on __transaction_state dumps --pid matches
