@@ -136,6 +136,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_by_source": eq.q_weighted_sample,       # derandomized A-ES weighted sampling
         "pii_redaction": eq.q_pii_redaction,                     # rule-based PII scrub, byte-exact rewrite parity
         "repeated_spans": eq.q_repeated_spans,                   # cross-doc repeated-span (exact-substring-dedup signal)
+        "repeated_span_removal": eq.q_repeated_span_removal,     # the rewrite step: spans excised, cleaned corpus out
         "event_funnel": eq.q_event_funnel,                       # ordered view->click->purchase conversion
         "user_retention": eq.q_user_retention,                   # weekly cohort retention triangle
         "cms_user_counts": eq.q_cms_user_counts,                 # Count-Min sketch estimates vs exact
@@ -247,6 +248,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
         "pii_redaction": eq.SQL_PII_REDACTION,
         "repeated_spans": eq.SQL_REPEATED_SPANS,
+        "repeated_span_removal": eq.SQL_REPEATED_SPAN_REMOVAL,
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,

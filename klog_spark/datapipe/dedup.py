@@ -583,3 +583,55 @@ def repeated_ngram_spans(docs: DataFrame, n: int = 8, min_df: int = 2,
         .drop("span_id")
         .select("doc_id", "span_start", "span_end", "n_flagged_positions")
     )
+
+
+def remove_repeated_spans(docs: DataFrame, spans: DataFrame | None = None,
+                          n: int = 8, min_df: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring deduplication, step two: REWRITE each document with
+    its cross-document repeated spans excised (``repeated_ngram_spans``
+    detects; this produces the cleaned corpus — the actual deduplicate
+    step of the exact-substring-dedup family, VERDICT r5 #2).
+
+    Returns (doc_id, cleaned_text, n_removed_words, n_kept_words) for
+    EVERY input document — documents without flagged spans pass through
+    with ``n_removed_words = 0``. ``cleaned_text`` is rebuilt from the
+    same whitespace/lowercase normalization the span offsets are defined
+    over (``lower(trim(text))`` split on ``\\s+``), so offsets and splice
+    agree by construction; callers needing the raw byte-exact original for
+    untouched docs can join back on ``n_removed_words = 0``.
+
+    Scale shape: the span table groups to one array per flagged doc (spans
+    per doc are few — they are maximal merged intervals), the splice is a
+    JVM higher-order ``filter((word, i) -> no span covers i)`` — no
+    Python, no shuffle beyond the one doc_id-keyed left join. Pass a
+    precomputed ``spans`` frame (e.g. the already-gated
+    ``repeated_ngram_spans`` output) to avoid recomputing detection.
+    """
+    if spans is None:
+        spans = repeated_ngram_spans(docs, n=n, min_df=min_df,
+                                     text_col=text_col, id_col=id_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    out = (
+        base.join(per_doc, "doc_id", "left")
+        .withColumn("_spans", F.coalesce("_spans", F.array()))
+        .withColumn("_kept", F.filter("_w", lambda w, i: ~covered(i)))
+        .select(
+            "doc_id",
+            F.array_join("_kept", " ").alias("cleaned_text"),
+            (F.size("_w") - F.size("_kept")).cast("long").alias("n_removed_words"),
+            F.size("_kept").cast("long").alias("n_kept_words"),
+        )
+    )
+    return out

@@ -1386,6 +1386,61 @@ FROM s GROUP BY doc_id, span_id
 """
 
 
+def q_repeated_span_removal(spark, sf_dir):
+    """Exact-substring dedup, REWRITE step (dedup.remove_repeated_spans):
+    every document of the planted-duplicate corpus with its cross-document
+    repeated 8-gram spans excised — (doc_id, cleaned_text, n_removed_words,
+    n_kept_words), untouched docs passing through with 0 removed. The
+    oracle recomputes the span table from scratch in SQL (the gated
+    repeated_spans CTEs) and replays the word-offset splice with an
+    indexed list_filter, so detection AND excision are independently
+    verified end to end."""
+    from .datapipe.dedup import remove_repeated_spans
+
+    return remove_repeated_spans(_dup_corpus(spark, sf_dir), n=8, min_df=2)
+
+
+# The span CTEs are SQL_REPEATED_SPANS verbatim; `cleaned` replays the
+# splice: keep word i iff no merged span covers it (DuckDB lambda index is
+# 1-based, span offsets 0-based, hence i - 1).
+SQL_REPEATED_SPAN_REMOVAL = (
+    SQL_REPEATED_SPANS.replace(
+        ")\nSELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,",
+        """),
+sp AS (
+  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,""",
+    ).replace(
+        "FROM s GROUP BY doc_id, span_id\n",
+        """FROM s GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id, list_sort(list({'span_start': span_start,
+                                 'span_end': span_end})) AS spans
+  FROM sp GROUP BY doc_id
+),
+joined AS (
+  SELECT w.doc_id, w.ws,
+         COALESCE(p.spans,
+                  CAST([] AS STRUCT(span_start BIGINT, span_end BIGINT)[])) AS spans
+  FROM w LEFT JOIN per_doc p USING (doc_id)
+),
+cleaned AS (
+  SELECT doc_id, ws,
+         list_filter(ws, (x, i) ->
+           len(list_filter(spans, sx ->
+             i - 1 >= sx.span_start AND i - 1 < sx.span_end)) = 0) AS kept
+  FROM joined
+)
+-- DuckDB array_to_string([]) is NULL; Spark array_join([]) is '' — coalesce
+SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS cleaned_text,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_removed_words,
+       CAST(len(kept) AS BIGINT) AS n_kept_words
+FROM cleaned
+""",
+    )
+)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the exact n-gram
     Jaccard pairs — pairwise output turned into dedup groups. Oracle: the
@@ -1841,7 +1896,9 @@ def q_corpus_curate(spark, sf_dir):
     repeated-span word coverage (the boilerplate signal) alongside. Every
     stage is an independently gated operator; this verifies the four-stage
     composition end to end."""
-    from .datapipe.dedup import exact_dedup_keep_best, repeated_ngram_spans
+    from .datapipe.dedup import (
+        exact_dedup_keep_best, remove_repeated_spans, repeated_ngram_spans,
+    )
     from .datapipe.textstats import quality_scores, redact_pii
 
     corpus = _dup_corpus(spark, sf_dir).select(
@@ -1856,18 +1913,26 @@ def q_corpus_curate(spark, sf_dir):
     clean = redact_pii(corpus).filter(~F.col("had_pii")).select("doc_id")
     eligible = corpus.join(q, "doc_id").join(clean, "doc_id")
     resolved = exact_dedup_keep_best(eligible, F.col("n_words").cast("long"))
-    spans = (
-        repeated_ngram_spans(corpus, n=8, min_df=2)
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("cov"))
+    span_table = repeated_ngram_spans(corpus, n=8, min_df=2)
+    spans = span_table.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("cov")
+    )
+    # the REWRITE step (r6): each survivor's word count after excising its
+    # repeated spans. The Spark side takes the actual splice output; the
+    # oracle recomputes it as n_words - coverage (merged spans are disjoint
+    # and in-bounds), cross-checking the splice arithmetic independently.
+    cleaned = remove_repeated_spans(corpus, spans=span_table).select(
+        "doc_id", F.col("n_kept_words").alias("n_words_clean")
     )
     return (
         resolved.filter(F.col("kept"))
         .join(q, "doc_id")
         .join(spans, "doc_id", "left")
+        .join(cleaned, "doc_id")
         .select(
             "doc_id", "n_words", "group_size",
             F.coalesce("cov", F.lit(0)).cast("long").alias("span_cov_words"),
+            "n_words_clean",
         )
     )
 
@@ -1937,8 +2002,11 @@ ss AS (
   GROUP BY doc_id, span_id
 ),
 cov AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cov FROM ss GROUP BY doc_id)
+-- n_words_clean: post-excision count via interval arithmetic (merged spans
+-- are disjoint and in-bounds), independently checking the Spark splice
 SELECT r.doc_id, r.n_words, CAST(r.group_size AS BIGINT) AS group_size,
-       CAST(COALESCE(cov.cov, 0) AS BIGINT) AS span_cov_words
+       CAST(COALESCE(cov.cov, 0) AS BIGINT) AS span_cov_words,
+       CAST(r.n_words - COALESCE(cov.cov, 0) AS BIGINT) AS n_words_clean
 FROM ranked r LEFT JOIN cov USING (doc_id)
 WHERE r.rn = 1
 """.replace("{STOPS}", _sql_stoplist_all())

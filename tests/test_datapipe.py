@@ -1020,6 +1020,44 @@ def test_repeated_spans_property(spark):
         assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"
 
 
+def test_remove_repeated_spans(spark):
+    """The excision step: planted shared passages are spliced out at exact
+    word offsets, untouched docs pass through whole, a fully-duplicated doc
+    collapses to the empty string, and detection+removal composes with a
+    precomputed span table identically to the fused path."""
+    from klog_spark.datapipe.dedup import (
+        remove_repeated_spans, repeated_ngram_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"       # 6 words
+    rows = [
+        (1, f"u1a u1b {shared} u1c u1d"),
+        (2, f"{shared} completely different tail here"),
+        (3, "totally unique words nothing repeated at all ever"),
+        (4, f"x1 x2 x3 {shared} y1 {shared}"),
+        (5, shared), (6, shared),                         # fully duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cleaned_text"], r["n_removed_words"], r["n_kept_words"])
+           for r in remove_repeated_spans(df, n=4, min_df=2).collect()}
+    assert out[1] == ("u1a u1b u1c u1d", 6, 4)
+    assert out[2] == ("completely different tail here", 6, 4)
+    assert out[3] == ("totally unique words nothing repeated at all ever", 0, 8)
+    # doc4: spans [3,9) and [10,16) -> words x1 x2 x3 + the 1-word gap y1
+    assert out[4] == ("x1 x2 x3 y1", 12, 4)
+    assert out[5] == ("", 6, 0) and out[6] == ("", 6, 0)
+    # word-count conservation on every row
+    for doc_id, (_, rem, kept) in out.items():
+        n = len(dict(rows)[doc_id].split())
+        assert rem + kept == n, doc_id
+
+    spans = repeated_ngram_spans(df, n=4, min_df=2)
+    via_table = {r["doc_id"]: (r["cleaned_text"], r["n_removed_words"],
+                               r["n_kept_words"])
+                 for r in remove_repeated_spans(df, spans=spans).collect()}
+    assert via_table == out
+
+
 def test_cms_sketch_properties(spark):
     """Count-Min invariants: estimates are upper bounds on true counts and
     exact at collision-free width; the sketch is partition-invariant; and
@@ -1104,6 +1142,32 @@ def test_logreg_trainer_matches_numpy(spark):
     fit2 = train_logreg(df.repartition(9), ["f1", "f2"], "label",
                         iters=60, lr=1.0, reg=1e-3)
     assert np.allclose(fit2["weights"], fit["weights"], atol=1e-6)
+
+
+def test_logreg_trainer_scans_input_once(spark):
+    """The GD loop must NOT re-execute upstream lineage per iteration:
+    train_logreg persists its (label, features) projection, so an
+    accumulator-counted mapInArrow feeding it fires once (the cache
+    materialization), not once per iteration (VERDICT r5 #1)."""
+    from klog_spark.datapipe.classifier import train_logreg
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for batch in it:
+            acc.add(batch.num_rows)
+            yield batch
+
+    base = spark.range(200).selectExpr(
+        "cast(id % 7 as double) as f1",
+        "cast(id % 2 as int) as label",
+    ).repartition(4)
+    df = base.mapInArrow(counted, "f1 double, label int")
+    train_logreg(df, ["f1"], "label", iters=10, lr=0.5)
+    # one full pass = 200 rows; without the persist this would be
+    # (iters + 1) * 200. Allow a single speculative/retry re-read but
+    # nothing iteration-proportional.
+    assert acc.value <= 400, acc.value
 
 
 def test_resize_media_distributed(spark):
