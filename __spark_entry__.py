@@ -151,6 +151,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_file_health": eq.q_file_health,                    # per-file corrupt-rate/gap dashboard
         "events_dau_wau": eq.q_dau_wau,                          # DAU/WAU/stickiness (exact windowed distinct)
         "source_curation_report": eq.q_source_curation_report,   # per-source PII-rate + mean-LM dashboard
+        "trained_quality_filter": eq.q_trained_quality_filter,   # heuristic labels -> logreg -> scored filter (iterative GD: rows-only by design, NumPy-parity pytest)
     }
 
 

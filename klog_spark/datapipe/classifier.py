@@ -72,6 +72,31 @@ def train_logreg(df: DataFrame, feature_cols: list[str], label_col: str,
         feats.unpersist()
 
 
+def standardize(df: DataFrame, feature_cols: list[str]) -> tuple[DataFrame, dict]:
+    """Distributed z-scoring of feature columns — the upstream step
+    ``train_logreg``'s docstring asks for when scales differ. ONE
+    map-side-combined aggregation computes all means and population
+    stddevs; a zero-variance feature keeps divisor 1.0 (it becomes the
+    constant 0 and the bias absorbs it — no NaNs, no dropped column).
+    Returns (rewritten df, {col: (mean, std)}) so a fitted model can be
+    applied to new data with the SAME training statistics."""
+    aggs = []
+    for c in feature_cols:
+        aggs.append(F.avg(F.col(c).cast("double")).alias(f"m_{c}"))
+        aggs.append(F.stddev_pop(F.col(c).cast("double")).alias(f"s_{c}"))
+    row = df.agg(*aggs).first()
+    stats = {
+        c: (row[f"m_{c}"],
+            row[f"s_{c}"] if (row[f"s_{c}"] or 0.0) > 0.0 else 1.0)
+        for c in feature_cols
+    }
+    out = df.withColumns({
+        c: (F.col(c).cast("double") - F.lit(stats[c][0])) / F.lit(stats[c][1])
+        for c in feature_cols
+    })
+    return out, stats
+
+
 def score_expr(weights: list[float], feature_cols: list[str]) -> Column:
     """The fitted classifier as a pure column expression (sigmoid(w·x)) —
     filterable, pushdown-friendly, zero UDF."""

@@ -2393,6 +2393,55 @@ GROUP BY words.doc_id
 """
 
 
+def q_trained_quality_filter(spark, sf_dir):
+    """The CCNet/fastText-style trained corpus filter, end to end in one
+    query: heuristic labels (the gated Gopher-style ``passes_quality``
+    rules) train a logistic-regression generalization of themselves via
+    ``classifier.train_logreg`` (full-batch GD, one JVM aggregation per
+    iteration over a persisted feature projection), and the fitted model
+    scores EVERY document as a pure column expression — the filter a
+    100 TB curation run would apply. Output: per (source, kept) counts
+    plus model/heuristic agreement — the corpus-level acceptance report.
+
+    No ``oracle_sql`` on purpose: iterative GD is the driver contract's
+    canonical non-SQL-expressible case (rows-only driver check). The
+    strong verification lives in pytest: weights and the kept set must
+    match a sequential NumPy recomputation of the identical pipeline
+    (test_trained_quality_filter_end_to_end), and the trainer itself is
+    NumPy-parity + single-scan pinned."""
+    from .datapipe.classifier import score_expr, standardize, train_logreg
+    from .datapipe.textstats import quality_scores
+
+    docs = _docs(spark, sf_dir)
+    raw = quality_scores(docs).select(
+        "doc_id",
+        F.col("stopword_ratio").alias("f_stop"),
+        F.col("punct_ratio").alias("f_punct"),
+        (F.log1p(F.col("n_words")) / F.lit(10.0)).alias("f_len"),
+        F.col("passes_quality").cast("int").alias("label"),
+    )
+    feats, _stats = standardize(raw, ["f_stop", "f_punct", "f_len"])
+    fit = train_logreg(feats, ["f_stop", "f_punct", "f_len"], "label",
+                       iters=TRAINED_FILTER_ITERS, lr=TRAINED_FILTER_LR)
+    p = score_expr(fit["weights"], ["f_stop", "f_punct", "f_len"])
+    scored = feats.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", "label", (p >= 0.5).cast("int").alias("kept")
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum((F.col("kept") == F.col("label")).cast("int")).cast("long")
+         .alias("n_agree_heuristic"),
+    )
+
+
+# pinned so the pytest's sequential recomputation trains identically;
+# 100 iters @ lr=2.0 on z-scored features reaches 100% heuristic agreement
+# at sf0.001 with a 0.08 decision margin (measured 2026-08-17)
+TRAINED_FILTER_ITERS = 100
+TRAINED_FILTER_LR = 2.0
+
+
 def q_pii_redaction(spark, sf_dir):
     """Rule-based PII scrubbing (textstats.redact_pii) over documents with
     DETERMINISTICALLY PLANTED PII (an email, an IP and an SSN-shaped

@@ -1144,6 +1144,53 @@ def test_logreg_trainer_matches_numpy(spark):
     assert np.allclose(fit2["weights"], fit["weights"], atol=1e-6)
 
 
+def test_trained_quality_filter_end_to_end(spark):
+    """The shipped trained-filter query (heuristic labels -> train_logreg
+    -> score_expr filter -> acceptance report) against a sequential NumPy
+    recomputation of the identical pipeline: same weights to 1e-6, same
+    kept decisions doc-for-doc, same per-source report. Features come from
+    the independently gated quality_scores operator; this pins everything
+    downstream of them."""
+    import numpy as np
+
+    from klog_spark import entry_queries as eq
+    from klog_spark.datapipe.classifier import numpy_reference
+    from klog_spark.datapipe.textstats import quality_scores
+
+    out = {r["source"]: (r["n_docs"], r["n_kept"], r["n_agree_heuristic"])
+           for r in eq.q_trained_quality_filter(spark, SF_DIR).collect()}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    feats = quality_scores(docs).join(docs.select("doc_id", "source"), "doc_id")
+    rows = feats.select("doc_id", "source", "stopword_ratio", "punct_ratio",
+                        "n_words", "passes_quality").collect()
+    X = np.asarray(
+        [(r["stopword_ratio"], r["punct_ratio"], np.log1p(r["n_words"]) / 10.0)
+         for r in rows])
+    y = [int(r["passes_quality"]) for r in rows]
+    # the query z-scores via classifier.standardize (population std,
+    # zero-variance divisor pinned to 1.0) — replicate exactly
+    sd = X.std(0)
+    X = (X - X.mean(0)) / np.where(sd > 0.0, sd, 1.0)
+    w, _ = numpy_reference(X, y, iters=eq.TRAINED_FILTER_ITERS,
+                           lr=eq.TRAINED_FILTER_LR)
+    Xb = np.hstack([np.ones((len(X), 1)), np.asarray(X)])
+    p = 1.0 / (1.0 + np.exp(-(Xb @ np.asarray(w))))
+    # no doc may sit so close to the threshold that float-sum order could
+    # flip its decision between the two implementations
+    assert np.min(np.abs(p - 0.5)) > 1e-9
+    want: dict = {}
+    for r, pi in zip(rows, p):
+        n, k, a = want.get(r["source"], (0, 0, 0))
+        kept = int(pi >= 0.5)
+        want[r["source"]] = (n + 1, k + kept,
+                             a + int(kept == int(r["passes_quality"])))
+    assert out == want
+    # the trained model must actually generalize the heuristic it mimics
+    agree = sum(a for _, _, a in out.values()) / sum(n for n, _, _ in out.values())
+    assert agree > 0.9, agree
+
+
 def test_logreg_trainer_scans_input_once(spark):
     """The GD loop must NOT re-execute upstream lineage per iteration:
     train_logreg persists its (label, features) projection, so an
