@@ -3808,6 +3808,128 @@ FROM pairs GROUP BY sym_left, sym_right
 """
 
 
+# BPE merge table pinned from `train_bpe(sf0.01 documents, 32)` so the
+# encode-path oracle (a from-scratch DuckDB recursive-CTE re-encoder) can
+# embed the SAME tokenizer as literals. test_bpe.py asserts the pin equals
+# the trainer's output on the driver fixture, so drift fails loudly.
+BPE_ENCODE_MERGES = [
+    ("e", "r", 4568), ("e", "</w>", 4473), ("n", "</w>", 2834),
+    ("er", "</w>", 2779), ("o", "w", 2747), ("ow", "</w>", 2747),
+    ("o", "r", 2696), ("s", "t", 2676), ("h", "</w>", 1884),
+    ("a", "t", 1845), ("l", "u", 1831), ("i", "n", 1796),
+    ("a", "</w>", 1788), ("g", "</w>", 1777), ("y", "</w>", 1767),
+    ("a", "r", 1758), ("p", "ar", 1758), ("t", "</w>", 1750),
+    ("i", "n</w>", 964), ("j", "o", 964), ("jo", "in</w>", 964),
+    ("a", "s", 947), ("as", "h</w>", 947), ("h", "ash</w>", 947),
+    ("r", "ow</w>", 943), ("at", "c", 937), ("atc", "h</w>", 937),
+    ("b", "atch</w>", 937), ("a", "n</w>", 936), ("c", "an</w>", 936),
+    ("s", "can</w>", 936), ("c", "o", 934),
+]
+
+
+def q_bpe_encode_stats(spark, sf_dir):
+    """BPE ENCODE path (datapipe/bpe.apply_bpe): per-source token counts and
+    fertility (tokens/word) from encoding every document with the pinned
+    merge table. The oracle re-encodes from scratch in DuckDB — a recursive
+    CTE that repeatedly finds each word's lowest-rank applicable pair and
+    applies one full left-to-right non-overlapping merge pass as a list
+    comprehension — an algorithmically independent formulation of the same
+    Sennrich BPE encode the Arrow-batched mapInPandas performs."""
+    from .datapipe.bpe import apply_bpe
+
+    docs = _docs(spark, sf_dir)
+    enc = apply_bpe(docs, BPE_ENCODE_MERGES)
+    return (
+        enc.join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.try_divide(F.col("n_tokens"), F.col("n_words")), 6),
+        )
+    )
+
+
+def _sql_bpe_encode_stats() -> str:
+    # The single-pass merge comprehension below is exact only when no merge
+    # has left == right (adjacent matches are then impossible, so greedy
+    # non-overlap == "apply at every match"); assert it at SQL-build time
+    # so a future re-pin that violates the assumption fails loudly instead
+    # of silently diverging from _merge_word's run-parity behavior.
+    assert all(l != r for l, r, _ in BPE_ENCODE_MERGES), (
+        "bpe_encode_stats oracle requires left != right for every pinned merge"
+    )
+    merge_vals = ", ".join(
+        f"('{l}', '{r}', {i})" for i, (l, r, _) in enumerate(BPE_ENCODE_MERGES)
+    )
+    return f"""
+WITH RECURSIVE
+merges(ml, mr, rnk) AS (VALUES {merge_vals}),
+doc_words AS (
+  SELECT doc_id, source, w AS word
+  FROM (SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+vocab AS (SELECT DISTINCT word FROM doc_words),
+enc AS (
+  SELECT word, list_append(string_split(word, ''), '</w>') AS syms FROM vocab
+  UNION ALL
+  -- one encode step: lowest-rank pair present anywhere in syms, applied at
+  -- every (necessarily non-adjacent, see build-time assert) match position
+  SELECT word,
+         [CASE WHEN i < len(syms) AND syms[i] = ml AND syms[i+1] = mr
+               THEN ml || mr ELSE syms[i] END
+          for i in range(1, len(syms) + 1)
+          if NOT (i > 1 AND syms[i-1] = ml AND syms[i] = mr)]
+  FROM (
+    SELECT word, syms,
+           (SELECT m.ml FROM merges m
+            WHERE list_contains(prs, m.ml || chr(1) || m.mr)
+            ORDER BY m.rnk LIMIT 1) AS ml,
+           (SELECT m.mr FROM merges m
+            WHERE list_contains(prs, m.ml || chr(1) || m.mr)
+            ORDER BY m.rnk LIMIT 1) AS mr
+    FROM (SELECT word, syms,
+                 [syms[i] || chr(1) || syms[i+1] for i in range(1, len(syms))] AS prs
+          FROM enc)
+  )
+  WHERE ml IS NOT NULL
+),
+encoded AS (
+  SELECT word, CAST(len(syms) AS BIGINT) AS n_toks
+  FROM enc
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merges m
+    WHERE list_contains([syms[i] || chr(1) || syms[i+1] for i in range(1, len(syms))],
+                        m.ml || chr(1) || m.mr))
+),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         CAST(COUNT(*) AS BIGINT) AS nw, CAST(SUM(e.n_toks) AS BIGINT) AS nt
+  FROM doc_words d JOIN encoded e ON d.word = e.word
+  GROUP BY d.doc_id, d.source
+),
+all_docs AS (SELECT doc_id, source FROM documents)
+SELECT a.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(p.nt), 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(p.nw), 0) AS BIGINT) AS n_words,
+       ROUND(CAST(COALESCE(SUM(p.nt), 0) AS DOUBLE)
+             / NULLIF(COALESCE(SUM(p.nw), 0), 0), 6) AS fertility
+FROM all_docs a LEFT JOIN per_doc p ON a.doc_id = p.doc_id
+GROUP BY a.source
+"""
+
+
+SQL_BPE_ENCODE_STATS = _sql_bpe_encode_stats()
+
+
 def q_media_resize(spark, sf_dir):
     """Distributed image resize (multimodal.resize_media): the synthetic
     closed-form PNGs resampled to 4x6 nearest-neighbor — Spark decodes,

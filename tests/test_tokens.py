@@ -170,3 +170,19 @@ def test_bpe_to_packing_end_to_end(spark):
     for r in stats:
         assert r["tok"] - r["biggest"] < budget
     assert len(stats) >= total // (2 * budget)            # actually packs
+
+
+def test_bpe_encode_gate_pin_matches_trainer(spark):
+    """The gate's pinned merge table (entry_queries.BPE_ENCODE_MERGES) must
+    equal `train_bpe(sf0.01 documents, 32)` exactly — if the driver fixture
+    or the trainer ever changes, the oracle's embedded tokenizer would
+    silently diverge from the Spark side; this pins the drift loudly. Also
+    re-asserts the oracle's left != right precondition (the single-pass
+    merge comprehension is only exact without same-symbol pairs)."""
+    from klog_spark import entry_queries as eq
+    from klog_spark.datapipe.bpe import train_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    trained = train_bpe(docs, len(eq.BPE_ENCODE_MERGES))
+    assert trained == eq.BPE_ENCODE_MERGES
+    assert all(l != r for l, r, _ in eq.BPE_ENCODE_MERGES)
