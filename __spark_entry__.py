@@ -142,6 +142,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": eq.q_cms_user_counts,                 # Count-Min sketch estimates vs exact
         "bpe_pair_counts": eq.q_bpe_pair_counts,                 # BPE training statistic (argmax = first merge)
         "bpe_encode_stats": eq.q_bpe_encode_stats,               # BPE ENCODE path: fertility per source vs recursive-CTE re-encoder
+        "interval_join_oversized": eq.q_interval_join_oversized, # replication-cap overflow: bucketed + broadcast paths both hashed
         "media_resize": eq.q_media_resize,                       # real decode->NN-resize->re-encode vs closed form
         "audio_features": eq.q_audio_features,                   # energy/ZCR/peak over real decoded audio
         "corpus_curate": eq.q_corpus_curate,                     # quality+PII+dedup+span-coverage composed pipeline
@@ -256,6 +257,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "bpe_encode_stats": eq.SQL_BPE_ENCODE_STATS,
+        "interval_join_oversized": eq.SQL_INTERVAL_JOIN_OVERSIZED,
         "media_resize": eq.SQL_MEDIA_RESIZE,
         "audio_features": eq.SQL_AUDIO_FEATURES,
         "corpus_curate": eq.SQL_CORPUS_CURATE,

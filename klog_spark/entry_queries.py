@@ -3435,6 +3435,80 @@ GROUP BY p.user_id, sess.session_id
 """
 
 
+def q_interval_join_oversized(spark, sf_dir):
+    """Range join with the REPLICATION-CAP OVERFLOW path live (VERDICT r5
+    #6): the session intervals are joined alongside planted per-user "audit"
+    intervals spanning the user's whole event range (session_id = -1). With
+    ``max_interval_buckets=4`` the audit intervals (and any session > 4
+    buckets) exceed the cap and take interval_join's ``on_oversize=
+    'broadcast'`` BETWEEN-union path, while short sessions take the bucketed
+    explode — so the gate hashes rows produced by BOTH physical paths. The
+    oracle is path-agnostic: one naive BETWEEN theta join over the unioned
+    interval set. test_events_property.py asserts both paths are
+    non-degenerate on the driver fixture."""
+    from .operators.asof import interval_join
+
+    sessions = q_event_sessions(spark, sf_dir).select(
+        "user_id", "session_id", "session_start_ms", "session_end_ms"
+    )
+    pts = _read_events(spark, sf_dir).select(
+        "user_id", "event_id", _ts_ms_ntz("ts").alias("ts_ms")
+    ).filter(F.col("ts_ms").isNotNull())
+    audit = pts.groupBy("user_id").agg(
+        F.lit(-1).cast("long").alias("session_id"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+    )
+    joined = interval_join(
+        pts, sessions.unionByName(audit), point_ts="ts_ms",
+        start="session_start_ms", end="session_end_ms", by=["user_id"],
+        bucket_width=1800 * 1000, max_interval_buckets=4,
+        on_oversize="broadcast",
+    )
+    return joined.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_located_events")
+    )
+
+
+SQL_INTERVAL_JOIN_OVERSIZED = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+),
+g AS (
+  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id
+                     ORDER BY ts_ms NULLS FIRST, event_id NULLS FIRST) > 1800000
+                 THEN 1 ELSE 0 END AS gap
+  FROM e
+),
+s AS (
+  SELECT user_id, event_id, ts_ms,
+         CAST(SUM(gap) OVER (PARTITION BY user_id
+                        ORDER BY ts_ms NULLS FIRST, event_id NULLS FIRST
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM g
+),
+p AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+  WHERE ts IS NOT NULL
+),
+sess AS (
+  SELECT user_id, session_id,
+         MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
+  FROM s GROUP BY user_id, session_id
+  UNION ALL
+  SELECT user_id, CAST(-1 AS BIGINT) AS session_id,
+         MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms
+  FROM p GROUP BY user_id
+)
+SELECT p.user_id, sess.session_id, COUNT(*) AS n_located_events
+FROM p
+JOIN sess ON p.user_id = sess.user_id
+         AND p.ts_ms BETWEEN sess.session_start_ms AND sess.session_end_ms
+GROUP BY p.user_id, sess.session_id
+"""
+
+
 def q_events_hypertable(spark, sf_dir):
     """Hypertable rollup: event volume/value at 10-minute, 1-hour and 1-day
     resolutions per event type — the coarser levels RE-AGGREGATED from the

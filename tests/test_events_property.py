@@ -254,3 +254,38 @@ def test_funnel_and_retention_three_way(spark, tmp_path_factory, events):
         for r in [tuple(r) for r in q_user_retention(spark, str(tmpdir)).collect()]
     }
     assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_interval_join_oversized_exercises_both_paths(spark):
+    """q_interval_join_oversized's contract is that the gate row hashes
+    output from BOTH interval_join physical paths: with bucket_width=30min
+    and max_interval_buckets=4, the planted per-user audit intervals must
+    exceed the cap (broadcast BETWEEN path) while most real sessions stay
+    under it (bucketed explode path). Degenerate fixtures — every interval
+    on one path — would silently gut the gate row's point."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    sessions = eq.q_event_sessions(spark, sf_dir).select(
+        "user_id", "session_id", "session_start_ms", "session_end_ms"
+    )
+    pts = eq._read_events(spark, sf_dir).select(
+        "user_id", eq._ts_ms_ntz("ts").alias("ts_ms")
+    ).filter(F.col("ts_ms").isNotNull())
+    audit = pts.groupBy("user_id").agg(
+        F.lit(-1).cast("long").alias("session_id"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+    )
+    bw, cap = 1800 * 1000, 4
+    span = (
+        F.floor(F.col("session_end_ms") / bw)
+        - F.floor(F.col("session_start_ms") / bw) + 1
+    )
+    intervals = sessions.unionByName(audit)
+    n_big = intervals.filter(span > cap).count()
+    n_small = intervals.filter(span <= cap).count()
+    assert n_big > 0, "no oversized interval: broadcast path never runs"
+    assert n_small > 0, "no in-cap interval: bucketed path never runs"
+    # and every audit interval is oversized (each user spans > 2h of events)
+    assert audit.filter(span <= cap).count() == 0
