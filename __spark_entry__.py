@@ -17,12 +17,15 @@ against their DuckDB oracles on every local gate pass
 retired variant's capability keeps a driver row through the query that
 subsumes it (noted inline) plus dedicated pytests.
 
-Round 5 rotated three never-driver-gated pairs into the 50 (VERDICT r4 #5)
-and added nine new operator classes as extras (lm_quality_score,
-weighted_sample_by_source, pii_redaction, repeated_spans, event_funnel,
-user_retention, cms_user_counts, bpe_pair_counts + the streaming/classifier
-pytest-only surface); they are candidates for the next rotation once they
-have a round of local-gate history.
+Round 6 rotated the round-5/6 operator classes with zero driver history
+into the 50 (VERDICT r5 #1): pii_redaction, lm_quality_score,
+weighted_sample_by_source, repeated_spans, repeated_span_removal,
+event_funnel, user_retention, cms_user_counts, bpe_pair_counts,
+bpe_encode_stats, corpus_curate, klog_file_health, and
+interval_join_oversized (which strictly supersedes the
+event_session_interval_join row it replaced). The thirteen rows rotated
+out — all green in CORRECTNESS_r05 — moved to ``extra_queries()`` with an
+inline note naming the driver row that keeps each capability covered.
 """
 
 from __future__ import annotations
@@ -44,42 +47,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # klog parse -> route -> aggregate surface (SURVEY.md §2)
         "klog_route_counts": eq.q_route_counts,            # S1-S6, X1-X5 routing
         "klog_sink_batches": eq.q_sink_batches,            # S9 batch sink + token equality
-        "klog_sink_control": eq.q_sink_control,            # X3 control sink
-        "klog_sink_txn_state": eq.q_sink_txn_state,        # X4 txn-state sink
-        "klog_sink_producer_state": eq.q_sink_producer_state,  # S7/X5 snapshot sink
         "klog_sink_corrupt": eq.q_sink_corrupt,            # W1/W5-W7 corrupt routing
         "klog_txn_stats": eq.q_txn_stats,                  # A1-A7 + W8 (txn-stat CLI)
         "klog_batches_per_epoch": eq.q_batches_per_epoch,  # A9 (salted variant: extra_queries + test_skew.py)
-        "klog_open_txns": eq.q_open_txns,                  # A5 detail parity
-        "klog_cat_pid": eq.q_cat_pid,                      # P1/P8/F1 (segment cat --pid)
-        "klog_filter_txn_id": eq.q_filter_txn_id,          # P2/P5
+        "klog_filter_txn_id": eq.q_filter_txn_id,          # P2/P5 (+ X4 txn-state parse)
         "klog_state_machine_violations": eq.q_state_machine_violations,  # W4
         "klog_deep_iteration": eq.q_deep_iteration,        # S4
-        "klog_open_txn_abort_cmds": eq.q_open_txn_abort_cmds,    # J2 + S10 workflow
+        "klog_open_txn_abort_cmds": eq.q_open_txn_abort_cmds,    # J2 + S10 workflow (+ A5 open-txn, S7/X5 snapshot parse)
         "klog_enrich_producer_team": eq.q_enrich_producer_team,  # J1 broadcast enrich
-        "klog_empty_txns": eq.q_empty_txns,                # A6 detail (r5 rotation: fresh driver row)
         "klog_coordinating_partition": eq.q_coordinating_partition,  # F5 Java hashCode routing
-        "klog_cat_render": eq.q_cat_render,                # F6 ANSI display renderer
-        "klog_first_last_batch": eq.q_first_last_batch,    # A4
+        "klog_cat_render": eq.q_cat_render,                # F6 ANSI display renderer (+ P8 projections, F1 instants)
+        "klog_file_health": eq.q_file_health,              # per-file corrupt-rate/gap dashboard (r6 rotation)
         # __consumer_offsets decode — BEYOND the reference surface (the
         # reference leaves it a TODO, Segment.java:28)
         "klog_group_offsets": eq.q_sink_group_offsets,
         "klog_group_offsets_read_committed": eq.q_group_offsets_read_committed,
         "klog_group_lag": eq.q_group_lag,
-        "klog_group_commit_rates": eq.q_group_commit_rates,
         # training-data pipeline (dedup / similarity / text / multimodal)
-        "dedup_simhash": eq.q_dedup_simhash,               # simhash near-dup (r5 rotation: fresh driver row)
+        "dedup_simhash": eq.q_dedup_simhash,               # simhash near-dup
         "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution (subsumes dedup_exact's digest agg)
         "leakage_safe_split": eq.q_leakage_safe_split,     # content-hash train/test split
-        "dedup_ngram_jaccard": eq.q_dedup_ngram_jaccard,
-        "dedup_clusters": eq.q_dedup_clusters,             # large-star/small-star CC
+        "dedup_clusters": eq.q_dedup_clusters,             # large-star/small-star CC (recomputes the jaccard pair CTEs)
         "dedup_minhash_lsh": eq.q_dedup_minhash,
         "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,   # scale path (no O(n^2))
-        "ann_lsh_topk": eq.q_ann_lsh,                      # hyperplane-LSH multiprobe (r5 rotation: fresh driver row)
-        "ann_ivf_topk": eq.q_ann_ivf,                      # inverted-file scale path
-        "ann_ivfpq_topk": eq.q_ann_ivfpq,                  # product-quantized scale path (8 B/vector)
+        "ann_lsh_topk": eq.q_ann_lsh,                      # hyperplane-LSH multiprobe
+        "ann_ivfpq_topk": eq.q_ann_ivfpq,                  # product-quantized scale path (8 B/vector; subsumes IVF-Flat's cell routing)
         "knn_label_eval": eq.q_knn_label_eval,             # embedding-quality eval
-        "dedup_incremental": eq.q_dedup_incremental,       # append-only ingestion screen
         "text_lang_id": eq.q_text_lang_id,
         "source_quality": eq.q_source_quality,             # per-source corpus report
         "corpus_pack": eq.q_corpus_pack,                   # token-budget sequence packing
@@ -87,15 +80,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": eq.q_doc_repetition,             # Gopher-style repetition metrics
         "seq_len_percentiles": eq.q_seq_len_percentiles,   # exact p50/p90/p99
         "multimodal_decode": eq.q_multimodal_decode,       # REAL stdlib PNG/WAV decode vs first-principles oracle
+        # round-5/6 corpus-curation classes, first driver rows (r6 rotation)
+        "pii_redaction": eq.q_pii_redaction,               # rule-based PII scrub, byte-exact rewrite parity
+        "lm_quality_score": eq.q_lm_quality,               # unigram-LM (perplexity-style) corpus filter
+        "weighted_sample_by_source": eq.q_weighted_sample, # derandomized A-ES weighted sampling
+        "repeated_spans": eq.q_repeated_spans,             # cross-doc repeated-span detection
+        "repeated_span_removal": eq.q_repeated_span_removal,  # exact-substring-dedup rewrite (spans excised)
+        "cms_user_counts": eq.q_cms_user_counts,           # Count-Min sketch estimates vs exact
+        "bpe_pair_counts": eq.q_bpe_pair_counts,           # BPE training statistic (argmax = first merge)
+        "bpe_encode_stats": eq.q_bpe_encode_stats,         # BPE ENCODE path vs recursive-CTE re-encoder
+        "corpus_curate": eq.q_corpus_curate,               # quality+PII+dedup+span-coverage composed pipeline
         # telemetry/event analytics (engine-robustness fixed in round 4:
         # NTZ timestamps, pinned NULL ordering, tie-free exact averages)
         "events_daily": eq.q_events_daily,
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
-        "events_rolling_7d": eq.q_events_rolling,          # trailing-window metric
+        "event_funnel": eq.q_event_funnel,                 # ordered view->click->purchase conversion (r6 rotation)
+        "user_retention": eq.q_user_retention,             # weekly cohort retention triangle (r6 rotation)
         "corpus_mixture_sample": eq.q_corpus_mixture_sample,  # deterministic domain-mixture curation
         # named custom-operator classes (as-of / range / rollup / sketch)
         "klog_batch_state_asof": eq.q_batch_state_asof,
-        "event_session_interval_join": eq.q_event_session_interval_join,
+        "interval_join_oversized": eq.q_interval_join_oversized,  # range join, bucketed + broadcast-overflow paths both hashed
         "events_hypertable": eq.q_events_hypertable,
         "kmv_distinct_users": eq.q_kmv_distinct_users,
     }
@@ -132,28 +136,31 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_abort_cmds": eq.q_abort_cmds,                      # S10+P7; open_txn_abort_cmds keeps the S10 driver row
         "dedup_exact": eq.q_dedup_exact,                         # digest agg inside dedup_canonical + dedup_incremental rows
         "klog_topics_sanity": eq.q_topics_sanity,                # A8 1-row sanity
-        "lm_quality_score": eq.q_lm_quality,                     # unigram-LM (perplexity-style) corpus filter
-        "weighted_sample_by_source": eq.q_weighted_sample,       # derandomized A-ES weighted sampling
-        "pii_redaction": eq.q_pii_redaction,                     # rule-based PII scrub, byte-exact rewrite parity
-        "repeated_spans": eq.q_repeated_spans,                   # cross-doc repeated-span (exact-substring-dedup signal)
-        "repeated_span_removal": eq.q_repeated_span_removal,     # the rewrite step: spans excised, cleaned corpus out
-        "event_funnel": eq.q_event_funnel,                       # ordered view->click->purchase conversion
-        "user_retention": eq.q_user_retention,                   # weekly cohort retention triangle
-        "cms_user_counts": eq.q_cms_user_counts,                 # Count-Min sketch estimates vs exact
-        "bpe_pair_counts": eq.q_bpe_pair_counts,                 # BPE training statistic (argmax = first merge)
-        "bpe_encode_stats": eq.q_bpe_encode_stats,               # BPE ENCODE path: fertility per source vs recursive-CTE re-encoder
-        "interval_join_oversized": eq.q_interval_join_oversized, # replication-cap overflow: bucketed + broadcast paths both hashed
         "media_resize": eq.q_media_resize,                       # real decode->NN-resize->re-encode vs closed form
         "audio_features": eq.q_audio_features,                   # energy/ZCR/peak over real decoded audio
-        "corpus_curate": eq.q_corpus_curate,                     # quality+PII+dedup+span-coverage composed pipeline
         "vocab_coverage": eq.q_vocab_coverage,                   # top-k vocabulary coverage / OOV curve
         "events_anomaly": eq.q_events_anomaly,                   # integer-exact 3-sigma daily-volume anomalies
         "near_dup_canonical": eq.q_near_dup_canonical,           # one representative per near-dup cluster
         "doc_keywords": eq.q_doc_keywords,                       # TF-IDF top-k terms, integer micro-nat idf
-        "klog_file_health": eq.q_file_health,                    # per-file corrupt-rate/gap dashboard
         "events_dau_wau": eq.q_dau_wau,                          # DAU/WAU/stickiness (exact windowed distinct)
         "source_curation_report": eq.q_source_curation_report,   # per-source PII-rate + mean-LM dashboard
         "trained_quality_filter": eq.q_trained_quality_filter,   # heuristic labels -> logreg -> scored filter (iterative GD: rows-only by design, NumPy-parity pytest)
+        # rotated OUT of the driver gate in round 6 (all green in
+        # CORRECTNESS_r05; each capability keeps a driver row via the noted
+        # subsuming query, plus its pytests)
+        "klog_sink_control": eq.q_sink_control,                  # X3: control parse drives txn_stats/abort_cmds rows; route_counts counts the class
+        "klog_sink_txn_state": eq.q_sink_txn_state,              # X4: filter_txn_id + state_machine_violations rows parse txn_state
+        "klog_sink_producer_state": eq.q_sink_producer_state,    # S7/X5: open_txn_abort_cmds + batch_state_asof rows parse snapshots
+        "klog_cat_pid": eq.q_cat_pid,                            # P1/P8/F1: cat_render row renders the same projections + instants
+        "klog_open_txns": eq.q_open_txns,                        # A5: txn_stats num_open_txn + open_txn_abort_cmds detail
+        "klog_empty_txns": eq.q_empty_txns,                      # A6: txn_stats num_empty_txn
+        "klog_first_last_batch": eq.q_first_last_batch,          # A4: file/line_no extremes; pytest parity
+        "klog_group_commit_rates": eq.q_group_commit_rates,      # group family keeps 3 driver rows
+        "dedup_ngram_jaccard": eq.q_dedup_ngram_jaccard,         # dedup_clusters row recomputes the same pair CTEs
+        "ann_ivf_topk": eq.q_ann_ivf,                            # ann_ivfpq_topk row keeps the IVF cell routing
+        "dedup_incremental": eq.q_dedup_incremental,             # digest screen: dedup_canonical + contamination_check rows
+        "events_rolling_7d": eq.q_events_rolling,                # trailing window: hypertable + dau_wau cover windowed aggs
+        "event_session_interval_join": eq.q_event_session_interval_join,  # strict subset of the interval_join_oversized driver row
     }
 
 
@@ -165,14 +172,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "klog_route_counts": eq.SQL_ROUTE_COUNTS,
         "klog_sink_batches": eq.SQL_SINK_BATCHES,
-        "klog_sink_control": eq.SQL_SINK_CONTROL,
-        "klog_sink_txn_state": eq.SQL_SINK_TXN_STATE,
-        "klog_sink_producer_state": eq.SQL_SINK_PRODUCER_STATE,
         "klog_sink_corrupt": eq.SQL_SINK_CORRUPT,
         "klog_txn_stats": eq.SQL_TXN_STATS,
         "klog_batches_per_epoch": eq.SQL_BATCHES_PER_EPOCH,
-        "klog_open_txns": eq.SQL_OPEN_TXNS,
-        "klog_cat_pid": eq.SQL_CAT_PID,
         "klog_filter_txn_id": eq.SQL_FILTER_TXN_ID,
         "klog_state_machine_violations": eq.SQL_STATE_MACHINE.replace(
             "{VALID_PREV}", eq._sql_valid_prev_case()
@@ -180,26 +182,21 @@ def oracle_sql() -> dict[str, str]:
         "klog_deep_iteration": eq.SQL_DEEP_ITERATION,
         "klog_open_txn_abort_cmds": eq.SQL_OPEN_TXN_ABORT_CMDS,
         "klog_enrich_producer_team": eq.SQL_ENRICH_PRODUCER_TEAM,
-        "klog_empty_txns": eq.SQL_EMPTY_TXNS,
         "klog_coordinating_partition": eq.SQL_COORDINATING_PARTITION,
         "klog_cat_render": eq.SQL_CAT_RENDER,
-        "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
+        "klog_file_health": eq.SQL_FILE_HEALTH,
         "klog_group_offsets": eq.SQL_SINK_GROUP_OFFSETS,
         "klog_group_offsets_read_committed": eq.SQL_GROUP_OFFSETS_READ_COMMITTED,
         "klog_group_lag": eq.SQL_GROUP_LAG,
-        "klog_group_commit_rates": eq.SQL_GROUP_COMMIT_RATES,
         "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
         "leakage_safe_split": eq.SQL_LEAKAGE_SAFE_SPLIT,
-        "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,
         "dedup_clusters": eq.SQL_DEDUP_CLUSTERS,
         "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
         "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
         "ann_lsh_topk": eq.SQL_ANN_LSH,
-        "ann_ivf_topk": eq.SQL_ANN_IVF,
         "ann_ivfpq_topk": eq.SQL_ANN_IVFPQ,
         "knn_label_eval": eq.SQL_KNN_LABEL_EVAL,
-        "dedup_incremental": eq.SQL_DEDUP_INCREMENTAL,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
         "source_quality": eq.SQL_SOURCE_QUALITY,
         "corpus_pack": eq.SQL_CORPUS_PACK,
@@ -207,12 +204,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": eq.SQL_DOC_REPETITION,
         "seq_len_percentiles": eq.SQL_SEQ_LEN_PERCENTILES,
         "multimodal_decode": eq.SQL_MULTIMODAL_DECODE,
+        "pii_redaction": eq.SQL_PII_REDACTION,
+        "lm_quality_score": eq.SQL_LM_QUALITY,
+        "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
+        "repeated_spans": eq.SQL_REPEATED_SPANS,
+        "repeated_span_removal": eq.SQL_REPEATED_SPAN_REMOVAL,
+        "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
+        "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
+        "bpe_encode_stats": eq.SQL_BPE_ENCODE_STATS,
+        "corpus_curate": eq.SQL_CORPUS_CURATE,
         "events_daily": eq.SQL_EVENTS_DAILY,
         "event_sessions": eq.SQL_EVENT_SESSIONS,
-        "events_rolling_7d": eq.SQL_EVENTS_ROLLING,
+        "event_funnel": eq.SQL_EVENT_FUNNEL,
+        "user_retention": eq.SQL_USER_RETENTION,
         "corpus_mixture_sample": eq.SQL_CORPUS_MIXTURE_SAMPLE,
         "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
-        "event_session_interval_join": eq.SQL_EVENT_SESSION_INTERVAL_JOIN,
+        "interval_join_oversized": eq.SQL_INTERVAL_JOIN_OVERSIZED,
         "events_hypertable": eq.SQL_EVENTS_HYPERTABLE,
         "kmv_distinct_users": eq.SQL_KMV_DISTINCT_USERS,
     }
@@ -247,25 +254,25 @@ def extra_oracle_sql() -> dict[str, str]:
         "klog_abort_cmds": eq.SQL_ABORT_CMDS,
         "dedup_exact": eq.SQL_DEDUP_EXACT,
         "klog_topics_sanity": eq.SQL_TOPICS_SANITY,
-        "lm_quality_score": eq.SQL_LM_QUALITY,
-        "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
-        "pii_redaction": eq.SQL_PII_REDACTION,
-        "repeated_spans": eq.SQL_REPEATED_SPANS,
-        "repeated_span_removal": eq.SQL_REPEATED_SPAN_REMOVAL,
-        "event_funnel": eq.SQL_EVENT_FUNNEL,
-        "user_retention": eq.SQL_USER_RETENTION,
-        "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
-        "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
-        "bpe_encode_stats": eq.SQL_BPE_ENCODE_STATS,
-        "interval_join_oversized": eq.SQL_INTERVAL_JOIN_OVERSIZED,
         "media_resize": eq.SQL_MEDIA_RESIZE,
         "audio_features": eq.SQL_AUDIO_FEATURES,
-        "corpus_curate": eq.SQL_CORPUS_CURATE,
         "vocab_coverage": eq.SQL_VOCAB_COVERAGE,
         "events_anomaly": eq.SQL_EVENTS_ANOMALY,
         "near_dup_canonical": eq.SQL_NEAR_DUP_CANONICAL,
         "doc_keywords": eq.SQL_DOC_KEYWORDS,
-        "klog_file_health": eq.SQL_FILE_HEALTH,
         "events_dau_wau": eq.SQL_DAU_WAU,
         "source_curation_report": eq.SQL_SOURCE_CURATION_REPORT,
+        "klog_sink_control": eq.SQL_SINK_CONTROL,
+        "klog_sink_txn_state": eq.SQL_SINK_TXN_STATE,
+        "klog_sink_producer_state": eq.SQL_SINK_PRODUCER_STATE,
+        "klog_cat_pid": eq.SQL_CAT_PID,
+        "klog_open_txns": eq.SQL_OPEN_TXNS,
+        "klog_empty_txns": eq.SQL_EMPTY_TXNS,
+        "klog_first_last_batch": eq.SQL_FIRST_LAST_BATCH,
+        "klog_group_commit_rates": eq.SQL_GROUP_COMMIT_RATES,
+        "dedup_ngram_jaccard": eq.SQL_DEDUP_NGRAM_JACCARD,
+        "ann_ivf_topk": eq.SQL_ANN_IVF,
+        "dedup_incremental": eq.SQL_DEDUP_INCREMENTAL,
+        "events_rolling_7d": eq.SQL_EVENTS_ROLLING,
+        "event_session_interval_join": eq.SQL_EVENT_SESSION_INTERVAL_JOIN,
     }
