@@ -145,6 +145,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau": eq.q_dau_wau,                          # DAU/WAU/stickiness (exact windowed distinct)
         "source_curation_report": eq.q_source_curation_report,   # per-source PII-rate + mean-LM dashboard
         "trained_quality_filter": eq.q_trained_quality_filter,   # heuristic labels -> logreg -> scored filter (iterative GD: rows-only by design, NumPy-parity pytest)
+        "corpus_shard_manifest": eq.q_corpus_shard_manifest,     # deterministic shuffle -> shard positions -> audit manifest
         # rotated OUT of the driver gate in round 6 (all green in
         # CORRECTNESS_r05; each capability keeps a driver row via the noted
         # subsuming query, plus its pytests)
@@ -262,6 +263,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_keywords": eq.SQL_DOC_KEYWORDS,
         "events_dau_wau": eq.SQL_DAU_WAU,
         "source_curation_report": eq.SQL_SOURCE_CURATION_REPORT,
+        "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
         "klog_sink_control": eq.SQL_SINK_CONTROL,
         "klog_sink_txn_state": eq.SQL_SINK_TXN_STATE,
         "klog_sink_producer_state": eq.SQL_SINK_PRODUCER_STATE,

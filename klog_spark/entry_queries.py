@@ -4004,6 +4004,59 @@ GROUP BY a.source
 SQL_BPE_ENCODE_STATS = _sql_bpe_encode_stats()
 
 
+def q_corpus_shard_manifest(spark, sf_dir):
+    """Deterministic corpus shuffle + shard export manifest
+    (datapipe/shard.py): every document gets a seeded-hash-permutation
+    position inside one of 16 shards, and the manifest reports per-shard
+    doc count, char total, max position (= n_docs-1 proves the positions
+    are a dense 0-based permutation) and an order-independent content
+    checksum. java32 hash so DuckDB replicates the permutation exactly;
+    xxhash64 is the throughput default (CLAUDE.md hash convention)."""
+    from .datapipe.shard import deterministic_shuffle, shard_manifest
+
+    shuffled = deterministic_shuffle(
+        _docs(spark, sf_dir), seed="r6", n_shards=16, hash_fn="java32"
+    )
+    return shard_manifest(shuffled, hash_fn="java32")
+
+
+# java fold of 'r6:' || doc_id: plain (ASCII key) fold; the TEXT content
+# checksum reuses SQL_DOC_FINGERPRINT's surrogate-aware unit construction.
+SQL_CORPUS_SHARD_MANIFEST = """
+WITH key_h AS (
+  SELECT doc_id, text,
+    list_reduce(list_prepend(0::BIGINT,
+      [unicode(c)::BIGINT
+       for c in list_filter(string_split('r6:' || CAST(doc_id AS VARCHAR), ''),
+                            x -> x <> '')]),
+      (acc, c) -> (acc * 31 + c) % 4294967296) AS h
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, text, CAST(h % 16 AS INT) AS shard_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
+              AS BIGINT) AS position
+  FROM key_h
+),
+content AS (
+  SELECT shard_id, position, length(text) AS len,
+    list_reduce(list_prepend(0::BIGINT,
+      flatten([CASE WHEN unicode(c) < 65536 THEN [unicode(c)::BIGINT]
+                    ELSE [55296 + ((unicode(c)::BIGINT - 65536) // 1024),
+                          56320 + ((unicode(c)::BIGINT - 65536) % 1024)] END
+               for c in list_filter(string_split(text, ''), x -> x <> '')])),
+      (acc, c) -> (acc * 31 + c) % 4294967296) AS ch
+  FROM pos
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len) AS BIGINT) AS n_chars,
+       MAX(position) AS max_position,
+       CAST(SUM(ch) % 4294967296 AS BIGINT) AS content_checksum
+FROM content GROUP BY shard_id
+"""
+
+
 def q_media_resize(spark, sf_dir):
     """Distributed image resize (multimodal.resize_media): the synthetic
     closed-form PNGs resampled to 4x6 nearest-neighbor — Spark decodes,

@@ -1356,3 +1356,71 @@ def test_doc_keywords_python_parity(spark):
     got2 = {(r["doc_id"], r["rank"]): (r["keyword"], r["tf"], r["tfidf"])
             for r in doc_keywords(df.repartition(5), k=3).collect()}
     assert got2 == got
+
+
+def test_deterministic_shuffle_permutation_properties(spark, docs):
+    """deterministic_shuffle must be a seeded PERMUTATION: dense 0-based
+    positions per shard, every doc exactly once, identical under
+    repartitioning (no RNG/partition state), different under a different
+    seed — while the manifest's order-independent checksum is seed-invariant
+    per corpus and sensitive to content corruption."""
+    from klog_spark.datapipe.shard import deterministic_shuffle, shard_manifest
+
+    n_shards = 8
+    sh = deterministic_shuffle(docs, seed="s1", n_shards=n_shards,
+                               hash_fn="java32")
+    rows = sh.select("doc_id", "shard_id", "position").collect()
+    n = docs.count()
+    assert len(rows) == n
+    assert len({r["doc_id"] for r in rows}) == n          # every doc once
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard_id"] < n_shards
+        by_shard.setdefault(r["shard_id"], []).append(r["position"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))          # dense 0-based
+
+    # partition invariance: same (doc_id -> shard, position) map
+    again = deterministic_shuffle(docs.repartition(7), seed="s1",
+                                  n_shards=n_shards, hash_fn="java32")
+    assert {(r["doc_id"], r["shard_id"], r["position"]) for r in rows} == {
+        (r["doc_id"], r["shard_id"], r["position"])
+        for r in again.select("doc_id", "shard_id", "position").collect()
+    }
+
+    # a different seed reorders (astronomically unlikely to agree on all)
+    other = deterministic_shuffle(docs, seed="s2", n_shards=n_shards,
+                                  hash_fn="java32")
+    assert {(r["doc_id"], r["shard_id"], r["position"]) for r in rows} != {
+        (r["doc_id"], r["shard_id"], r["position"])
+        for r in other.select("doc_id", "shard_id", "position").collect()
+    }
+
+    # manifest: totals conserve; global checksum is seed-INVARIANT
+    def global_sum(shuffled):
+        m = shard_manifest(shuffled, hash_fn="java32")
+        rs = m.collect()
+        assert all(r["max_position"] == r["n_docs"] - 1 for r in rs)
+        return (sum(r["n_docs"] for r in rs),
+                sum(r["content_checksum"] for r in rs) % 4_294_967_296)
+    assert global_sum(sh) == global_sum(other)
+    # ...and content-SENSITIVE: corrupt one document, checksum moves
+    corrupted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == rows[0]["doc_id"],
+               F.concat(F.col("text"), F.lit("!corrupt"))).otherwise(F.col("text")),
+    )
+    assert global_sum(
+        deterministic_shuffle(corrupted, seed="s1", n_shards=n_shards,
+                              hash_fn="java32")
+    )[1] != global_sum(sh)[1]
+
+    # xxhash64 throughput variant: same permutation contract
+    xs = deterministic_shuffle(docs, seed="s1", n_shards=n_shards)
+    xr = xs.select("doc_id", "shard_id", "position").collect()
+    assert len({r["doc_id"] for r in xr}) == n
+    xby: dict[int, list[int]] = {}
+    for r in xr:
+        xby.setdefault(r["shard_id"], []).append(r["position"])
+    for ps in xby.values():
+        assert sorted(ps) == list(range(len(ps)))
