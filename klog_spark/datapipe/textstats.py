@@ -173,6 +173,93 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", lam: float = 0.9) -> DataFrame:
+    """Interpolated BIGRAM language-model quality scoring — the next rung
+    above :func:`unigram_lm_scores` toward the KenLM-style filters CCNet
+    actually ships: position i >= 2 scores
+    ``-ln(lam * c(w_{i-1} w_i)/c(w_{i-1}) + (1-lam) * c(w_i)/N)`` and the
+    first word scores its unigram ``-ln(c(w_1)/N)``; the doc score is the
+    average over all n_words positions. Interpolation with the unigram
+    floor means every in-corpus word has positive mass, so no -inf.
+
+    Determinism contract (same as the unigram gate): each per-POSITION
+    nll is a pure function of LM counts, rounded ONCE to integer
+    micro-nats; documents integer-sum those, so no float-sum order can
+    differ between engines or partitionings.
+
+    Scale shape: the bigram table is bigram-vocabulary-sized (Heaps-like,
+    far sub-corpus); the score tables join back on (prev, w) / (w) keys —
+    AQE broadcasts them when small, plain equi-joins otherwise. Docs with
+    zero words carry no mass and are omitted (oracle too).
+    """
+    ws = F.filter(_WORDS(text_col), lambda w: w != "")
+    wsdf = docs.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws")
+    ).filter(F.size("ws") > 0)
+    pos = wsdf.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws")),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("w"),
+                    F.when(i > 1, F.element_at(F.col("ws"), i - 1)).alias("prev"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.w").alias("w"), F.col("t.prev").alias("prev"))
+
+    uni = pos.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("n_total"))
+    uni_nll = uni.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(-F.log(F.col("c").cast("double") / F.col("n_total")) * 1000000, 0)
+        .cast("long").alias("nll_micro"),
+    )
+    bi = (
+        pos.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    bi_nll = (
+        bi.join(uni.select(F.col("w").alias("prev"), F.col("c").alias("cl")), "prev")
+        .join(uni.select("w", F.col("c").alias("cu")), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev", "w",
+            F.round(
+                -F.log(
+                    F.lit(lam) * F.col("cb").cast("double") / F.col("cl")
+                    + F.lit(1.0 - lam) * F.col("cu").cast("double") / F.col("n_total")
+                ) * 1000000, 0,
+            ).cast("long").alias("nll_micro"),
+        )
+    )
+    scored = (
+        pos.filter(F.col("prev").isNull())
+        .join(uni_nll, "w")
+        .select("doc_id", "nll_micro")
+        .unionByName(
+            pos.filter(F.col("prev").isNotNull())
+            .join(bi_nll, ["prev", "w"])
+            .select("doc_id", "nll_micro")
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("nll_micro").cast("long").alias("sum_nll_micro"),
+        )
+        .select(
+            "doc_id", "n_words",
+            (F.col("sum_nll_micro").cast("double")
+             / (1000000.0 * F.col("n_words"))).alias("avg_nll"),
+        )
+    )
+
+
 # Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
 # no backreferences, no lookaround, no \b ambiguity across engines.
 PII_PATTERNS = {

@@ -2393,6 +2393,72 @@ GROUP BY words.doc_id
 """
 
 
+def q_bigram_lm_score(spark, sf_dir):
+    """Interpolated bigram-LM quality scoring (textstats.bigram_lm_scores):
+    position >= 2 scores -ln(0.9*c(prev,w)/c(prev) + 0.1*c(w)/N), the first
+    word its unigram nll — one rung closer to the KenLM filters CCNet ships
+    than the unigram gate row. Same cross-engine determinism contract:
+    per-position integer micro-nat rounding (a pure function of LM counts),
+    integer doc sums, one exact double division at the end. The oracle
+    retrains both LM tables and rescores from scratch in SQL."""
+    from .datapipe.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+SQL_BIGRAM_LM_SCORE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, u.w AS w, u.p AS prev FROM (
+    SELECT doc_id,
+           unnest([{'w': ws[i],
+                    'p': CASE WHEN i > 1 THEN ws[i-1] END}
+                   for i in range(1, len(ws) + 1)]) AS u
+    FROM d WHERE len(ws) > 0)
+),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni),
+uni_nll AS (
+  SELECT w,
+         CAST(ROUND(-LN(CAST(c AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+           AS nll_micro
+  FROM uni, tot
+),
+bi AS (
+  SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM pos WHERE prev IS NOT NULL GROUP BY prev, w
+),
+bi_nll AS (
+  SELECT bi.prev, bi.w,
+         CAST(ROUND(-LN(0.9 * CAST(bi.cb AS DOUBLE) / cl.c
+                        + 0.1 * CAST(cu.c AS DOUBLE) / tot.n_total)
+                    * 1000000) AS BIGINT) AS nll_micro
+  FROM bi
+  JOIN uni cl ON bi.prev = cl.w
+  JOIN uni cu ON bi.w = cu.w
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT p.doc_id, u.nll_micro FROM pos p JOIN uni_nll u ON p.w = u.w
+  WHERE p.prev IS NULL
+  UNION ALL
+  SELECT p.doc_id, b.nll_micro
+  FROM pos p JOIN bi_nll b ON p.prev = b.prev AND p.w = b.w
+  WHERE p.prev IS NOT NULL
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(CAST(SUM(nll_micro) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * COUNT(*)) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_trained_quality_filter(spark, sf_dir):
     """The CCNet/fastText-style trained corpus filter, end to end in one
     query: heuristic labels (the gated Gopher-style ``passes_quality``

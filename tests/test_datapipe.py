@@ -1424,3 +1424,51 @@ def test_deterministic_shuffle_permutation_properties(spark, docs):
         xby.setdefault(r["shard_id"], []).append(r["position"])
     for ps in xby.values():
         assert sorted(ps) == list(range(len(ps)))
+
+
+def test_bigram_lm_scores_python_parity(spark):
+    """Interpolated bigram-LM scoring matches a sequential Python
+    replication exactly (per-position micro-nat rounding -> integer doc
+    sums), under any partitioning; a doc repeating a strong bigram scores
+    better than the same words shuffled into unseen bigrams."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from klog_spark.datapipe.textstats import bigram_lm_scores
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat the cat the cat"),
+        (3, "cat the mat on sat the"),
+        (4, "   "),                     # no words -> omitted
+        (5, "The CAT sat"),             # lowercased -> shares counts
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["avg_nll"])
+           for r in bigram_lm_scores(df).collect()}
+
+    words = {i: [w for w in t.lower().strip().split() if w] for i, t in docs}
+    uni = Counter(w for ws in words.values() for w in ws)
+    bi = Counter(p for ws in words.values() for p in zip(ws, ws[1:]))
+    n_total = sum(uni.values())
+
+    def micro(x: float) -> int:
+        return int(Decimal(x * 1e6).quantize(0, ROUND_HALF_UP))
+
+    want = {}
+    for i, ws in words.items():
+        if not ws:
+            continue
+        s = micro(-math.log(uni[ws[0]] / n_total))
+        for prev, w in zip(ws, ws[1:]):
+            p = 0.9 * bi[(prev, w)] / uni[prev] + 0.1 * uni[w] / n_total
+            s += micro(-math.log(p))
+        want[i] = (len(ws), s / (1e6 * len(ws)))
+    assert got == want
+    assert 4 not in got
+    # repeated strong bigrams beat the same-ish unigrams in novel orders
+    assert got[2][1] < got[3][1]
+    got2 = {r["doc_id"]: (r["n_words"], r["avg_nll"])
+            for r in bigram_lm_scores(df.repartition(7)).collect()}
+    assert got2 == got
