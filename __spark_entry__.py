@@ -147,6 +147,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trained_quality_filter": eq.q_trained_quality_filter,   # heuristic labels -> logreg -> scored filter (iterative GD: rows-only by design, NumPy-parity pytest)
         "corpus_shard_manifest": eq.q_corpus_shard_manifest,     # deterministic shuffle -> shard positions -> audit manifest
         "bigram_lm_score": eq.q_bigram_lm_score,                 # interpolated bigram-LM perplexity filter (unigram row stays in the driver gate)
+        "doc_chunks": eq.q_doc_chunks,                           # context-window chunking (overlapping word-boundary windows, zero shuffle)
         # rotated OUT of the driver gate in round 6 (all green in
         # CORRECTNESS_r05; each capability keeps a driver row via the noted
         # subsuming query, plus its pytests)
@@ -266,6 +267,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "source_curation_report": eq.SQL_SOURCE_CURATION_REPORT,
         "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
         "bigram_lm_score": eq.SQL_BIGRAM_LM_SCORE,
+        "doc_chunks": eq.SQL_DOC_CHUNKS,
         "klog_sink_control": eq.SQL_SINK_CONTROL,
         "klog_sink_txn_state": eq.SQL_SINK_TXN_STATE,
         "klog_sink_producer_state": eq.SQL_SINK_PRODUCER_STATE,

@@ -23,6 +23,17 @@ Usage::
     python -m klog_spark group offsets|lag|metadata|rewinds DUMP_DIR
                                      [--read-committed]
     python -m klog_spark route DUMP_DIR --out OUT_DIR
+    python -m klog_spark corpus stats DOCS_PARQUET
+    python -m klog_spark corpus shard DOCS_PARQUET --out DIR [--n-shards N]
+                                     [--seed S] [--hash-fn xxhash64|java32]
+    python -m klog_spark corpus chunk DOCS_PARQUET --out DIR [--max-words N]
+                                     [--overlap K]
+    python -m klog_spark corpus curate DOCS_PARQUET --out DIR
+
+The ``corpus`` family is the training-data side of the engine (documents
+parquet with ``doc_id``/``text``[/``source``] columns): per-source stats,
+deterministic shuffle + shard manifest, context-window chunking, and the
+composed quality→PII-scrub→dedup→span-excision curation pipeline.
 """
 
 from __future__ import annotations
@@ -393,6 +404,120 @@ def cmd_route(spark, args) -> int:
     return 0
 
 
+def _corpus_df(spark: SparkSession, path: str) -> DataFrame:
+    """Documents parquet (doc_id, text[, source, ...]) for the corpus
+    subcommands; fails loudly on a table missing the contract columns."""
+    df = spark.read.parquet(path)
+    missing = {"doc_id", "text"} - set(df.columns)
+    if missing:
+        raise SystemExit(f"corpus input {path!r} lacks column(s) {sorted(missing)}")
+    return df
+
+
+def _source_col(df: DataFrame):
+    return F.col("source") if "source" in df.columns else F.lit("all")
+
+
+def cmd_corpus_stats(spark, args) -> int:
+    """Per-source corpus dashboard: doc/word/char counts and the
+    quality-rule pass rate (the same gated operators behind
+    source_quality, over arbitrary CLI input)."""
+    from .datapipe.textstats import quality_scores, token_counts
+
+    docs = _corpus_df(spark, args.input)
+    joined = (
+        docs.select("doc_id", _source_col(docs).alias("source"))
+        .join(token_counts(docs), "doc_id")
+        .join(quality_scores(docs).select("doc_id", "passes_quality"), "doc_id")
+    )
+    _print_rows(
+        joined.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum(F.col("passes_quality").cast("int")).cast("long").alias("n_pass_quality"),
+        ).orderBy("source")
+    )
+    return 0
+
+
+def cmd_corpus_shard(spark, args) -> int:
+    """Deterministic shuffle -> shard-partitioned parquet + printed audit
+    manifest (datapipe/shard.py): the training-data export step."""
+    from .datapipe.shard import deterministic_shuffle, shard_manifest
+
+    docs = _corpus_df(spark, args.input)
+    shuffled = deterministic_shuffle(
+        docs, seed=args.seed, n_shards=args.n_shards, hash_fn=args.hash_fn
+    )
+    shuffled.write.mode("overwrite").partitionBy("shard_id").parquet(args.out)
+    _print_rows(
+        shard_manifest(spark.read.parquet(args.out), hash_fn=args.hash_fn)
+        .orderBy("shard_id")
+    )
+    print(f"{args.n_shards} shards written to {args.out}")
+    return 0
+
+
+def cmd_corpus_chunk(spark, args) -> int:
+    """Context-window chunking to parquet (textstats.chunk_documents)."""
+    from .datapipe.textstats import chunk_documents
+
+    docs = _corpus_df(spark, args.input)
+    chunks = chunk_documents(docs, max_words=args.max_words, overlap=args.overlap)
+    chunks.write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_chunk_words").cast("long").alias("n_chunk_words"),
+        )
+    )
+    print(f"chunks written to {args.out}")
+    return 0
+
+
+def cmd_corpus_curate(spark, args) -> int:
+    """The composed curation pipeline over arbitrary input: quality filter
+    -> PII redaction (scrub, keep) -> exact-dup keep-best -> repeated-span
+    excision; writes the cleaned corpus and prints per-source kept/total.
+    Same operators as the gated corpus_curate query, minus its
+    planted-PII test scaffolding."""
+    from .datapipe.dedup import exact_dedup_keep_best, remove_repeated_spans
+    from .datapipe.textstats import quality_scores, redact_pii
+
+    docs = _corpus_df(spark, args.input)
+    q = quality_scores(docs).filter(F.col("passes_quality")).select("doc_id", "n_words")
+    scrubbed = redact_pii(docs).select("doc_id", F.col("clean_text").alias("text"))
+    eligible = (
+        docs.select("doc_id", _source_col(docs).alias("source"))
+        .join(q, "doc_id").join(scrubbed, "doc_id")
+    )
+    resolved = exact_dedup_keep_best(eligible, F.col("n_words").cast("long"))
+    keepers = resolved.filter(F.col("kept")).select("doc_id").join(
+        eligible.select("doc_id", "source", "text"), "doc_id"
+    )
+    cleaned = remove_repeated_spans(keepers).select(
+        "doc_id", F.col("cleaned_text").alias("text"), "n_kept_words", "n_removed_words"
+    )
+    out_df = keepers.select("doc_id", "source").join(cleaned, "doc_id")
+    out_df.write.mode("overwrite").parquet(args.out)
+    stats = (
+        docs.select("doc_id", _source_col(docs).alias("source"))
+        .join(
+            spark.read.parquet(args.out).select("doc_id", F.lit(1).alias("_kept")),
+            "doc_id", "left",
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.coalesce("_kept", F.lit(0))).cast("long").alias("n_kept"))
+        .orderBy("source")
+    )
+    _print_rows(stats)
+    print(f"curated corpus written to {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="klog-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -442,6 +567,29 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--out", required=True)
     rt.add_argument("--write-tasks", type=int, dest="write_tasks")
     rt.set_defaults(fn=cmd_route)
+
+    corp = sub.add_parser("corpus").add_subparsers(dest="sub", required=True)
+    cst = corp.add_parser("stats")
+    cst.add_argument("input")
+    cst.set_defaults(fn=cmd_corpus_stats)
+    csh = corp.add_parser("shard")
+    csh.add_argument("input")
+    csh.add_argument("--out", required=True)
+    csh.add_argument("--n-shards", type=int, default=16, dest="n_shards")
+    csh.add_argument("--seed", default="0")
+    csh.add_argument("--hash-fn", default="xxhash64", dest="hash_fn",
+                     choices=["xxhash64", "java32"])
+    csh.set_defaults(fn=cmd_corpus_shard)
+    cch = corp.add_parser("chunk")
+    cch.add_argument("input")
+    cch.add_argument("--out", required=True)
+    cch.add_argument("--max-words", type=int, default=512, dest="max_words")
+    cch.add_argument("--overlap", type=int, default=64)
+    cch.set_defaults(fn=cmd_corpus_chunk)
+    ccu = corp.add_parser("curate")
+    ccu.add_argument("input")
+    ccu.add_argument("--out", required=True)
+    ccu.set_defaults(fn=cmd_corpus_curate)
     return ap
 
 

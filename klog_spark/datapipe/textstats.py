@@ -399,3 +399,56 @@ def doc_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
                 F.col("w").alias("keyword"), "tf",
                 (F.col("score_micro").cast("double") / 1000000.0).alias("tfidf"))
     )
+
+
+def chunk_documents(docs: DataFrame, max_words: int, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Context-window chunking: split each document into word-boundary
+    chunks of at most ``max_words`` words, consecutive chunks sharing
+    ``overlap`` words (stride = max_words - overlap) — the standard prep
+    step for fitting long documents into a model's context length while
+    keeping boundary context. Chunk k covers word indices
+    [k*stride, k*stride + max_words); a chunk is emitted only if it adds at
+    least one word not already in the previous chunk (k == 0 or
+    k*stride + overlap < n), so every word is covered exactly once beyond
+    the shared overlaps, the final chunk may be shorter, and a doc of
+    <= max_words words yields exactly one chunk. Documents with zero words
+    are omitted.
+
+    Scale shape: a pure per-row JVM expression (split -> sequence ->
+    slice -> array_join exploded) — NO shuffle at any scale; output row
+    count is sum(ceil(max(n_i - overlap, 1) / stride)).
+    """
+    if not 0 <= overlap < max_words:
+        raise ValueError(f"need 0 <= overlap < max_words, got {overlap=} {max_words=}")
+    stride = max_words - overlap
+    ws = F.filter(_WORDS(text_col), lambda w: w != "")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), ws.alias("_ws"))
+        .filter(F.size("_ws") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    # chunk indices k that add new words:
+                    # 0 .. ceil(max(n - overlap, 1) / stride) - 1
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.greatest(F.size("_ws") - overlap, F.lit(1)) - 1)
+                            / stride
+                        ).cast("int"),
+                    ),
+                    lambda k: F.struct(
+                        k.cast("long").alias("chunk_id"),
+                        F.array_join(
+                            F.slice(F.col("_ws"), k * stride + 1, max_words), " "
+                        ).alias("chunk_text"),
+                        F.least(F.size("_ws") - k * stride, F.lit(max_words))
+                        .cast("long").alias("n_chunk_words"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_chunk_words")
+    )

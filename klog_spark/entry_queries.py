@@ -2459,6 +2459,36 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (textstats.chunk_documents): every document
+    split into word-boundary chunks of <= 40 words with an 8-word overlap
+    (stride 32) — the prep step that fits long documents into a model
+    context length. Pure per-row JVM expression, zero shuffle; the oracle
+    recomputes every chunk boundary and text from scratch with a
+    correlated-bound list comprehension (no fixed position cap)."""
+    from .datapipe.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_words=40, overlap=8)
+
+
+SQL_DOC_CHUNKS = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+)
+SELECT doc_id, u.chunk_id, u.chunk_text, u.n_chunk_words FROM (
+  SELECT doc_id,
+         unnest([{
+             'chunk_id': CAST(k AS BIGINT),
+             'chunk_text': array_to_string(list_slice(ws, k*32 + 1, k*32 + 40), ' '),
+             'n_chunk_words': CAST(LEAST(len(ws) - k*32, 40) AS BIGINT)
+           } for k in range(0, (GREATEST(len(ws) - 8, 1) - 1) // 32 + 1)]) AS u
+  FROM d WHERE len(ws) > 0)
+"""
+
+
 def q_trained_quality_filter(spark, sf_dir):
     """The CCNet/fastText-style trained corpus filter, end to end in one
     query: heuristic labels (the gated Gopher-style ``passes_quality``

@@ -364,3 +364,52 @@ def cms_cells_stream(stream: DataFrame, value_col: str,
     return cells.groupBy(
         *by, F.col("cell.d").alias("d"), F.col("cell.bucket").alias("bucket")
     ).agg(F.count("*").cast("long").alias("cnt"))
+
+
+def shard_manifest_stream(docs: DataFrame, seed: str, n_shards: int,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """Live export-audit manifest (streaming twin of
+    ``datapipe.shard.shard_manifest``): as documents stream toward the
+    sharded export, per-shard doc counts, char totals and the
+    order-independent content checksum accumulate in plain engine
+    aggregation state (update mode). Exact after ANY prefix of the stream
+    because every manifest column is a commutative count/sum — the property
+    the batch manifest was designed around (contrast the order-dependent
+    open/empty-txn fold, which stays batch-only). ``position`` is
+    deliberately absent: within-shard positions are assigned by the batch
+    write itself (a per-shard sort), not meaningful mid-stream.
+
+    State: ``n_shards`` rows of three counters — bounded by construction.
+    The checksum accumulates raw u32 sums in the state and applies the
+    final mod at emission, exact while a shard holds < 2^31 documents
+    (the batch module's bound)."""
+    from .datapipe.shard import U32, _shuffle_hash
+
+    if hash_fn == "xxhash64":
+        content_h = F.pmod(F.xxhash64(F.col(text_col)), F.lit(U32))
+    elif hash_fn == "java32":
+        from .javahash import java_hash_u32_expr
+
+        content_h = java_hash_u32_expr(F.col(text_col))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    keyed = docs.select(
+        F.pmod(_shuffle_hash(seed, id_col, hash_fn), F.lit(n_shards))
+        .cast("int").alias("shard_id"),
+        F.length(text_col).cast("long").alias("_len"),
+        content_h.alias("_ch"),
+    )
+    return (
+        keyed.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_len").cast("long").alias("n_chars"),
+            F.sum("_ch").alias("_ch_sum"),
+        )
+        .select(
+            "shard_id", "n_docs", "n_chars",
+            F.pmod(F.col("_ch_sum"), F.lit(U32)).cast("long")
+            .alias("content_checksum"),
+        )
+    )

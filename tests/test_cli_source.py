@@ -371,3 +371,47 @@ def test_cli_segment_health(spark, dump_dir, capsys):
     assert "h1_file_health" in names
     n = spark.sql("SELECT SUM(n_lines) s FROM h1_file_health").collect()[0]["s"]
     assert n == total_lines
+
+
+def test_cli_corpus_commands(spark, capsys, tmp_path):
+    """The corpus CLI family end to end over the driver documents fixture:
+    stats aggregates per source, shard writes a dense permutation whose
+    printed manifest proves it, chunk covers every word, curate writes a
+    deduplicated scrubbed corpus no larger than its input."""
+    from klog_spark.__main__ import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    n_docs = spark.read.parquet(docs).count()
+
+    assert main(["corpus", "stats", docs], spark=spark) == 0
+    stats_lines = [ln for ln in capsys.readouterr().out.splitlines() if "n_docs=" in ln]
+    assert sum(int(ln.split("n_docs=")[1].split()[0]) for ln in stats_lines) == n_docs
+
+    dest = str(tmp_path / "shards")
+    assert main(["corpus", "shard", docs, "--out", dest, "--n-shards", "4",
+                 "--seed", "cli", "--hash-fn", "java32"], spark=spark) == 0
+    out = capsys.readouterr().out
+    man = [ln for ln in out.splitlines() if "content_checksum=" in ln]
+    assert len(man) == 4
+    total = 0
+    for ln in man:
+        nd = int(ln.split("n_docs=")[1].split()[0])
+        mp = int(ln.split("max_position=")[1].split()[0])
+        assert mp == nd - 1                       # dense 0-based positions
+        total += nd
+    assert total == n_docs
+    assert spark.read.parquet(dest).count() == n_docs
+
+    cdest = str(tmp_path / "chunks")
+    assert main(["corpus", "chunk", docs, "--out", cdest,
+                 "--max-words", "50", "--overlap", "10"], spark=spark) == 0
+    chunked = spark.read.parquet(cdest)
+    assert chunked.select("doc_id").distinct().count() <= n_docs
+    assert chunked.filter("n_chunk_words > 50").count() == 0
+
+    qdest = str(tmp_path / "curated")
+    assert main(["corpus", "curate", docs, "--out", qdest], spark=spark) == 0
+    curated = spark.read.parquet(qdest)
+    assert 0 < curated.count() <= n_docs
+    assert set(curated.columns) == {"doc_id", "source", "text",
+                                    "n_kept_words", "n_removed_words"}

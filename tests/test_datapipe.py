@@ -1472,3 +1472,54 @@ def test_bigram_lm_scores_python_parity(spark):
     got2 = {r["doc_id"]: (r["n_words"], r["avg_nll"])
             for r in bigram_lm_scores(df.repartition(7)).collect()}
     assert got2 == got
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking invariants: every word index covered, consecutive chunks
+    share exactly `overlap` words, stride-step reconstruction returns the
+    original word sequence, short/empty docs behave (single chunk / omitted),
+    and bad params fail loudly."""
+    import pytest as _pytest
+
+    from klog_spark.datapipe.textstats import chunk_documents
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(23))),   # 23 words
+        (2, "alpha beta gamma"),                      # < max_words -> 1 chunk
+        (3, "  "),                                    # no words -> omitted
+        (4, " ".join(f"x{i}" for i in range(10))),   # exactly max_words
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    max_words, overlap = 10, 3
+    stride = max_words - overlap
+    rows = chunk_documents(df, max_words=max_words, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert [r["chunk_id"] for r in sorted(by_doc[2], key=lambda r: r["chunk_id"])] == [0]
+    assert by_doc[2][0]["chunk_text"] == "alpha beta gamma"
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["n_chunk_words"] == max_words
+
+    words = [w for w in docs[0][1].split()]
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # expected chunk count: ceil(max(n - overlap, 1) / stride) — only
+    # chunks that add at least one new word are emitted
+    assert len(chunks) == (max(len(words) - overlap, 1) - 1) // stride + 1
+    for k, r in enumerate(chunks):
+        cw = r["chunk_text"].split()
+        assert cw == words[k * stride: k * stride + max_words]
+        assert r["n_chunk_words"] == len(cw)
+        if k > 0:
+            prev = chunks[k - 1]["chunk_text"].split()
+            if len(prev) == max_words:
+                assert prev[-overlap:] == cw[:overlap]   # exact overlap
+    # stride-step reconstruction: drop each chunk's first `overlap` words
+    # (they repeat the previous chunk) except the first chunk
+    recon = chunks[0]["chunk_text"].split()
+    for r in chunks[1:]:
+        recon.extend(r["chunk_text"].split()[overlap:])
+    assert recon == words
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_words=5, overlap=5)

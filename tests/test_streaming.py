@@ -348,3 +348,41 @@ def test_dedup_stream_within_watermark(spark, tmp_path_factory):
     out = spark.sql("select * from dedup_wm_out").collect()
     assert len(out) == 25
     assert {r["text"] for r in out} == {f"txt {i}" for i in range(25)}
+
+
+def test_shard_manifest_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming export-audit manifest: after consuming all micro-batches
+    (out of any order), the emitted per-shard counts/chars/checksums equal
+    the batch shard_manifest over the same documents — every manifest
+    column is a commutative sum, so engine aggregation state is exact."""
+    from klog_spark.datapipe.shard import deterministic_shuffle, shard_manifest
+    from klog_spark.streaming import shard_manifest_stream
+
+    src = tmp_path_factory.mktemp("shard_stream")
+    rows = [(i, f"doc {i} body " + "w" * (i % 17)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.repartition(7).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+    )
+    q = (
+        shard_manifest_stream(stream, seed="s", n_shards=8, hash_fn="java32")
+        .writeStream.format("memory").queryName("shard_manifest")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["shard_id"]: (r["n_docs"], r["n_chars"], r["content_checksum"])
+           for r in spark.sql("select * from shard_manifest").collect()}
+    want = {
+        r["shard_id"]: (r["n_docs"], r["n_chars"], r["content_checksum"])
+        for r in shard_manifest(
+            deterministic_shuffle(df, seed="s", n_shards=8, hash_fn="java32"),
+            hash_fn="java32",
+        ).collect()
+    }
+    assert got == want and sum(n for n, _, _ in got.values()) == 500
