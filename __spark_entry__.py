@@ -148,6 +148,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shard_manifest": eq.q_corpus_shard_manifest,     # deterministic shuffle -> shard positions -> audit manifest
         "bigram_lm_score": eq.q_bigram_lm_score,                 # interpolated bigram-LM perplexity filter (unigram row stays in the driver gate)
         "doc_chunks": eq.q_doc_chunks,                           # context-window chunking (overlapping word-boundary windows, zero shuffle)
+        "perplexity_buckets": eq.q_perplexity_buckets,           # CCNet head/middle/tail split over the bigram-LM scores
+        "token_budget_mixture": eq.q_token_budget_mixture,       # per-source token budgets with epoch repetition (data-recipe step)
+        "ann_recall_eval": eq.q_ann_recall_eval,                 # recall@10 of IVF vs exact brute-force ground truth
         # rotated OUT of the driver gate in round 6 (all green in
         # CORRECTNESS_r05; each capability keeps a driver row via the noted
         # subsuming query, plus its pytests)
@@ -268,6 +271,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
         "bigram_lm_score": eq.SQL_BIGRAM_LM_SCORE,
         "doc_chunks": eq.SQL_DOC_CHUNKS,
+        "perplexity_buckets": eq.SQL_PERPLEXITY_BUCKETS,
+        "token_budget_mixture": eq.SQL_TOKEN_BUDGET_MIXTURE,
+        "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
         "klog_sink_control": eq.SQL_SINK_CONTROL,
         "klog_sink_txn_state": eq.SQL_SINK_TXN_STATE,
         "klog_sink_producer_state": eq.SQL_SINK_PRODUCER_STATE,

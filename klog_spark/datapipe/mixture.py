@@ -94,3 +94,73 @@ def weighted_sample(docs: DataFrame, k: int, weight_col: str,
         .filter(F.col("_rn") <= k)
         .drop("_es_key", "_rn")
     )
+
+
+def token_budget_mixture(docs: DataFrame, weights: dict[str, float],
+                         total_tokens: int, max_epochs: int = 4,
+                         default_weight: float = 0.0, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Token-budget mixture with per-source epoch repetition — the data
+    recipe step that turns source weights + a token budget into a concrete
+    training set. Each source gets ``budget = int(weight * total_tokens)``
+    whitespace tokens; a source whose token mass is below its budget is
+    REPEATED (the LLM-recipe "epochs"): ``n_full = min(budget div mass,
+    max_epochs)`` full passes, then the leftover budget is filled greedily
+    in content-hash order (budget-crossing document included, exactly like
+    :func:`mixture_sample`) as the final partial epoch. A source whose full
+    passes hit ``max_epochs`` is capped there — no partial epoch on top,
+    mirroring the repetition caps data recipes impose to avoid memorizing
+    tiny sources.
+
+    Deterministic everywhere: no RNG, ordering is the same content-hash
+    used by mixture_sample, and every arithmetic step is integer (token
+    counts, div, prefix sums). Returns one row per (document, epoch):
+    (doc_id, source, epoch, n_tokens), epoch = 0..n_full (partial last).
+
+    Scale shape: one corpus pass for token counts, a tiny per-source
+    mass/budget aggregate broadcast back, ``explode(sequence(...))`` for
+    the full epochs (bounded by max_epochs), and ONE per-source
+    prefix-sum window for the partial epoch — the window is the natural
+    source shard, same bound as mixture_sample.
+    """
+    from ..javahash import java_hash_u32_expr
+    from .textstats import _WORDS
+
+    budget_map = F.create_map(
+        *[lit for s, w in sorted(weights.items())
+          for lit in (F.lit(s), F.lit(int(w * total_tokens)))]
+    )
+    budget = F.coalesce(
+        budget_map[F.col("source")], F.lit(int(default_weight * total_tokens))
+    ).cast("long")
+    n_tok = F.size(F.filter(_WORDS(text_col), lambda w: w != "")).cast("long")
+    h = F.pmod(java_hash_u32_expr(F.sha2(F.col(text_col), 256)), F.lit(HASH_MOD))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), "source",
+        n_tok.alias("n_tokens"), h.alias("_h"), budget.alias("_budget"),
+    )
+    mass = d.groupBy("source").agg(F.sum("n_tokens").alias("_mass"))
+    j = d.join(F.broadcast(mass), "source")
+    n_full = F.least(
+        F.when(F.col("_mass") > 0, F.expr("_budget div _mass")).otherwise(F.lit(0)),
+        F.lit(max_epochs),
+    ).cast("long")
+    full = (
+        j.filter(n_full >= 1)
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_full - 1)).alias("epoch"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    prior = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    rem = (
+        j.filter(n_full < max_epochs)
+        .withColumn("_prior", prior)
+        .filter(F.col("_prior") < F.col("_budget") - n_full * F.col("_mass"))
+        .select("doc_id", "source", "n_tokens", n_full.alias("epoch"))
+    )
+    return full.unionByName(rem).select("doc_id", "source", "epoch", "n_tokens")

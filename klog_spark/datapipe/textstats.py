@@ -452,3 +452,72 @@ def chunk_documents(docs: DataFrame, max_words: int, overlap: int = 0,
         )
         .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_chunk_words")
     )
+
+
+def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
+                       source_col: str = "source", text_col: str = "text",
+                       id_col: str = "doc_id",
+                       thresholds: dict[str, list[float]] | None = None) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    interpolated bigram LM (:func:`bigram_lm_scores`) and split each source
+    into ``n_buckets`` equal-count buckets by ascending avg_nll — bucket 1
+    is the head (most LM-like), bucket ``n_buckets`` the tail, the split
+    CCNet uses to keep head+middle and drop (or down-weight) the tail.
+
+    Default (gate) path: rank-based ``ntile`` per source with a total-order
+    tiebreak (avg_nll, doc_id) — exact equal-count semantics, identical in
+    any SQL engine. Scale note: the ntile window sorts each source's score
+    rows inside one partition; the rows are 3 narrow columns, but a single
+    dominant source still serializes its sort. The 100-TB path is
+    ``thresholds`` (from :func:`perplexity_bucket_thresholds`, an
+    approx-percentile pass): assignment becomes a broadcast CASE
+    comparison — per-row, no window, no per-source sort.
+
+    Returns (doc_id, source, n_words, avg_nll, ppl_bucket).
+    """
+    from pyspark.sql import Window
+
+    scores = bigram_lm_scores(docs, text_col=text_col, id_col=id_col)
+    src = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(source_col).alias("source"))
+    joined = src.join(scores, "doc_id")
+    if thresholds is not None:
+        # value-threshold assignment: bucket = 1 + #(cutoffs < avg_nll);
+        # ties go LEFT (avg_nll == cutoff stays in the lower bucket),
+        # mirroring "<= threshold" quantile-cut semantics.
+        cut_map = F.create_map(*[
+            lit for s, cuts in sorted(thresholds.items())
+            for lit in (F.lit(s), F.array(*[F.lit(float(c)) for c in cuts]))
+        ])
+        bucket = (
+            F.lit(1)
+            + F.size(F.filter(cut_map[F.col("source")],
+                              lambda c: c < F.col("avg_nll")))
+        ).cast("int")
+        return joined.select("doc_id", "source", "n_words", "avg_nll",
+                             bucket.alias("ppl_bucket"))
+    w = Window.partitionBy("source").orderBy(F.asc("avg_nll"), F.asc("doc_id"))
+    return joined.select("doc_id", "source", "n_words", "avg_nll",
+                         F.ntile(n_buckets).over(w).alias("ppl_bucket"))
+
+
+def perplexity_bucket_thresholds(docs: DataFrame, n_buckets: int = 3,
+                                 source_col: str = "source",
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 accuracy: int = 10000) -> dict[str, list[float]]:
+    """Per-source avg_nll bucket cutoffs for the threshold (100-TB) path of
+    :func:`perplexity_buckets`: one ``approx_percentile`` aggregation over
+    the score table (map-side-combinable sketch, no per-source sort),
+    collected as a tiny dict — n_sources × (n_buckets - 1) floats."""
+    scores = bigram_lm_scores(docs, text_col=text_col, id_col=id_col)
+    src = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(source_col).alias("source"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    rows = (
+        src.join(scores, "doc_id")
+        .groupBy("source")
+        .agg(F.percentile_approx("avg_nll", probs, accuracy).alias("cuts"))
+        .collect()
+    )
+    return {r["source"]: [float(c) for c in r["cuts"]] for r in rows}

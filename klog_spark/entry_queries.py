@@ -4287,3 +4287,121 @@ SELECT sk.event_type, sk.n_hashes, sk.kth_hash,
        exact.exact_distinct
 FROM sk JOIN exact USING (event_type)
 """
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (textstats.perplexity_buckets):
+    every document scored by the gated interpolated bigram LM, each source
+    split into 3 equal-count buckets by ascending avg_nll — 1 = head
+    (most LM-like), 3 = tail, the head/middle/tail split CCNet curates
+    with. Gate path is rank-based ntile with an (avg_nll, doc_id) total
+    order; the threshold (approx-percentile broadcast) path is the 100-TB
+    variant, pytest-verified."""
+    from .datapipe.textstats import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir), n_buckets=3)
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH scores AS ({SQL_BIGRAM_LM_SCORE})
+SELECT s.doc_id, d.source, s.n_words, s.avg_nll,
+       CAST(ntile(3) OVER (PARTITION BY d.source
+                           ORDER BY s.avg_nll ASC, s.doc_id ASC) AS INT)
+         AS ppl_bucket
+FROM scores s JOIN documents d USING (doc_id)
+"""
+
+
+def q_token_budget_mixture(spark, sf_dir):
+    """Token-budget mixture with epoch repetition
+    (mixture.token_budget_mixture): a 20k-token budget split src0=0.2
+    (budget above source mass -> 2 full epochs + a greedy partial),
+    src1=0.5 (hits the max_epochs=3 repetition cap, no partial),
+    src2=0.04 and default=0.01 (sub-mass budgets -> single greedy partial
+    epoch) — all three recipe paths exercised in one gate row. Fully
+    integer + content-hash deterministic; the oracle recomputes masses,
+    epochs, and the prefix-sum fill from scratch."""
+    from .datapipe.mixture import token_budget_mixture
+
+    return token_budget_mixture(
+        _docs(spark, sf_dir).select("doc_id", "source", "text"),
+        weights={"src0": 0.2, "src1": 0.5, "src2": 0.04},
+        total_tokens=20000,
+        max_epochs=3,
+        default_weight=0.01,
+    )
+
+
+SQL_TOKEN_BUDGET_MIXTURE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              w -> w <> '')) AS BIGINT) AS n_tokens,
+         {_sql_java_u32('sha256(text)')} % 1000000000 AS _h,
+         -- integer literals = python int(w * total_tokens)
+         CAST(CASE source WHEN 'src0' THEN 4000
+                          WHEN 'src1' THEN 10000
+                          WHEN 'src2' THEN 800
+                          ELSE 200 END AS BIGINT) AS _budget
+  FROM documents
+),
+m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS _mass FROM d GROUP BY source),
+j AS (
+  SELECT d.*, m._mass,
+         LEAST(CASE WHEN m._mass > 0 THEN d._budget // m._mass ELSE 0 END,
+               3) AS n_full
+  FROM d JOIN m USING (source)
+),
+full_epochs AS (
+  SELECT doc_id, source, CAST(e AS BIGINT) AS epoch, n_tokens
+  FROM j, LATERAL (SELECT unnest(range(0, CAST(n_full AS BIGINT)))) t(e)
+  WHERE n_full >= 1
+),
+rem AS (
+  SELECT doc_id, source, CAST(n_full AS BIGINT) AS epoch, n_tokens
+  FROM (
+    SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                ORDER BY _h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _prior
+    FROM j WHERE n_full < 3
+  )
+  WHERE _prior < _budget - n_full * _mass
+)
+SELECT doc_id, source, epoch, n_tokens FROM full_epochs
+UNION ALL
+SELECT doc_id, source, epoch, n_tokens FROM rem
+"""
+
+
+def q_ann_recall_eval(spark, sf_dir):
+    """ANN quality evaluation: recall@10 of the IVF-Flat index
+    (similarity.ivf_topk, the gated scale path) against exact brute-force
+    cosine ground truth (similarity.brute_force_topk), per query — the
+    accept/reject number an ANN deployment is judged on. Both sides are
+    independently gated; this row verifies the EVALUATION join itself
+    (n_hits = |ivf top-10 ∩ exact top-10|, recall = n_hits/10)."""
+    from .datapipe.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = _ann_query_set(emb)
+    exact = brute_force_topk(emb, qs, k=10).select("qid", "vec_id")
+    approx = (
+        ivf_topk(emb, qs, k=10, n_centroids=16, n_probe=2)
+        .select("qid", "vec_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        exact.join(approx, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"))
+        .select("qid", "n_hits",
+                (F.col("n_hits").cast("double") / 10.0).alias("recall_at_10"))
+    )
+
+
+SQL_ANN_RECALL_EVAL = f"""
+SELECT e.qid, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(i.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+FROM ({SQL_ANN_TOPK}) e
+LEFT JOIN ({SQL_ANN_IVF}) i ON e.qid = i.qid AND e.vec_id = i.vec_id
+GROUP BY e.qid
+"""

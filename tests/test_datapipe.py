@@ -1523,3 +1523,85 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, max_words=5, overlap=5)
+
+
+def test_token_budget_mixture_epochs(spark):
+    """Epoch-repetition semantics on a hand-built corpus: a source whose
+    budget is n× its mass gets n full epochs + a greedy partial, the
+    repetition cap stops full epochs at max_epochs with no partial on top,
+    a sub-mass budget yields one greedy partial, a zero-budget source is
+    absent — and the result is partition-invariant."""
+    from klog_spark.datapipe.mixture import token_budget_mixture
+
+    rows = [
+        # srcA: mass 10, weight .25 of 100 -> budget 25 = 2 full + 5 partial
+        (1, "srcA", "a b c d e"), (2, "srcA", "f g h i j"),
+        # srcB: mass 4, weight .5 -> budget 50 -> 12 full, capped at 3, no partial
+        (3, "srcB", "k l m n"),
+        # srcC: mass 8, weight .04 -> budget 4 -> 0 full + greedy partial
+        # that crosses the budget ON the first admitted doc (prior 4 !< 4)
+        (4, "srcC", "o p q r"), (5, "srcC", "s t u v"),
+        # srcD: default weight 0 -> budget 0 -> absent
+        (6, "srcD", "w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_mixture(
+        df, weights={"srcA": 0.25, "srcB": 0.5, "srcC": 0.04},
+        total_tokens=100, max_epochs=3,
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+
+    a = by_src["srcA"]
+    assert sorted((r["doc_id"], r["epoch"]) for r in a if r["epoch"] < 2) == [
+        (1, 0), (1, 1), (2, 0), (2, 1)]                 # 2 full epochs, all docs
+    partial = [r for r in a if r["epoch"] == 2]
+    assert len(partial) == 1 and partial[0]["n_tokens"] == 5  # 5-token leftover -> 1 doc
+
+    b = by_src["srcB"]
+    assert sorted(r["epoch"] for r in b) == [0, 1, 2]    # capped at max_epochs
+    assert {r["doc_id"] for r in b} == {3}
+
+    c = by_src["srcC"]
+    assert len(c) == 1 and c[0]["epoch"] == 0            # budget-crossing doc included
+    assert "srcD" not in by_src
+
+    got2 = sorted((r["doc_id"], r["epoch"]) for r in token_budget_mixture(
+        df.repartition(5), weights={"srcA": 0.25, "srcB": 0.5, "srcC": 0.04},
+        total_tokens=100, max_epochs=3,
+    ).collect())
+    assert got2 == sorted((r["doc_id"], r["epoch"]) for r in out)
+
+
+def test_perplexity_buckets_paths(spark):
+    """The rank (gate) path balances bucket sizes per source; the threshold
+    (100-TB) path assigns every scored doc a value-monotone bucket in
+    1..k from the approx-percentile cutoffs."""
+    from klog_spark.datapipe.textstats import (
+        perplexity_bucket_thresholds, perplexity_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = perplexity_buckets(docs, n_buckets=3).collect()
+    sizes: dict[tuple, int] = {}
+    for r in exact:
+        assert 1 <= r["ppl_bucket"] <= 3
+        sizes[(r["source"], r["ppl_bucket"])] = sizes.get((r["source"], r["ppl_bucket"]), 0) + 1
+    for src in {s for s, _ in sizes}:
+        per = [sizes.get((src, b), 0) for b in (1, 2, 3)]
+        assert max(per) - min(per) <= 1                  # ntile equal-count
+
+    cuts = perplexity_bucket_thresholds(docs, n_buckets=3)
+    assert set(cuts) == {r["source"] for r in exact}
+    assert all(len(c) == 2 and c[0] <= c[1] for c in cuts.values())
+    thr = perplexity_buckets(docs, n_buckets=3, thresholds=cuts).collect()
+    assert len(thr) == len(exact)
+    by_src: dict[str, list] = {}
+    for r in thr:
+        assert 1 <= r["ppl_bucket"] <= 3
+        by_src.setdefault(r["source"], []).append(r)
+    for rs in by_src.values():
+        rs.sort(key=lambda r: (r["avg_nll"], r["doc_id"]))
+        buckets = [r["ppl_bucket"] for r in rs]
+        assert buckets == sorted(buckets)                # value-monotone
