@@ -635,3 +635,54 @@ def remove_repeated_spans(docs: DataFrame, spans: DataFrame | None = None,
         )
     )
     return out
+
+
+def semdedup_embedding(emb: DataFrame, threshold: float = 0.95,
+                       n_centroids: int = 16, train: str = "first_n",
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 7) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    construction): cluster the embeddings with the IVF coarse quantizer
+    (similarity.ivf_cell_assign), compare cosines ONLY within each cluster,
+    and drop every vector that has a same-cell smaller-id neighbor at
+    cosine >= threshold — keeping exactly one representative (the lowest
+    id) per semantic-duplicate set that the clustering co-locates.
+
+    Returns (vec_id, dup_of, kept): ``dup_of`` = the smallest same-cell
+    duplicate id (null for keepers), ``kept`` = dup_of IS NULL.
+
+    Scale shape: assignment is a shuffle-free broadcast GEMM map; the only
+    pairwise work is the per-cell self-join, O(sum cell_size^2) — the
+    SemDeDup contract is that ``n_centroids`` grows with the corpus so
+    cell sizes stay bounded ('kmeans' training keeps them balanced;
+    'first_n' is the engine-replicable gate path). Never an O(n^2) stage
+    over the corpus.
+    """
+    from .similarity import ivf_cell_assign
+
+    assigned, _, _ = ivf_cell_assign(
+        emb, n_centroids=n_centroids, train=train, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    norm = F.sqrt(F.aggregate("cvec_", F.lit(0.0), lambda a, x: a + x * x))
+    v = assigned.select(
+        "cell", F.col("cid_").alias("vid"),
+        F.transform("cvec_", lambda x: x / norm).alias("nv"),
+    )
+    p1 = v.select("cell", F.col("vid").alias("id1"), F.col("nv").alias("v1"))
+    p2 = v.select("cell", F.col("vid").alias("id2"), F.col("nv").alias("v2"))
+    cos = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, z: acc + z)
+    dup_of = (
+        p1.join(p2, "cell")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .groupBy(F.col("id2").alias("vec_id"))
+        .agg(F.min("id1").alias("dup_of"))
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(dup_of, "vec_id", "left")
+        .select("vec_id", "dup_of", F.col("dup_of").isNull().alias("kept"))
+    )

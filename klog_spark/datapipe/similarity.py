@@ -133,6 +133,62 @@ def kmeans_centroids(sample: np.ndarray, k: int, n_iter: int = 10, seed: int = 7
     return cents
 
 
+def ivf_cell_assign(emb: DataFrame, n_centroids: int = 16, train: str = "first_n",
+                    sample_size: int = 4096, kmeans_iters: int = 10, seed: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF coarse-quantizer cell assignment, shared by :func:`ivf_topk` and
+    the SemDeDup cluster-dedup operator: train centroids ('first_n' = the
+    first n vectors by id, engine-replicable; 'kmeans' = sampled Lloyd, the
+    balance path), broadcast them, and argmin-assign every corpus vector in
+    one float64 GEMM per Arrow batch (|c|^2 - 2 v.c — same argmin as
+    squared L2). Ties go to the lowest cell id (np.argmin first-occurrence;
+    cids are in ascending id/index order by construction).
+
+    Returns ``(assigned, cids, cmat)``: a DataFrame (cid_ = vector id,
+    cell, cvec_ = float64 vector) plus the centroid ids and matrix for
+    driver-side probe selection. The only corpus-wide cost is the narrow
+    assignment map — no shuffle."""
+    if train == "kmeans":
+        sample = np.array(
+            [r[vec_col] for r in
+             emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()],
+            dtype=np.float64,
+        )
+        cmat = kmeans_centroids(sample, n_centroids, n_iter=kmeans_iters, seed=seed)
+        cids = np.arange(len(cmat), dtype=np.int64)
+    else:
+        cents = [
+            (r[id_col], np.asarray(r[vec_col], dtype=np.float64))
+            for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+        ]
+        cids = np.array([c[0] for c in cents], dtype=np.int64)
+        cmat = np.stack([c[1] for c in cents])  # (nc, dim)
+    bc = emb.sparkSession.sparkContext.broadcast((cids, cmat))
+
+    assign_schema = StructType(
+        [StructField("cid_", LongType()), StructField("cell", LongType()),
+         StructField("cvec_", ArrayType(DoubleType()))]
+    )
+
+    def assign(it):
+        ids_, mat = bc.value
+        c_sq = (mat * mat).sum(axis=1)  # |c|^2
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = c_sq[None, :] - 2.0 * (v @ mat.T)  # argmin == squared-L2 argmin
+            cell = ids_[np.argmin(d, axis=1)]
+            yield pd.DataFrame({
+                "cid_": pdf[id_col].to_numpy(),
+                "cell": cell,
+                "cvec_": list(v),
+            })
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    return assigned, cids, cmat
+
+
 def ivf_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
              n_centroids: int = 16, n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -157,45 +213,11 @@ def ivf_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10
     |c|^2 - 2 v.c); the probe join broadcasts the tiny query-cell table, so
     the only corpus-wide cost is the narrow assignment map.
     """
-    if train == "kmeans":
-        sample = np.array(
-            [r[vec_col] for r in
-             emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()],
-            dtype=np.float64,
-        )
-        cmat = kmeans_centroids(sample, n_centroids, n_iter=kmeans_iters, seed=seed)
-        cids = np.arange(len(cmat), dtype=np.int64)
-    else:
-        cents = [
-            (r[id_col], np.asarray(r[vec_col], dtype=np.float64))
-            for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-        ]
-        cids = np.array([c[0] for c in cents], dtype=np.int64)
-        cmat = np.stack([c[1] for c in cents])  # (nc, dim)
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast((cids, cmat))
-
-    assign_schema = StructType(
-        [StructField("cid_", LongType()), StructField("cell", LongType()),
-         StructField("cvec_", ArrayType(DoubleType()))]
+    assigned, cids, cmat = ivf_cell_assign(
+        emb, n_centroids=n_centroids, train=train, sample_size=sample_size,
+        kmeans_iters=kmeans_iters, seed=seed, id_col=id_col, vec_col=vec_col,
     )
-
-    def assign(it):
-        ids_, mat = bc.value
-        c_sq = (mat * mat).sum(axis=1)  # |c|^2
-        for pdf in it:
-            if not len(pdf):
-                continue
-            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            d = c_sq[None, :] - 2.0 * (v @ mat.T)  # argmin == squared-L2 argmin
-            cell = ids_[np.argmin(d, axis=1)]
-            yield pd.DataFrame({
-                "cid_": pdf[id_col].to_numpy(),
-                "cell": cell,
-                "cvec_": list(v),
-            })
-
-    assigned = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    spark = emb.sparkSession
 
     c_sq = (cmat * cmat).sum(axis=1)
     qrows = []

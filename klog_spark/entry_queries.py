@@ -4405,3 +4405,60 @@ FROM ({SQL_ANN_TOPK}) e
 LEFT JOIN ({SQL_ANN_IVF}) i ON e.qid = i.qid AND e.vec_id = i.vec_id
 GROUP BY e.qid
 """
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (dedup.semdedup_embedding): the
+    planted-duplicate embedding corpus (exact copies at vec_id+100000 for
+    every 20th vector) clustered by the engine-replicable first_n IVF
+    quantizer, cosine compared ONLY within cells, every vector with a
+    same-cell smaller-id neighbor at >= 0.95 dropped with its canonical
+    id. Keepers stay null/true — the gate hashes the full keep/drop
+    decision table."""
+    from .datapipe.dedup import semdedup_embedding
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return semdedup_embedding(corpus, threshold=0.95, n_centroids=16)
+
+
+SQL_SEMDEDUP = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM corpus ORDER BY vec_id LIMIT 16
+),
+scored_cells AS (
+  SELECT e.vec_id, c.cell,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS d
+  FROM corpus e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM assign a JOIN assign b USING (cell)
+  WHERE a.vec_id < b.vec_id
+),
+sim AS (
+  SELECT p.id1, p.id2 FROM pairs p
+  JOIN corpus e1 ON e1.vec_id = p.id1
+  JOIN corpus e2 ON e2.vec_id = p.id2
+  WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                               CAST(e2.embedding AS DOUBLE[])) >= 0.95
+),
+dup AS (SELECT id2 AS vec_id, MIN(id1) AS dup_of FROM sim GROUP BY id2)
+SELECT c.vec_id, d.dup_of, d.dup_of IS NULL AS kept
+FROM corpus c LEFT JOIN dup d USING (vec_id)
+"""

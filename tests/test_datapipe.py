@@ -1605,3 +1605,25 @@ def test_perplexity_buckets_paths(spark):
         rs.sort(key=lambda r: (r["avg_nll"], r["doc_id"]))
         buckets = [r["ppl_bucket"] for r in rs]
         assert buckets == sorted(buckets)                # value-monotone
+
+
+def test_semdedup_embedding_clusters(spark):
+    """SemDeDup keep/drop semantics on a hand-built corpus: exact-duplicate
+    sets co-locate in one cell and keep exactly their lowest id (dup_of
+    points at it), singletons survive, and cross-cluster vectors are never
+    compared (orthogonal vectors share no cell at any threshold)."""
+    from klog_spark.datapipe.dedup import semdedup_embedding
+
+    e1, e2, e3 = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]
+    rows = [(0, e1), (1, e2), (2, e3),          # 3 orthogonal "centroids"
+            (10, e1), (11, e1),                  # dups of e1 -> keep 0
+            (20, e2),                            # dup of e2 -> keep 1
+            (30, [0.7, 0.7, 0.14])]              # singleton, own direction
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["dup_of"], r["kept"])
+           for r in semdedup_embedding(df, threshold=0.95, n_centroids=3).collect()}
+    assert out[0] == (None, True) and out[1] == (None, True) and out[2] == (None, True)
+    assert out[10] == (0, False) and out[11] == (0, False)
+    assert out[20] == (1, False)
+    assert out[30] == (None, True)
+    assert len(out) == 7
