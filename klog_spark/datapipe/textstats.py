@@ -505,19 +505,28 @@ def perplexity_bucket_thresholds(docs: DataFrame, n_buckets: int = 3,
                                  source_col: str = "source",
                                  text_col: str = "text",
                                  id_col: str = "doc_id",
-                                 accuracy: int = 10000) -> dict[str, list[float]]:
+                                 accuracy: int = 10000,
+                                 max_sources: int = 100000) -> dict[str, list[float]]:
     """Per-source avg_nll bucket cutoffs for the threshold (100-TB) path of
     :func:`perplexity_buckets`: one ``approx_percentile`` aggregation over
     the score table (map-side-combinable sketch, no per-source sort),
-    collected as a tiny dict — n_sources × (n_buckets - 1) floats."""
+    collected as a tiny dict — n_sources × (n_buckets - 1) floats. The
+    collect is hard-capped at ``max_sources`` rows (source cardinality is
+    a recipe-level constant, orders of magnitude under the cap); a corpus
+    with more sources than the cap raises instead of silently truncating."""
     scores = bigram_lm_scores(docs, text_col=text_col, id_col=id_col)
     src = docs.select(F.col(id_col).alias("doc_id"),
                       F.col(source_col).alias("source"))
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    rows = (
+    agg = (
         src.join(scores, "doc_id")
         .groupBy("source")
         .agg(F.percentile_approx("avg_nll", probs, accuracy).alias("cuts"))
-        .collect()
     )
+    rows = agg.limit(max_sources + 1).collect()
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"more than max_sources={max_sources} sources — raise the cap "
+            "or bucket a coarser source grouping"
+        )
     return {r["source"]: [float(c) for c in r["cuts"]] for r in rows}

@@ -171,6 +171,26 @@ def main() -> None:
     sections.append(("repeated-span detection", plan_of(rs), ["Window", "HashAggregate"]))
     assert "CartesianProduct" not in rs_plan and "BroadcastNestedLoopJoin" not in rs_plan
 
+    # 8h. round-6 corpus operators: chunking must stay a pure per-row
+    #     projection (ZERO Exchange); token-budget mixture broadcasts the
+    #     tiny per-source mass table; semdedup's only pairwise work is the
+    #     per-cell equi-join (no nested loop); perplexity bucketing is the
+    #     LM joins + one ntile window
+    ck = eq.q_doc_chunks(spark, SF_DIR)
+    ck_plan = plan_of(ck, "simple")
+    sections.append(("context-window chunking", plan_of(ck), ["Scan parquet"]))
+    assert "Exchange" not in ck_plan, "chunking must not shuffle"
+    tb = eq.q_token_budget_mixture(spark, SF_DIR)
+    tb_plan = plan_of(tb, "simple")
+    sections.append(("token-budget mixture", plan_of(tb), ["BroadcastHashJoin", "Window"]))
+    assert "CartesianProduct" not in tb_plan
+    sd = eq.q_semdedup(spark, SF_DIR)
+    sd_plan = plan_of(sd, "simple")
+    sections.append(("SemDeDup (IVF-cell prune)", plan_of(sd), ["HashAggregate"]))
+    assert "CartesianProduct" not in sd_plan and "BroadcastNestedLoopJoin" not in sd_plan
+    pb = eq.q_perplexity_buckets(spark, SF_DIR)
+    sections.append(("perplexity bucketing", plan_of(pb), ["Window", "HashAggregate"]))
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
