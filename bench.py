@@ -131,6 +131,9 @@ def main() -> None:
             timed("contamination_check", lambda: eq.q_contamination_check(spark, sf_dir).count())
             # round-5: corpus LM scoring (3 keyed shuffles over exploded words)
             timed("lm_quality", lambda: eq.q_lm_quality(spark, sf_dir).count())
+            # round-6: context-window chunking — the zero-shuffle per-row path
+            timed("doc_chunks", lambda: eq.q_doc_chunks(spark, sf_dir)
+                  .write.format("noop").mode("overwrite").save())
             all_runs.append(timings)
             shutil.rmtree(routed_dir, ignore_errors=True)
     finally:

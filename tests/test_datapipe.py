@@ -1627,3 +1627,41 @@ def test_semdedup_embedding_clusters(spark):
     assert out[20] == (1, False)
     assert out[30] == (None, True)
     assert len(out) == 7
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=8),
+    max_words=st.integers(min_value=2, max_value=40),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+)
+def test_chunk_documents_property(spark, lens, max_words, overlap_frac):
+    """Property: for ANY (doc lengths, max_words, overlap), stride-step
+    reconstruction (first chunk + each later chunk minus its overlap
+    prefix) returns every document's exact word sequence, no chunk exceeds
+    max_words, chunk ids are dense from 0, and zero-word docs are absent."""
+    from klog_spark.datapipe.textstats import chunk_documents
+
+    overlap = min(int(overlap_frac * max_words), max_words - 1)
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(n))) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = chunk_documents(df, max_words=max_words, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r["n_chunk_words"] <= max_words
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lens):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        recon = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            recon.extend(c["chunk_text"].split()[overlap:])
+        assert recon == docs[i][1].split()

@@ -34,9 +34,12 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     # the driver samples ~50 rows per round: keep the registry inside the
     # budget so no row is ever formally stale (VERDICT r3 missing #1)
     assert len(qs) <= 50
-    # retired near-duplicates keep the same contract in the local-only dicts
+    # retired near-duplicates keep the same contract in the local-only dicts;
+    # rows-only extras (driver-contract escape hatch for genuinely
+    # non-SQL-expressible ops) must be declared here, not silently missing
+    ROWS_ONLY = {"trained_quality_filter"}  # iterative GD: NumPy-parity pytest instead
     xq, xo = set(entry_mod.extra_queries()), set(entry_mod.extra_oracle_sql())
-    assert xq == xo
+    assert xq - xo == ROWS_ONLY and not (xo - xq)
     assert not (qs & xq)
 
 

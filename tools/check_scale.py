@@ -67,10 +67,22 @@ def main(sf: float = 0.1) -> int:
         # round-5 corpus heavyweights over the sf-scale documents table
         "lm_quality": (eq.q_lm_quality, eq.SQL_LM_QUALITY),
         "repeated_spans": (eq.q_repeated_spans, eq.SQL_REPEATED_SPANS),
+        # round-6 corpus operators at 10x the gate scale (doc_chunks'
+        # oracle bound is correlated — no fixed position cap to outgrow;
+        # token_budget_mixture's fixed budgets fall below 10x masses, so
+        # the check exercises the pure-greedy path there)
+        "doc_chunks": (eq.q_doc_chunks, eq.SQL_DOC_CHUNKS),
+        "perplexity_buckets": (eq.q_perplexity_buckets, eq.SQL_PERPLEXITY_BUCKETS),
+        "token_budget_mixture": (eq.q_token_budget_mixture, eq.SQL_TOKEN_BUDGET_MIXTURE),
+        "semdedup": (eq.q_semdedup, eq.SQL_SEMDEDUP),
     }
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
     )
 
     failures = []
