@@ -152,6 +152,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mixture": eq.q_token_budget_mixture,       # per-source token budgets with epoch repetition (data-recipe step)
         "ann_recall_eval": eq.q_ann_recall_eval,                 # recall@10 of IVF vs exact brute-force ground truth
         "semdedup": eq.q_semdedup,                               # SemDeDup: IVF-cell clustering -> intra-cell cosine prune
+        "scored_quality_filter": eq.q_scored_quality_filter,     # APPLY side of the trained filter: pinned model, hash-verified margins
         # rotated OUT of the driver gate in round 6 (all green in
         # CORRECTNESS_r05; each capability keeps a driver row via the noted
         # subsuming query, plus its pytests)
@@ -276,6 +277,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "token_budget_mixture": eq.SQL_TOKEN_BUDGET_MIXTURE,
         "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
         "semdedup": eq.SQL_SEMDEDUP,
+        "scored_quality_filter": eq.SQL_SCORED_QUALITY_FILTER,
         "klog_sink_control": eq.SQL_SINK_CONTROL,
         "klog_sink_txn_state": eq.SQL_SINK_TXN_STATE,
         "klog_sink_producer_state": eq.SQL_SINK_PRODUCER_STATE,

@@ -4462,3 +4462,79 @@ dup AS (SELECT id2 AS vec_id, MIN(id1) AS dup_of FROM sim GROUP BY id2)
 SELECT c.vec_id, d.dup_of, d.dup_of IS NULL AS kept
 FROM corpus c LEFT JOIN dup d USING (vec_id)
 """
+
+
+# Fitted scored-filter model PINNED from a training run on the sf0.01
+# documents fixture (DuckDB-computed features -> classifier.numpy_reference,
+# 2026-08-17; iters/lr = TRAINED_FILTER_ITERS/TRAINED_FILTER_LR). Spark
+# query and DuckDB oracle embed the SAME literals — the production
+# "train once, apply everywhere" path. tests/test_datapipe.py asserts the
+# pin matches the live distributed trainer (standardize + train_logreg) to
+# 1e-6 and selects the identical kept set; min |margin| on the fixture is
+# 1.56e-3, three orders above the tolerance. punct_ratio is constant 0.0
+# at sf0.01, so standardize's zero-variance contract pins (0.0, 1.0) and
+# the trained weight is exactly 0.
+SCORED_FILTER_STATS = {
+    "f_stop": (0.029895400000000034, 0.025336553018119882),
+    "f_punct": (0.0, 1.0),
+    "f_len": (0.38833975999999965, 0.05493060193890474),
+}
+SCORED_FILTER_WEIGHTS = [4.1170419261988735, 5.386846812164516, 0.0,
+                         1.8356810606531175]
+
+
+def q_scored_quality_filter(spark, sf_dir):
+    """The APPLY side of the trained quality filter, hash-verified: the
+    pinned logreg model (bias + z-scored stopword/punct/length features)
+    scores every document as a pure JVM column expression; kept = margin
+    >= 0. f_len is pre-rounded to a 6-dp decimal grid so both engines
+    standardize bit-identical inputs — downstream arithmetic is the same
+    literal fold, making margin_micro deterministic-identical (the
+    train step itself stays NumPy/pytest-verified in
+    trained_quality_filter — cross-row float means are fp-order-dependent
+    and so not SQL-hashable; a FITTED model has no such step)."""
+    from .datapipe.textstats import quality_scores
+
+    q = quality_scores(_docs(spark, sf_dir))
+    feats = {
+        "f_stop": F.col("stopword_ratio"),
+        "f_punct": F.col("punct_ratio"),
+        "f_len": F.round(F.log1p(F.col("n_words")) / 10.0, 6),
+    }
+    margin = F.lit(SCORED_FILTER_WEIGHTS[0])
+    for w, (name, col) in zip(SCORED_FILTER_WEIGHTS[1:], feats.items()):
+        m, s = SCORED_FILTER_STATS[name]
+        margin = margin + F.lit(w) * ((col - F.lit(m)) / F.lit(s))
+    return q.select(
+        "doc_id",
+        (margin >= 0).alias("kept"),
+        F.round(margin * 1000000).cast("long").alias("margin_micro"),
+    )
+
+
+def _sql_scored_quality_filter() -> str:
+    (m1, s1) = SCORED_FILTER_STATS["f_stop"]
+    (m2, s2) = SCORED_FILTER_STATS["f_punct"]
+    (m3, s3) = SCORED_FILTER_STATS["f_len"]
+    w0, w1, w2, w3 = SCORED_FILTER_WEIGHTS
+    return f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+f AS (
+  SELECT doc_id, stopword_ratio, punct_ratio,
+         ROUND(ln(1 + n_words) / 10.0, 6) AS f_len
+  FROM q
+),
+s AS (
+  SELECT doc_id,
+         {w0!r} + {w1!r} * ((stopword_ratio - {m1!r}) / {s1!r})
+                + {w2!r} * ((punct_ratio - {m2!r}) / {s2!r})
+                + {w3!r} * ((f_len - {m3!r}) / {s3!r}) AS margin
+  FROM f
+)
+SELECT doc_id, margin >= 0 AS kept,
+       CAST(ROUND(margin * 1000000) AS BIGINT) AS margin_micro
+FROM s
+"""
+
+
+SQL_SCORED_QUALITY_FILTER = _sql_scored_quality_filter()

@@ -1665,3 +1665,45 @@ def test_chunk_documents_property(spark, lens, max_words, overlap_frac):
         for c in chunks[1:]:
             recon.extend(c["chunk_text"].split()[overlap:])
         assert recon == docs[i][1].split()
+
+
+def test_scored_quality_filter_pin_matches_trainer(spark):
+    """The pinned applied-model gate row IS the live distributed trainer's
+    output: standardize + train_logreg on the same 6-dp-rounded features at
+    sf0.01 reproduce the pinned stats and weights to 1e-6 and select the
+    IDENTICAL kept set (min |margin| on the fixture is 1.56e-3 — three
+    orders above the tolerance, so the set can't flip)."""
+    from klog_spark import entry_queries as eq
+    from klog_spark.datapipe.classifier import standardize, train_logreg
+    from klog_spark.datapipe.textstats import quality_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    raw = quality_scores(docs).select(
+        "doc_id",
+        F.col("stopword_ratio").alias("f_stop"),
+        F.col("punct_ratio").alias("f_punct"),
+        F.round(F.log1p(F.col("n_words")) / 10.0, 6).alias("f_len"),
+        F.col("passes_quality").cast("int").alias("label"),
+    )
+    cols = ["f_stop", "f_punct", "f_len"]
+    feats, stats = standardize(raw, cols)
+    for c in cols:
+        pm, ps = eq.SCORED_FILTER_STATS[c]
+        assert abs(stats[c][0] - pm) < 1e-9 and abs(stats[c][1] - ps) < 1e-9
+    fit = train_logreg(feats, cols, "label",
+                       iters=eq.TRAINED_FILTER_ITERS, lr=eq.TRAINED_FILTER_LR)
+    for got, pin in zip(fit["weights"], eq.SCORED_FILTER_WEIGHTS):
+        assert abs(got - pin) < 1e-6
+
+    gate = {r["doc_id"]: (r["kept"], r["margin_micro"])
+            for r in eq.q_scored_quality_filter(spark, "/root/testdata/sf0.01").collect()}
+    # live-weight margins over the standardized features select the same set
+    live_margin = sum(
+        (F.lit(w) * F.col(c) for w, c in zip(fit["weights"][1:], cols)),
+        F.lit(float(fit["weights"][0])),
+    )
+    live = {r["doc_id"]: r["k"]
+            for r in feats.select("doc_id", (live_margin >= 0).alias("k")).collect()}
+    assert len(gate) == len(live) == 500
+    assert all(gate[d][0] == live[d] for d in gate)
+    assert min(abs(m) for _, m in gate.values()) > 1000  # >= 1e-3 margin floor
