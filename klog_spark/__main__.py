@@ -29,6 +29,7 @@ Usage::
     python -m klog_spark corpus chunk DOCS_PARQUET --out DIR [--max-words N]
                                      [--overlap K]
     python -m klog_spark corpus curate DOCS_PARQUET --out DIR
+    python -m klog_spark corpus score DOCS_PARQUET --out DIR
 
 The ``corpus`` family is the training-data side of the engine (documents
 parquet with ``doc_id``/``text``[/``source``] columns): per-source stats,
@@ -518,6 +519,30 @@ def cmd_corpus_curate(spark, args) -> int:
     return 0
 
 
+def cmd_corpus_score(spark, args) -> int:
+    """Apply the pinned trained quality filter (the gated
+    scored_quality_filter model) to arbitrary documents parquet: writes
+    (doc_id, kept, margin_micro) and prints the acceptance summary.
+    ``streaming.scored_filter_stream`` is the same stateless pinned fold,
+    so it scores batch DataFrames identically."""
+    from . import entry_queries as eq
+    from .streaming import scored_filter_stream
+
+    docs = _corpus_df(spark, args.input)
+    scored = scored_filter_stream(
+        docs, eq.SCORED_FILTER_WEIGHTS, eq.SCORED_FILTER_STATS
+    )
+    scored.write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        )
+    )
+    print(f"scored corpus written to {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="klog-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -590,6 +615,10 @@ def build_parser() -> argparse.ArgumentParser:
     ccu.add_argument("input")
     ccu.add_argument("--out", required=True)
     ccu.set_defaults(fn=cmd_corpus_curate)
+    csc = corp.add_parser("score")
+    csc.add_argument("input")
+    csc.add_argument("--out", required=True)
+    csc.set_defaults(fn=cmd_corpus_score)
     return ap
 
 

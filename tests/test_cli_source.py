@@ -415,3 +415,15 @@ def test_cli_corpus_commands(spark, capsys, tmp_path):
     assert 0 < curated.count() <= n_docs
     assert set(curated.columns) == {"doc_id", "source", "text",
                                     "n_kept_words", "n_removed_words"}
+
+    sdest = str(tmp_path / "scored")
+    assert main(["corpus", "score", docs, "--out", sdest], spark=spark) == 0
+    from klog_spark import entry_queries as eq
+
+    scored = spark.read.parquet(sdest)
+    assert scored.count() == n_docs
+    want = {r["doc_id"]: (r["kept"], r["margin_micro"])
+            for r in eq.q_scored_quality_filter(
+                spark, "/root/testdata/sf0.001").collect()}
+    got = {r["doc_id"]: (r["kept"], r["margin_micro"]) for r in scored.collect()}
+    assert got == want                      # CLI face == gated query, row-exact

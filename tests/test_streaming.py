@@ -386,3 +386,37 @@ def test_shard_manifest_stream_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want and sum(n for n, _, _ in got.values()) == 500
+
+
+def test_scored_filter_stream_matches_batch(spark, tmp_path_factory):
+    """The pinned-model quality filter applied to a stream (stateless
+    append projection) emits exactly the batch gate query's decision and
+    micro-rounded margin for every document."""
+    from klog_spark import entry_queries as eq
+    from klog_spark.streaming import scored_filter_stream
+
+    src = tmp_path_factory.mktemp("scored_stream")
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    batch.repartition(5).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+    )
+    q = (
+        scored_filter_stream(stream, eq.SCORED_FILTER_WEIGHTS,
+                             eq.SCORED_FILTER_STATS)
+        .writeStream.format("memory").queryName("scored_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"]: (r["kept"], r["margin_micro"])
+           for r in spark.sql("select * from scored_stream").collect()}
+    want = {r["doc_id"]: (r["kept"], r["margin_micro"])
+            for r in eq.q_scored_quality_filter(
+                spark, "/root/testdata/sf0.001").collect()}
+    assert got == want and len(got) == batch.count()
