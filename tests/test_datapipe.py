@@ -1707,3 +1707,26 @@ def test_scored_quality_filter_pin_matches_trainer(spark):
     assert len(gate) == len(live) == 500
     assert all(gate[d][0] == live[d] for d in gate)
     assert min(abs(m) for _, m in gate.values()) > 1000  # >= 1e-3 margin floor
+
+
+def test_semdedup_kmeans_path_drops_exact_dups(spark):
+    """The kmeans-trained (scale/balance) quantizer path: exact duplicates
+    have identical vectors, so they land in the same cell under ANY
+    quantizer and are always pruned with the lowest id as canonical —
+    regardless of how the cells partition the rest of the corpus."""
+    import random
+
+    from klog_spark.datapipe.dedup import semdedup_embedding
+
+    rng = random.Random("semdedup-km")
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, base[i]) for i in range(0, 40, 5)]   # 8 exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["dup_of"], r["kept"])
+           for r in semdedup_embedding(df, threshold=0.999, n_centroids=4,
+                                       train="kmeans", seed=3).collect()}
+    assert len(out) == 48
+    for i in range(0, 40, 5):
+        assert out[100 + i] == (i, False)       # dup dropped, canonical = original
+        assert out[i][1]                        # original kept

@@ -190,6 +190,10 @@ def main() -> None:
     assert "CartesianProduct" not in sd_plan and "BroadcastNestedLoopJoin" not in sd_plan
     pb = eq.q_perplexity_buckets(spark, SF_DIR)
     sections.append(("perplexity bucketing", plan_of(pb), ["Window", "HashAggregate"]))
+    sf_q = eq.q_scored_quality_filter(spark, SF_DIR)
+    sf_plan = plan_of(sf_q, "simple")
+    sections.append(("pinned scored filter (apply)", plan_of(sf_q), ["Scan parquet"]))
+    assert "Exchange" not in sf_plan, "applying a pinned model must not shuffle"
 
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
