@@ -153,6 +153,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": eq.q_ann_recall_eval,                 # recall@10 of IVF vs exact brute-force ground truth
         "semdedup": eq.q_semdedup,                               # SemDeDup: IVF-cell clustering -> intra-cell cosine prune
         "scored_quality_filter": eq.q_scored_quality_filter,     # APPLY side of the trained filter: pinned model, hash-verified margins
+        "bloom_screen": eq.q_bloom_screen,                       # Bloom-filter dedup pre-screen (definitely-new fast path)
         # rotated OUT of the driver gate in round 6 (all green in
         # CORRECTNESS_r05; each capability keeps a driver row via the noted
         # subsuming query, plus its pytests)
@@ -278,6 +279,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
         "semdedup": eq.SQL_SEMDEDUP,
         "scored_quality_filter": eq.SQL_SCORED_QUALITY_FILTER,
+        "bloom_screen": eq.SQL_BLOOM_SCREEN,
         "klog_sink_control": eq.SQL_SINK_CONTROL,
         "klog_sink_txn_state": eq.SQL_SINK_TXN_STATE,
         "klog_sink_producer_state": eq.SQL_SINK_PRODUCER_STATE,

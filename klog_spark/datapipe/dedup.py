@@ -686,3 +686,59 @@ def semdedup_embedding(emb: DataFrame, threshold: float = 0.95,
         .join(dup_of, "vec_id", "left")
         .select("vec_id", "dup_of", F.col("dup_of").isNull().alias("kept"))
     )
+
+
+def bloom_bits(docs: DataFrame, m: int, k: int,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bloom-filter bit table over content digests: each document sets
+    ``k`` bits, bit_i = java_hash_u32(sha256(text) || ':' || i) mod m —
+    deterministic, engine-replicable salted double-hashing. Returns the
+    DISTINCT set bits as rows (bit BIGINT), at most ``m`` of them — the
+    relational rendition of the bitmap (a real deployment packs them into
+    an m-bit array and broadcasts it; the row form keeps the gate oracle
+    trivial and the semantics identical). Mergeable across corpus shards
+    by construction (union ∘ distinct)."""
+    from ..javahash import java_hash_u32_expr
+
+    digest = F.sha2(F.col(text_col), 256)
+    bits = F.array(*[
+        F.pmod(java_hash_u32_expr(F.concat(digest, F.lit(f":{i}"))), F.lit(m))
+        for i in range(k)
+    ])
+    return (
+        docs.select(F.explode(bits).alias("bit"))
+        .distinct()
+        .select(F.col("bit").cast("long").alias("bit"))
+    )
+
+
+def bloom_screen(incoming: DataFrame, bits: DataFrame, m: int, k: int,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bloom pre-screen for incremental dedup — the definitely-new fast
+    path: an incoming document whose ``k`` bits are not ALL set in the
+    corpus filter is guaranteed absent (no false negatives) and skips the
+    exact digest join entirely; only ``maybe_dup`` documents (true dups +
+    the filter's false positives, rate ~(1 - e^{-kn/m})^k) proceed to
+    :func:`incremental_exact_dups`. Returns (doc_id, n_hits, maybe_dup).
+
+    Scale shape: the bit table is bounded by ``m`` regardless of corpus
+    size — at 100 TB it is THE reason the screen works: a 2^33-bit filter
+    (1 GiB packed) broadcasts to every executor and the incoming firehose
+    never shuffles against the corpus index; here the relational form
+    joins on the bit key (k rows per incoming doc vs ≤ m bits)."""
+    from ..javahash import java_hash_u32_expr
+
+    digest = F.sha2(F.col(text_col), 256)
+    probe_bits = F.array(*[
+        F.pmod(java_hash_u32_expr(F.concat(digest, F.lit(f":{i}"))), F.lit(m))
+        for i in range(k)
+    ])
+    probes = incoming.select(
+        F.col(id_col).alias("doc_id"), F.explode(probe_bits).alias("pbit")
+    ).select("doc_id", F.col("pbit").cast("long").alias("pbit"))
+    hits = (
+        probes.join(bits, probes["pbit"] == bits["bit"], "left")
+        .groupBy("doc_id")
+        .agg(F.count("bit").cast("long").alias("n_hits"))
+    )
+    return hits.select("doc_id", "n_hits", (F.col("n_hits") == k).alias("maybe_dup"))

@@ -4538,3 +4538,51 @@ FROM s
 
 
 SQL_SCORED_QUALITY_FILTER = _sql_scored_quality_filter()
+
+
+BLOOM_M, BLOOM_K = 4096, 3
+
+
+def q_bloom_screen(spark, sf_dir):
+    """Bloom-filter dedup pre-screen (dedup.bloom_bits + bloom_screen):
+    the corpus digest filter (m=4096 bits, k=3 salted java-hash probes)
+    screens the planted incoming batch — exact copies (ids >= 1,000,000)
+    MUST come back maybe_dup (Bloom has no false negatives), ' zq'
+    near-copies (ids >= 2,000,000) are definitely-new unless they land on
+    the measured ~3% false-positive rate, which the oracle recomputes
+    bit-for-bit. The fast path an incremental-dedup ingest runs before the
+    exact digest join."""
+    from .datapipe.dedup import bloom_bits, bloom_screen
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bits = bloom_bits(docs, m=BLOOM_M, k=BLOOM_K)
+    incoming = _dup_corpus(spark, sf_dir).filter(F.col("doc_id") >= 1000000)
+    return bloom_screen(incoming, bits, m=BLOOM_M, k=BLOOM_K)
+
+
+def _sql_bloom_screen(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    def bit_exprs(src: str) -> str:
+        return ", ".join(
+            _sql_java_u32(f"sha256({src}) || ':{i}'") + f" % {m}"
+            for i in range(k)
+        )
+
+    return f"""
+WITH {SQL_DUP_CORPUS},
+base_bits AS (
+  SELECT DISTINCT CAST(u AS BIGINT) AS bit FROM (
+    SELECT unnest([{bit_exprs("text")}]) AS u FROM documents)
+),
+probes AS (
+  SELECT doc_id, CAST(u AS BIGINT) AS pbit FROM (
+    SELECT doc_id, unnest([{bit_exprs("text")}]) AS u
+    FROM corpus WHERE doc_id >= 1000000)
+)
+SELECT p.doc_id, CAST(COUNT(b.bit) AS BIGINT) AS n_hits,
+       COUNT(b.bit) = {k} AS maybe_dup
+FROM probes p LEFT JOIN base_bits b ON p.pbit = b.bit
+GROUP BY p.doc_id
+"""
+
+
+SQL_BLOOM_SCREEN = _sql_bloom_screen()

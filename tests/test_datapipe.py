@@ -1730,3 +1730,38 @@ def test_semdedup_kmeans_path_drops_exact_dups(spark):
     for i in range(0, 40, 5):
         assert out[100 + i] == (i, False)       # dup dropped, canonical = original
         assert out[i][1]                        # original kept
+
+
+def test_bloom_screen_no_false_negatives(spark):
+    """Bloom pre-screen contract: every exact copy of an indexed document
+    is maybe_dup (no false negatives, ever), and composing the screen with
+    the exact digest join yields the SAME duplicate set as running the
+    join unscreened — the screen only removes definitely-new docs."""
+    from klog_spark.datapipe.dedup import (
+        bloom_bits, bloom_screen, incremental_exact_dups,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"indexed document number {i} body") for i in range(200)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(1000 + i, f"indexed document number {i} body") for i in range(0, 200, 7)]
+        + [(5000 + i, f"brand new text {i} zzz") for i in range(50)],
+        "doc_id long, text string",
+    )
+    m, k = 8192, 4
+    bits = bloom_bits(corpus, m=m, k=k)
+    screen = {r["doc_id"]: r["maybe_dup"]
+              for r in bloom_screen(incoming, bits, m=m, k=k).collect()}
+    assert len(screen) == incoming.count()
+    for i in range(0, 200, 7):
+        assert screen[1000 + i]                     # true dup -> always flagged
+
+    maybe_ids = [d for d, flag in screen.items() if flag]
+    screened = incoming.filter(F.col("doc_id").isin(maybe_ids))
+    via_screen = {(r["doc_id"], r["dup_of"])
+                  for r in incremental_exact_dups(screened, corpus).collect()}
+    unscreened = {(r["doc_id"], r["dup_of"])
+                  for r in incremental_exact_dups(incoming, corpus).collect()}
+    assert via_screen == unscreened == {(1000 + i, i) for i in range(0, 200, 7)}
