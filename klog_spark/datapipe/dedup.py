@@ -742,3 +742,34 @@ def bloom_screen(incoming: DataFrame, bits: DataFrame, m: int, k: int,
         .agg(F.count("bit").cast("long").alias("n_hits"))
     )
     return hits.select("doc_id", "n_hits", (F.col("n_hits") == k).alias("maybe_dup"))
+
+
+def bloom_screen_broadcast(incoming: DataFrame, bits: DataFrame, m: int, k: int,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The broadcast form of :func:`bloom_screen` — the shape a 100-TB
+    deployment (and any streaming ingest) actually runs: the bit table is
+    bounded by ``m``, so it collects once (hard ``m``-capped, fail-loud)
+    and ships to every task as a literal set; screening becomes a pure
+    per-row expression — NO join, NO shuffle, NO aggregation state, so it
+    applies unchanged to a streaming DataFrame in append mode. Identical
+    (doc_id, n_hits, maybe_dup) semantics to the relational form
+    (pytest-asserted), modulo the same no-false-negative contract."""
+    from ..javahash import java_hash_u32_expr
+
+    rows = bits.select("bit").limit(m + 1).collect()
+    if len(rows) > m:
+        raise ValueError(f"bit table exceeds m={m} — not a filter built with this m")
+    bit_arr = F.array(*[F.lit(int(r["bit"])) for r in sorted(rows, key=lambda r: r["bit"])])
+    digest = F.sha2(F.col(text_col), 256)
+    probes = F.array(*[
+        F.pmod(java_hash_u32_expr(F.concat(digest, F.lit(f":{i}"))), F.lit(m))
+        .cast("long")
+        for i in range(k)
+    ])
+    n_hits = F.size(F.filter(probes, lambda b: F.array_contains(bit_arr, b))).cast("long")
+    return incoming.select(
+        F.col(id_col).alias("doc_id"),
+        n_hits.alias("n_hits"),
+        (n_hits == k).alias("maybe_dup"),
+    )

@@ -1765,3 +1765,53 @@ def test_bloom_screen_no_false_negatives(spark):
     unscreened = {(r["doc_id"], r["dup_of"])
                   for r in incremental_exact_dups(incoming, corpus).collect()}
     assert via_screen == unscreened == {(1000 + i, i) for i in range(0, 200, 7)}
+
+
+def test_bloom_screen_broadcast_parity_and_streaming(spark, tmp_path_factory):
+    """The broadcast (zero-shuffle, literal-set) Bloom screen returns
+    exactly the relational form's (n_hits, maybe_dup) per doc, its plan
+    has no Exchange, and the same expression screens a STREAM in append
+    mode with identical results."""
+    import contextlib
+    import io
+
+    from klog_spark.datapipe.dedup import (
+        bloom_bits, bloom_screen, bloom_screen_broadcast,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus item {i} payload") for i in range(150)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(900 + i, f"corpus item {i} payload") for i in range(0, 150, 11)]
+        + [(2000 + i, f"unseen {i} qqq") for i in range(40)],
+        "doc_id long, text string",
+    )
+    m, k = 2048, 3
+    bits = bloom_bits(corpus, m=m, k=k)
+    want = {r["doc_id"]: (r["n_hits"], r["maybe_dup"])
+            for r in bloom_screen(incoming, bits, m=m, k=k).collect()}
+    bc = bloom_screen_broadcast(incoming, bits, m=m, k=k)
+    got = {r["doc_id"]: (r["n_hits"], r["maybe_dup"]) for r in bc.collect()}
+    assert got == want
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bc.explain("simple")
+    assert "Exchange" not in buf.getvalue()
+
+    src = tmp_path_factory.mktemp("bloom_stream")
+    incoming.repartition(4).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        bloom_screen_broadcast(stream, bits, m=m, k=k)
+        .writeStream.format("memory").queryName("bloom_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got_s = {r["doc_id"]: (r["n_hits"], r["maybe_dup"])
+             for r in spark.sql("select * from bloom_stream").collect()}
+    assert got_s == want
