@@ -26,6 +26,19 @@ interval_join_oversized (which strictly supersedes the
 event_session_interval_join row it replaced). The thirteen rows rotated
 out — all green in CORRECTNESS_r05 — moved to ``extra_queries()`` with an
 inline note naming the driver row that keeps each capability covered.
+
+Round 7 (VERDICT r6 #1) rotated in the ten r6 extras with no driver
+history — semdedup (now on the PINNED kmeans quantizer, closing VERDICT
+r6 #3 in the same row), scored_quality_filter, bloom_screen, doc_chunks,
+perplexity_buckets, token_budget_mixture, ann_recall_eval,
+bigram_lm_score, corpus_shard_manifest, and trained_quality_filter (the
+one deliberate rows-only driver row: iterative GD is not SQL-hashable;
+its fitted twin scored_quality_filter IS hash-verified) — plus the new
+contamination_removal (VERDICT r6 #5), which supersedes the
+contamination_check row it replaces (same shingle join, aggregated on
+the train side where the removal decision lives). The eleven rows
+rotated out — all green in CORRECTNESS_r06 — moved to
+``extra_queries()`` with subsumption notes.
 """
 
 from __future__ import annotations
@@ -49,9 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_sink_batches": eq.q_sink_batches,            # S9 batch sink + token equality
         "klog_sink_corrupt": eq.q_sink_corrupt,            # W1/W5-W7 corrupt routing
         "klog_txn_stats": eq.q_txn_stats,                  # A1-A7 + W8 (txn-stat CLI)
-        "klog_batches_per_epoch": eq.q_batches_per_epoch,  # A9 (salted variant: extra_queries + test_skew.py)
-        "klog_filter_txn_id": eq.q_filter_txn_id,          # P2/P5 (+ X4 txn-state parse)
-        "klog_state_machine_violations": eq.q_state_machine_violations,  # W4
+        "klog_state_machine_violations": eq.q_state_machine_violations,  # W4 (+ X4 txn-state parse)
         "klog_deep_iteration": eq.q_deep_iteration,        # S4
         "klog_open_txn_abort_cmds": eq.q_open_txn_abort_cmds,    # J2 + S10 workflow (+ A5 open-txn, S7/X5 snapshot parse)
         "klog_enrich_producer_team": eq.q_enrich_producer_team,  # J1 broadcast enrich
@@ -62,23 +73,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference leaves it a TODO, Segment.java:28)
         "klog_group_offsets": eq.q_sink_group_offsets,
         "klog_group_offsets_read_committed": eq.q_group_offsets_read_committed,
-        "klog_group_lag": eq.q_group_lag,
         # training-data pipeline (dedup / similarity / text / multimodal)
-        "dedup_simhash": eq.q_dedup_simhash,               # simhash near-dup
         "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution (subsumes dedup_exact's digest agg)
-        "leakage_safe_split": eq.q_leakage_safe_split,     # content-hash train/test split
         "dedup_clusters": eq.q_dedup_clusters,             # large-star/small-star CC (recomputes the jaccard pair CTEs)
         "dedup_minhash_lsh": eq.q_dedup_minhash,
         "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,   # scale path (no O(n^2))
+        "semdedup": eq.q_semdedup,                         # SemDeDup on the PINNED kmeans quantizer (r7: trains offline, gates the kmeans codepath)
+        "bloom_screen": eq.q_bloom_screen,                 # Bloom dedup pre-screen (definitely-new fast path)
+        "contamination_removal": eq.q_contamination_removal,  # decontaminated-corpus decision table (supersedes contamination_check row: same shingle join, train-side agg)
         "ann_lsh_topk": eq.q_ann_lsh,                      # hyperplane-LSH multiprobe
         "ann_ivfpq_topk": eq.q_ann_ivfpq,                  # product-quantized scale path (8 B/vector; subsumes IVF-Flat's cell routing)
-        "knn_label_eval": eq.q_knn_label_eval,             # embedding-quality eval
+        "ann_recall_eval": eq.q_ann_recall_eval,           # recall@10 of IVF vs brute-force ground truth (subsumes knn_label_eval's eval role)
         "text_lang_id": eq.q_text_lang_id,
         "source_quality": eq.q_source_quality,             # per-source corpus report
         "corpus_pack": eq.q_corpus_pack,                   # token-budget sequence packing
-        "contamination_check": eq.q_contamination_check,   # train->test shingle leakage scan
-        "doc_repetition": eq.q_doc_repetition,             # Gopher-style repetition metrics
-        "seq_len_percentiles": eq.q_seq_len_percentiles,   # exact p50/p90/p99
         "multimodal_decode": eq.q_multimodal_decode,       # REAL stdlib PNG/WAV decode vs first-principles oracle
         # round-5/6 corpus-curation classes, first driver rows (r6 rotation)
         "pii_redaction": eq.q_pii_redaction,               # rule-based PII scrub, byte-exact rewrite parity
@@ -89,10 +97,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": eq.q_cms_user_counts,           # Count-Min sketch estimates vs exact
         "bpe_pair_counts": eq.q_bpe_pair_counts,           # BPE training statistic (argmax = first merge)
         "bpe_encode_stats": eq.q_bpe_encode_stats,         # BPE ENCODE path vs recursive-CTE re-encoder
-        "corpus_curate": eq.q_corpus_curate,               # quality+PII+dedup+span-coverage composed pipeline
+        "corpus_curate": eq.q_corpus_curate,               # quality+PII+split+dedup+DECONTAMINATION composed pipeline (r7: 5 stages)
+        # round-6 corpus-recipe classes, first driver rows (r7 rotation)
+        "scored_quality_filter": eq.q_scored_quality_filter,  # pinned-model apply side, hash incl. margins
+        "trained_quality_filter": eq.q_trained_quality_filter,  # labels->logreg->filter report (rows-only: iterative GD; NumPy-parity pytest)
+        "bigram_lm_score": eq.q_bigram_lm_score,           # interpolated bigram-LM perplexity filter
+        "perplexity_buckets": eq.q_perplexity_buckets,     # CCNet head/middle/tail split
+        "doc_chunks": eq.q_doc_chunks,                     # context-window chunking (zero-Exchange)
+        "token_budget_mixture": eq.q_token_budget_mixture, # per-source token budgets + epoch repetition
+        "corpus_shard_manifest": eq.q_corpus_shard_manifest,  # deterministic shuffle -> shard audit manifest
         # telemetry/event analytics (engine-robustness fixed in round 4:
         # NTZ timestamps, pinned NULL ordering, tie-free exact averages)
-        "events_daily": eq.q_events_daily,
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
         "event_funnel": eq.q_event_funnel,                 # ordered view->click->purchase conversion (r6 rotation)
         "user_retention": eq.q_user_retention,             # weekly cohort retention triangle (r6 rotation)
@@ -101,7 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_batch_state_asof": eq.q_batch_state_asof,
         "interval_join_oversized": eq.q_interval_join_oversized,  # range join, bucketed + broadcast-overflow paths both hashed
         "events_hypertable": eq.q_events_hypertable,
-        "kmv_distinct_users": eq.q_kmv_distinct_users,
     }
 
 
@@ -144,16 +158,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": eq.q_doc_keywords,                       # TF-IDF top-k terms, integer micro-nat idf
         "events_dau_wau": eq.q_dau_wau,                          # DAU/WAU/stickiness (exact windowed distinct)
         "source_curation_report": eq.q_source_curation_report,   # per-source PII-rate + mean-LM dashboard
-        "trained_quality_filter": eq.q_trained_quality_filter,   # heuristic labels -> logreg -> scored filter (iterative GD: rows-only by design, NumPy-parity pytest)
-        "corpus_shard_manifest": eq.q_corpus_shard_manifest,     # deterministic shuffle -> shard positions -> audit manifest
-        "bigram_lm_score": eq.q_bigram_lm_score,                 # interpolated bigram-LM perplexity filter (unigram row stays in the driver gate)
-        "doc_chunks": eq.q_doc_chunks,                           # context-window chunking (overlapping word-boundary windows, zero shuffle)
-        "perplexity_buckets": eq.q_perplexity_buckets,           # CCNet head/middle/tail split over the bigram-LM scores
-        "token_budget_mixture": eq.q_token_budget_mixture,       # per-source token budgets with epoch repetition (data-recipe step)
-        "ann_recall_eval": eq.q_ann_recall_eval,                 # recall@10 of IVF vs exact brute-force ground truth
-        "semdedup": eq.q_semdedup,                               # SemDeDup: IVF-cell clustering -> intra-cell cosine prune
-        "scored_quality_filter": eq.q_scored_quality_filter,     # APPLY side of the trained filter: pinned model, hash-verified margins
-        "bloom_screen": eq.q_bloom_screen,                       # Bloom-filter dedup pre-screen (definitely-new fast path)
         # rotated OUT of the driver gate in round 6 (all green in
         # CORRECTNESS_r05; each capability keeps a driver row via the noted
         # subsuming query, plus its pytests)
@@ -170,6 +174,23 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": eq.q_dedup_incremental,             # digest screen: dedup_canonical + contamination_check rows
         "events_rolling_7d": eq.q_events_rolling,                # trailing window: hypertable + dau_wau cover windowed aggs
         "event_session_interval_join": eq.q_event_session_interval_join,  # strict subset of the interval_join_oversized driver row
+        # rotated OUT of the driver gate in round 7 (all green in
+        # CORRECTNESS_r06; each capability keeps a driver row via the noted
+        # subsuming query, plus its pytests)
+        "klog_filter_txn_id": eq.q_filter_txn_id,                # P2/P5: state_machine_violations row parses txn_state; CLI predicate pytests
+        "klog_batches_per_epoch": eq.q_batches_per_epoch,        # A9: green r1-r6; txn_stats/file_health keep the agg family; salted twin pytest
+        "klog_group_lag": eq.q_group_lag,                        # group family keeps 2 driver rows (offsets, read_committed)
+        "leakage_safe_split": eq.q_leakage_safe_split,           # split now driver-exercised INSIDE corpus_curate + contamination_removal rows
+        "knn_label_eval": eq.q_knn_label_eval,                   # embedding-eval class keeps the ann_recall_eval driver row
+        "seq_len_percentiles": eq.q_seq_len_percentiles,         # token-stat family keeps corpus_pack; histogram twin stays local
+        "doc_repetition": eq.q_doc_repetition,                   # textstats family keeps lm_quality/pii/lang_id/source_quality rows
+        "events_daily": eq.q_events_daily,                       # event family keeps sessions/funnel/retention/hypertable rows
+        "kmv_distinct_users": eq.q_kmv_distinct_users,           # sketch family keeps the cms_user_counts driver row
+        "dedup_simhash": eq.q_dedup_simhash,                     # near-dup family keeps minhash_lsh/embedding_lsh/clusters/semdedup rows
+        "contamination_check": eq.q_contamination_check,         # superseded by the contamination_removal driver row (same join, train-side agg)
+        # round-7 variants, locally gated from birth
+        "semdedup_first_n": eq.q_semdedup_first_n,               # engine-replicable first_n quantizer twin of the pinned-kmeans driver row
+        "bloom_screen_packed": eq.q_bloom_screen_packed,         # packed-bitmap broadcast Bloom (Arrow kernel), same oracle as bloom_screen
     }
 
 
@@ -183,8 +204,6 @@ def oracle_sql() -> dict[str, str]:
         "klog_sink_batches": eq.SQL_SINK_BATCHES,
         "klog_sink_corrupt": eq.SQL_SINK_CORRUPT,
         "klog_txn_stats": eq.SQL_TXN_STATS,
-        "klog_batches_per_epoch": eq.SQL_BATCHES_PER_EPOCH,
-        "klog_filter_txn_id": eq.SQL_FILTER_TXN_ID,
         "klog_state_machine_violations": eq.SQL_STATE_MACHINE.replace(
             "{VALID_PREV}", eq._sql_valid_prev_case()
         ),
@@ -196,22 +215,19 @@ def oracle_sql() -> dict[str, str]:
         "klog_file_health": eq.SQL_FILE_HEALTH,
         "klog_group_offsets": eq.SQL_SINK_GROUP_OFFSETS,
         "klog_group_offsets_read_committed": eq.SQL_GROUP_OFFSETS_READ_COMMITTED,
-        "klog_group_lag": eq.SQL_GROUP_LAG,
-        "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
-        "leakage_safe_split": eq.SQL_LEAKAGE_SAFE_SPLIT,
         "dedup_clusters": eq.SQL_DEDUP_CLUSTERS,
         "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
         "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
+        "semdedup": eq.SQL_SEMDEDUP,
+        "bloom_screen": eq.SQL_BLOOM_SCREEN,
+        "contamination_removal": eq.SQL_CONTAMINATION_REMOVAL,
         "ann_lsh_topk": eq.SQL_ANN_LSH,
         "ann_ivfpq_topk": eq.SQL_ANN_IVFPQ,
-        "knn_label_eval": eq.SQL_KNN_LABEL_EVAL,
+        "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
         "source_quality": eq.SQL_SOURCE_QUALITY,
         "corpus_pack": eq.SQL_CORPUS_PACK,
-        "contamination_check": eq.SQL_CONTAMINATION_CHECK,
-        "doc_repetition": eq.SQL_DOC_REPETITION,
-        "seq_len_percentiles": eq.SQL_SEQ_LEN_PERCENTILES,
         "multimodal_decode": eq.SQL_MULTIMODAL_DECODE,
         "pii_redaction": eq.SQL_PII_REDACTION,
         "lm_quality_score": eq.SQL_LM_QUALITY,
@@ -222,7 +238,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "bpe_encode_stats": eq.SQL_BPE_ENCODE_STATS,
         "corpus_curate": eq.SQL_CORPUS_CURATE,
-        "events_daily": eq.SQL_EVENTS_DAILY,
+        # r7 rotation (trained_quality_filter deliberately ABSENT:
+        # rows-only driver row — iterative GD is not SQL-hashable)
+        "scored_quality_filter": eq.SQL_SCORED_QUALITY_FILTER,
+        "bigram_lm_score": eq.SQL_BIGRAM_LM_SCORE,
+        "perplexity_buckets": eq.SQL_PERPLEXITY_BUCKETS,
+        "doc_chunks": eq.SQL_DOC_CHUNKS,
+        "token_budget_mixture": eq.SQL_TOKEN_BUDGET_MIXTURE,
+        "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
         "event_sessions": eq.SQL_EVENT_SESSIONS,
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,
@@ -230,7 +253,6 @@ def oracle_sql() -> dict[str, str]:
         "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
         "interval_join_oversized": eq.SQL_INTERVAL_JOIN_OVERSIZED,
         "events_hypertable": eq.SQL_EVENTS_HYPERTABLE,
-        "kmv_distinct_users": eq.SQL_KMV_DISTINCT_USERS,
     }
 
 
@@ -271,15 +293,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "doc_keywords": eq.SQL_DOC_KEYWORDS,
         "events_dau_wau": eq.SQL_DAU_WAU,
         "source_curation_report": eq.SQL_SOURCE_CURATION_REPORT,
-        "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
-        "bigram_lm_score": eq.SQL_BIGRAM_LM_SCORE,
-        "doc_chunks": eq.SQL_DOC_CHUNKS,
-        "perplexity_buckets": eq.SQL_PERPLEXITY_BUCKETS,
-        "token_budget_mixture": eq.SQL_TOKEN_BUDGET_MIXTURE,
-        "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
-        "semdedup": eq.SQL_SEMDEDUP,
-        "scored_quality_filter": eq.SQL_SCORED_QUALITY_FILTER,
-        "bloom_screen": eq.SQL_BLOOM_SCREEN,
         "klog_sink_control": eq.SQL_SINK_CONTROL,
         "klog_sink_txn_state": eq.SQL_SINK_TXN_STATE,
         "klog_sink_producer_state": eq.SQL_SINK_PRODUCER_STATE,
@@ -293,4 +306,17 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_incremental": eq.SQL_DEDUP_INCREMENTAL,
         "events_rolling_7d": eq.SQL_EVENTS_ROLLING,
         "event_session_interval_join": eq.SQL_EVENT_SESSION_INTERVAL_JOIN,
+        "klog_filter_txn_id": eq.SQL_FILTER_TXN_ID,
+        "klog_batches_per_epoch": eq.SQL_BATCHES_PER_EPOCH,
+        "klog_group_lag": eq.SQL_GROUP_LAG,
+        "leakage_safe_split": eq.SQL_LEAKAGE_SAFE_SPLIT,
+        "knn_label_eval": eq.SQL_KNN_LABEL_EVAL,
+        "seq_len_percentiles": eq.SQL_SEQ_LEN_PERCENTILES,
+        "doc_repetition": eq.SQL_DOC_REPETITION,
+        "events_daily": eq.SQL_EVENTS_DAILY,
+        "kmv_distinct_users": eq.SQL_KMV_DISTINCT_USERS,
+        "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
+        "contamination_check": eq.SQL_CONTAMINATION_CHECK,
+        "semdedup_first_n": eq.SQL_SEMDEDUP_FIRST_N,
+        "bloom_screen_packed": eq.SQL_BLOOM_SCREEN_PACKED,
     }

@@ -135,7 +135,8 @@ def kmeans_centroids(sample: np.ndarray, k: int, n_iter: int = 10, seed: int = 7
 
 def ivf_cell_assign(emb: DataFrame, n_centroids: int = 16, train: str = "first_n",
                     sample_size: int = 4096, kmeans_iters: int = 10, seed: int = 7,
-                    id_col: str = "vec_id", vec_col: str = "embedding"):
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids=None):
     """IVF coarse-quantizer cell assignment, shared by :func:`ivf_topk` and
     the SemDeDup cluster-dedup operator: train centroids ('first_n' = the
     first n vectors by id, engine-replicable; 'kmeans' = sampled Lloyd, the
@@ -144,11 +145,21 @@ def ivf_cell_assign(emb: DataFrame, n_centroids: int = 16, train: str = "first_n
     squared L2). Ties go to the lowest cell id (np.argmin first-occurrence;
     cids are in ascending id/index order by construction).
 
+    ``centroids`` (a (k, dim) array-like) bypasses training entirely — the
+    train-once / apply-everywhere path (VERDICT r6 next #3, the
+    SCORED_FILTER_WEIGHTS pattern): a quantizer fitted offline (e.g. by
+    :func:`kmeans_centroids`) is pinned as literals and every engine —
+    Spark, the DuckDB gate oracle, a future reader — assigns against the
+    same matrix. Cell ids are the centroid row indices 0..k-1.
+
     Returns ``(assigned, cids, cmat)``: a DataFrame (cid_ = vector id,
     cell, cvec_ = float64 vector) plus the centroid ids and matrix for
     driver-side probe selection. The only corpus-wide cost is the narrow
     assignment map — no shuffle."""
-    if train == "kmeans":
+    if centroids is not None:
+        cmat = np.asarray(centroids, dtype=np.float64)
+        cids = np.arange(len(cmat), dtype=np.int64)
+    elif train == "kmeans":
         sample = np.array(
             [r[vec_col] for r in
              emb.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()],

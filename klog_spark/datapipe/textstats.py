@@ -457,7 +457,8 @@ def chunk_documents(docs: DataFrame, max_words: int, overlap: int = 0,
 def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
                        source_col: str = "source", text_col: str = "text",
                        id_col: str = "doc_id",
-                       thresholds: dict[str, list[float]] | None = None) -> DataFrame:
+                       thresholds: dict[str, list[float]] | None = None,
+                       on_unknown_source: str = "error") -> DataFrame:
     """CCNet-style perplexity bucketing: score every document with the
     interpolated bigram LM (:func:`bigram_lm_scores`) and split each source
     into ``n_buckets`` equal-count buckets by ascending avg_nll — bucket 1
@@ -474,6 +475,15 @@ def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
     comparison — per-row, no window, no per-source sort.
 
     Returns (doc_id, source, n_words, avg_nll, ppl_bucket).
+
+    A source present in ``docs`` but absent from ``thresholds`` has no
+    cutoffs to compare against; per the module's fail-loud convention
+    (ADVICE r6) the default ``on_unknown_source='error'`` raises (one
+    cheap anti-join + capped collect, run once at plan-build time) instead
+    of silently emitting NULL buckets. ``on_unknown_source='tail'`` maps
+    unknown sources to the tail bucket ``n_buckets`` — the conservative
+    call (unvetted source = worst-perplexity treatment) for pipelines that
+    must not fail on a late-arriving source.
     """
     from pyspark.sql import Window
 
@@ -482,6 +492,22 @@ def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
                       F.col(source_col).alias("source"))
     joined = src.join(scores, "doc_id")
     if thresholds is not None:
+        if on_unknown_source not in ("error", "tail"):
+            raise ValueError(
+                f"on_unknown_source must be 'error'|'tail', got {on_unknown_source!r}"
+            )
+        if on_unknown_source == "error":
+            unknown = [
+                r["source"] for r in
+                src.select("source").distinct()
+                .filter(~F.col("source").isin(list(thresholds))).limit(20).collect()
+            ]
+            if unknown:
+                raise ValueError(
+                    f"sources without thresholds: {sorted(unknown)} — pass "
+                    "cutoffs for them (perplexity_bucket_thresholds) or use "
+                    "on_unknown_source='tail'"
+                )
         # value-threshold assignment: bucket = 1 + #(cutoffs < avg_nll);
         # ties go LEFT (avg_nll == cutoff stays in the lower bucket),
         # mirroring "<= threshold" quantile-cut semantics.
@@ -494,6 +520,8 @@ def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
             + F.size(F.filter(cut_map[F.col("source")],
                               lambda c: c < F.col("avg_nll")))
         ).cast("int")
+        if on_unknown_source == "tail":
+            bucket = F.coalesce(bucket, F.lit(int(n_buckets)).cast("int"))
         return joined.select("doc_id", "source", "n_words", "avg_nll",
                              bucket.alias("ppl_bucket"))
     w = Window.partitionBy("source").orderBy(F.asc("avg_nll"), F.asc("doc_id"))

@@ -1172,7 +1172,7 @@ def test_trained_quality_filter_end_to_end(spark):
     # zero-variance divisor pinned to 1.0) — replicate exactly
     sd = X.std(0)
     X = (X - X.mean(0)) / np.where(sd > 0.0, sd, 1.0)
-    w, _ = numpy_reference(X, y, iters=eq.TRAINED_FILTER_ITERS,
+    w, _ = numpy_reference(X, y, iters=eq.TRAINED_FILTER_GATE_ITERS,
                            lr=eq.TRAINED_FILTER_LR)
     Xb = np.hstack([np.ones((len(X), 1)), np.asarray(X)])
     p = 1.0 / (1.0 + np.exp(-(Xb @ np.asarray(w))))
@@ -1815,3 +1815,179 @@ def test_bloom_screen_broadcast_parity_and_streaming(spark, tmp_path_factory):
     got_s = {r["doc_id"]: (r["n_hits"], r["maybe_dup"])
              for r in spark.sql("select * from bloom_stream").collect()}
     assert got_s == want
+
+
+def test_bloom_screen_packed_parity_and_large_m(spark):
+    """The PACKED broadcast Bloom screen (bitmap via SparkContext.broadcast,
+    O(1) bit probes in an Arrow kernel) returns exactly the relational
+    form's (n_hits, maybe_dup) at the gate size AND at m = 2^20 — a size
+    the literal-array form cannot realistically plan (2^20 literals in the
+    expression tree); no false negatives at either size."""
+    from klog_spark.datapipe.dedup import (
+        bloom_bits, bloom_pack, bloom_screen, bloom_screen_packed,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus item {i} payload") for i in range(300)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(900 + i, f"corpus item {i} payload") for i in range(0, 300, 13)]
+        + [(2000 + i, f"unseen {i} qqq") for i in range(60)],
+        "doc_id long, text string",
+    )
+    for m, k in ((2048, 3), (1 << 20, 4)):
+        bits = bloom_bits(corpus, m=m, k=k)
+        want = {r["doc_id"]: (r["n_hits"], r["maybe_dup"])
+                for r in bloom_screen(incoming, bits, m=m, k=k).collect()}
+        bitmap = bloom_pack(bits, m=m)
+        assert len(bitmap) == (m + 7) // 8
+        got = {r["doc_id"]: (r["n_hits"], r["maybe_dup"])
+               for r in bloom_screen_packed(incoming, bitmap, m=m, k=k).collect()}
+        assert got == want
+        for i in range(0, 300, 13):
+            assert got[900 + i] == (k, True)    # exact copy: all k probes hit
+
+    # empty bit table: packed form screens everything as definitely-new
+    empty = bloom_pack(bloom_bits(corpus.limit(0), m=2048, k=3), m=2048)
+    got0 = {r["doc_id"]: (r["n_hits"], r["maybe_dup"])
+            for r in bloom_screen_packed(incoming, empty, m=2048, k=3).collect()}
+    assert all(v == (0, False) for v in got0.values())
+
+
+def test_bloom_screen_broadcast_empty_bits(spark):
+    """ADVICE r6: the literal-array broadcast form must not fail analysis
+    on an EMPTY bit table (F.array() is array<void>) — every incoming doc
+    is definitely-new."""
+    from klog_spark.datapipe.dedup import bloom_bits, bloom_screen_broadcast
+
+    incoming = spark.createDataFrame(
+        [(1, "anything"), (2, "at all")], "doc_id long, text string"
+    )
+    empty_corpus = incoming.limit(0)
+    out = {r["doc_id"]: (r["n_hits"], r["maybe_dup"])
+           for r in bloom_screen_broadcast(
+               incoming, bloom_bits(empty_corpus, m=512, k=3), m=512, k=3
+           ).collect()}
+    assert out == {1: (0, False), 2: (0, False)}
+
+
+def test_semdedup_mega_cell_fails_loud(spark):
+    """VERDICT r6 next #4: a degenerate embedding distribution that lands
+    (nearly) everything in one cell must raise BEFORE the per-cell
+    self-join runs — never a silent O(n^2) stage — and the error names the
+    offending cell; with the cap lifted the same corpus still dedups."""
+    from klog_spark.datapipe.dedup import semdedup_embedding
+
+    # 120 near-identical vectors -> one mega-cell under any quantizer
+    rows = [(i, [1.0, 0.0, 0.0, i * 1e-9]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_cell_size"):
+        semdedup_embedding(df, threshold=0.99, n_centroids=4,
+                           max_cell_size=50)
+    out = semdedup_embedding(df, threshold=0.99, n_centroids=4,
+                             max_cell_size=200).collect()
+    assert len(out) == 120
+    assert sum(0 if r["kept"] else 1 for r in out) > 0
+
+
+def test_semdedup_pinned_centroids_match_live_trainer(spark):
+    """Pin-parity (VERDICT r6 next #3, the SCORED_FILTER_WEIGHTS pattern):
+    re-running the live kmeans trainer (similarity.kmeans_centroids, same
+    sample/seed/iters as tools/pin_centroids.py) on the semdedup gate
+    corpus reproduces entry_queries.SEMDEDUP_CENTROIDS bit-for-bit, so the
+    pinned literals can never drift from the code that produced them."""
+    import numpy as np
+
+    from klog_spark import entry_queries as eq
+    from klog_spark.datapipe.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    sample = np.array(
+        [r["embedding"] for r in
+         corpus.select("vec_id", "embedding").orderBy("vec_id").limit(4096).collect()],
+        dtype=np.float64,
+    )
+    cents = kmeans_centroids(sample, 16, n_iter=10, seed=7)
+    pinned = np.array(eq.SEMDEDUP_CENTROIDS, dtype=np.float64)
+    assert cents.shape == pinned.shape == (16, 64)
+    assert np.array_equal(cents, pinned)   # repr round-trips exactly
+
+
+def test_decontaminate_drops_planted_contamination(spark):
+    """Contamination REMOVAL (VERDICT r6 next #5): a train doc sharing >= 3
+    distinct 5-gram shingles with the test side is dropped; clean train
+    docs are kept with zero counts; test docs never appear in the decision
+    table. The kept filter composed with contamination_report's detection
+    is self-consistent: dropping the flagged docs leaves a corpus whose
+    re-scan reports no contaminated test doc above the threshold."""
+    from klog_spark.datapipe.dedup import contamination_report, decontaminate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                              # train, leaks into 2
+            (2, base + " extra"),                                   # test near-copy
+            (3, "totally different words with no overlap at all here whatsoever"),  # train clean
+            (4, "yet another clean and unrelated training document body text"),     # train clean
+            (5, "held out benchmark question that matches nothing in training"),    # test clean
+        ],
+        "doc_id long, text string",
+    )
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"), (5, "test")],
+        "doc_id long, split string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(docs, split, n=5, min_common=3).collect()}
+    assert set(rows) == {1, 3, 4}                     # train side only
+    assert rows[1]["kept"] is False
+    assert rows[1]["n_test_shingles"] == 6 and rows[1]["n_test_docs"] == 1
+    for d in (3, 4):
+        assert rows[d]["kept"] is True
+        assert rows[d]["n_test_shingles"] == 0 and rows[d]["n_test_docs"] == 0
+
+    kept_ids = [d for d, r in rows.items() if r["kept"]]
+    clean = docs.filter(F.col("doc_id").isin(kept_ids + [2, 5]))  # kept train + test side
+    rescan = contamination_report(clean, split, n=5, min_common=3).collect()
+    assert rescan == []
+
+
+def test_perplexity_buckets_unknown_source(spark):
+    """ADVICE r6: a source missing from the thresholds dict fails loud by
+    default (never a silent NULL bucket); on_unknown_source='tail' maps it
+    to the worst bucket."""
+    from klog_spark.datapipe.textstats import (
+        perplexity_bucket_thresholds, perplexity_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cuts = perplexity_bucket_thresholds(docs, n_buckets=3)
+    known = sorted(cuts)
+    partial = {s: cuts[s] for s in known[:-1]}
+    missing = known[-1]
+    with pytest.raises(ValueError, match=missing):
+        perplexity_buckets(docs, n_buckets=3, thresholds=partial)
+    rows = perplexity_buckets(docs, n_buckets=3, thresholds=partial,
+                              on_unknown_source="tail").collect()
+    assert all(r["ppl_bucket"] == 3 for r in rows if r["source"] == missing)
+    assert all(1 <= r["ppl_bucket"] <= 3 for r in rows)
+
+
+def test_remove_repeated_spans_empty_doc_counts_zero(spark):
+    """ADVICE r6: an empty/whitespace-only document reports n_kept_words=0
+    (the '' split artifact is filtered), matching the sibling word-count
+    operators."""
+    from klog_spark.datapipe.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=3, min_df=2).collect()}
+    assert got[1]["n_kept_words"] == 0 and got[1]["cleaned_text"] == ""
+    assert got[2]["n_kept_words"] == 0 and got[2]["cleaned_text"] == ""
+    assert got[3]["n_kept_words"] == 3 and got[3]["cleaned_text"] == "real words here"

@@ -29,17 +29,17 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     qs = set(entry_mod.queries())
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
-    # every registered query now has a full rows+schema+hash oracle
-    assert qs == os_
+    # every registered query has a full rows+schema+hash oracle EXCEPT the
+    # declared rows-only rows (driver-contract escape hatch for genuinely
+    # non-SQL-expressible ops — iterative GD; NumPy-parity pytest instead)
+    ROWS_ONLY = {"trained_quality_filter"}
+    assert qs - os_ == ROWS_ONLY
     # the driver samples ~50 rows per round: keep the registry inside the
     # budget so no row is ever formally stale (VERDICT r3 missing #1)
     assert len(qs) <= 50
-    # retired near-duplicates keep the same contract in the local-only dicts;
-    # rows-only extras (driver-contract escape hatch for genuinely
-    # non-SQL-expressible ops) must be declared here, not silently missing
-    ROWS_ONLY = {"trained_quality_filter"}  # iterative GD: NumPy-parity pytest instead
+    # retired near-duplicates keep the same contract in the local-only dicts
     xq, xo = set(entry_mod.extra_queries()), set(entry_mod.extra_oracle_sql())
-    assert xq - xo == ROWS_ONLY and not (xo - xq)
+    assert xq == xo
     assert not (qs & xq)
 
 

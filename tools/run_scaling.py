@@ -73,35 +73,57 @@ def main() -> None:
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    # raw result tables land here; the curated analysis (variance, VM-limit
-    # falsification, write-path study) lives in BENCH/BASELINE.md — update it
-    # by hand from these numbers, don't clobber it
-    (bench_dir / "SCALING_RUN.md").write_text(f"""# BENCH/SCALING_RUN — latest scaling measurement
+    # raw result tables land here, one section PER MODE (a run replaces its
+    # own mode's section and leaves the others — the file carries the klog
+    # half AND the datapipe half side by side); the curated analysis
+    # (variance, VM-limit falsification, write-path study) lives in
+    # BENCH/BASELINE.md — update it by hand from these numbers, don't clobber
+    input_desc = (
+        f"synthetic near-dup document corpus sf={sf} "
+        f"({results[n]['rows']:,} docs, exact copy planted every 10th)"
+        if mode == "dedup"
+        else f"seeded klog fixture sf={sf} ({results[n]['rows']:,} tokenized lines)"
+    )
+    sanity_desc = (
+        "near-dup pairs / flagged docs" if mode == "dedup"
+        else "num_committed / num_aborted"
+    )
+    unit = "docs/s" if mode == "dedup" else "sequences/s"
+    section = f"""## mode: {mode}
 
-Protocol (BASELINE.md): same job (mode={mode}), same input, two parallelism
-levels via `spark-submit --py-files dist/klog_spark.zip tools/scaling_job.py`
-— the sandbox stand-in for the N -> 4N executor criterion. Timed first
-action -> last action (session startup excluded). Input: seeded klog
-fixture sf={sf} ({results[n]['rows']:,} tokenized lines); best of 3
-interleaved fresh-JVM runs per level.
+Same job, same input, two parallelism levels via `spark-submit --py-files
+dist/klog_spark.zip tools/scaling_job.py` — the sandbox stand-in for the
+N -> 4N executor criterion. Timed first action -> last action (session
+startup excluded). Input: {input_desc}; best of 3 interleaved fresh-JVM
+runs per level.
 
-| parallelism | wall (s) | throughput (sequences/s) |
+| parallelism | wall (s) | throughput ({unit}) |
 |---|---|---|
 | local[{n}]  | {results[n]['wall_s']} | {r_n:,.0f} |
 | local[{4*n}] | {results[4*n]['wall_s']} | {r_4n:,.0f} |
 
 **Scaling efficiency (R_{{4N}} / R_N) / 4 = {eff:.3f}** (target >= 0.8).
 
-Aggregate sanity at both levels: num_committed={results[n]['num_committed']},
-num_aborted={results[n]['num_aborted']}, sessions={results[n]['n_sessions']}
+Aggregate sanity at both levels ({sanity_desc}): {results[n]['num_committed']} /
+{results[n]['num_aborted']}, sessions={results[n]['n_sessions']}
 (identical across parallelism levels: {results[n]['num_committed'] == results[4*n]['num_committed']
  and results[n]['num_aborted'] == results[4*n]['num_aborted']}).
 
 Measured {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())} on local[{4*n}]-max hardware
 ({os.cpu_count()} cores). Spark confs: AQE on, shuffle.partitions=cores,
 maxPartitionBytes=8MB (local split sizing), Arrow batches.
-""")
-    print(f"wrote {bench_dir / 'SCALING_RUN.md'}")
+"""
+    path = bench_dir / "SCALING_RUN.md"
+    header = "# BENCH/SCALING_RUN — latest scaling measurements (protocol: BASELINE.md)\n"
+    sections: dict[str, str] = {}
+    if path.exists():
+        body = path.read_text()
+        for chunk in body.split("\n## mode: ")[1:]:
+            name, _, rest = chunk.partition("\n")
+            sections[name.strip()] = "## mode: " + name.strip() + "\n" + rest.rstrip() + "\n"
+    sections[mode] = section
+    path.write_text(header + "\n" + "\n".join(sections[k] for k in sorted(sections)))
+    print(f"wrote {path} (modes: {', '.join(sorted(sections))})")
     if eff < 0.8:
         sys.exit(1)
 

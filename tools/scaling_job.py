@@ -23,12 +23,10 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
     mode = sys.argv[2] if len(sys.argv) > 2 else "full"
-    from klog_spark.datagen import ensure_fixture
     from klog_spark.operators import aggregates
     from klog_spark.operators.parse import parse_sequences
     from klog_spark.operators.route import apply_validity_routing
 
-    fx = str(ensure_fixture(sf))
     spark = (
         SparkSession.builder.appName("klog-scaling")
         .config("spark.sql.adaptive.enabled", "true")
@@ -39,6 +37,12 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    if mode == "dedup":
+        run_dedup(spark, sf)
+        return
+    from klog_spark.datagen import ensure_fixture
+
+    fx = str(ensure_fixture(sf))
     df = spark.read.parquet(f"{fx}/sequences.parquet")
     # pre-warm the Python worker pool (session-init cost, like JVM startup,
     # excluded per BASELINE.md protocol)
@@ -95,6 +99,68 @@ def main() -> None:
             "num_committed": stats["num_committed"],
             "num_aborted": stats["num_aborted"],
             "n_sessions": per_epoch,
+        }))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+def run_dedup(spark: SparkSession, sf: float) -> None:
+    """LLM-pipeline scaling mode (VERDICT r6 next #7): MinHash+LSH near-dup
+    detection over a deterministic synthetic document corpus — the same
+    N -> 4N two-parallelism protocol as parse_agg, so the dedup half of the
+    engine carries its own >= 0.8 efficiency evidence.
+
+    Corpus: sf-scaled (sf1 = 100k docs of 80 synthetic words each, vocab
+    4000), PLUS an exact copy of every 10th doc — generated JVM-side from
+    spark.range (no RNG, identical at every parallelism level), written to
+    tmp parquet OUTSIDE the timed window (the fixture role). Timed: scan ->
+    minhash signatures (64 perms) -> banded LSH candidates -> signature
+    verify -> pair count. Sanity across levels: num_committed = verified
+    near-dup pairs, num_aborted = distinct flagged docs.
+    """
+    import os as _os
+
+    from klog_spark.datapipe.dedup import minhash_dedup
+
+    n_docs = max(1000, int(100_000 * sf))
+    out = tempfile.mkdtemp(prefix="klog-scaling-dedup-",
+                           dir="/dev/shm" if _os.path.isdir("/dev/shm") else None)
+    try:
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(79)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("doc_id") * F.lit(997) + i), F.lit(4000)),
+            ),
+        )
+        base = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+        )
+        dups = base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + n_docs).alias("doc_id"), "text"
+        )
+        base.unionByName(dups).repartition(4 * spark_cores()) \
+            .write.mode("overwrite").parquet(f"{out}/docs")
+        docs = spark.read.parquet(f"{out}/docs")
+        docs.limit(16).collect()  # pre-warm (session-init, excluded)
+
+        t0 = time.time()
+        n = docs.count()  # first timed action
+        pairs = minhash_dedup(docs, num_hashes=64, bands=16, shingle_n=3,
+                              threshold=0.5).cache()
+        n_pairs = pairs.count()
+        n_flagged = pairs.select(F.explode(F.array("id1", "id2"))).distinct().count()
+        wall = time.time() - t0
+        print(json.dumps({
+            "master": spark.sparkContext.master,
+            "mode": "dedup",
+            "rows": n,
+            "wall_s": round(wall, 2),
+            "rows_per_sec": round(n / wall, 1),
+            "num_committed": n_pairs,
+            "num_aborted": n_flagged,
+            "n_sessions": -1,
         }))
     finally:
         shutil.rmtree(out, ignore_errors=True)
