@@ -191,6 +191,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 variants, locally gated from birth
         "semdedup_first_n": eq.q_semdedup_first_n,               # engine-replicable first_n quantizer twin of the pinned-kmeans driver row
         "bloom_screen_packed": eq.q_bloom_screen_packed,         # packed-bitmap broadcast Bloom (Arrow kernel), same oracle as bloom_screen
+        # round-7 new capability: soft sampling / cluster rebalancing
+        "quality_rejection_sample": eq.q_quality_rejection_sample,  # DCLM-style soft filter over the pinned margin (integer accept test)
+        "cluster_balanced_sample": eq.q_cluster_balanced_sample,    # per-IVF-cell expected-cap downsampling on the pinned quantizer
     }
 
 
@@ -319,4 +322,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "contamination_check": eq.SQL_CONTAMINATION_CHECK,
         "semdedup_first_n": eq.SQL_SEMDEDUP_FIRST_N,
         "bloom_screen_packed": eq.SQL_BLOOM_SCREEN_PACKED,
+        "quality_rejection_sample": eq.SQL_QUALITY_REJECTION_SAMPLE,
+        "cluster_balanced_sample": eq.SQL_CLUSTER_BALANCED_SAMPLE,
     }

@@ -134,6 +134,10 @@ def main() -> None:
             # round-6: context-window chunking — the zero-shuffle per-row path
             timed("doc_chunks", lambda: eq.q_doc_chunks(spark, sf_dir)
                   .write.format("noop").mode("overwrite").save())
+            # round-7: packed-bitmap Bloom dedup screen end-to-end — build
+            # the bit table, pack it executor-side, broadcast, O(1)-probe
+            timed("bloom_screen_packed", lambda: eq.q_bloom_screen_packed(spark, sf_dir)
+                  .write.format("noop").mode("overwrite").save())
             all_runs.append(timings)
             shutil.rmtree(routed_dir, ignore_errors=True)
     finally:

@@ -164,3 +164,109 @@ def token_budget_mixture(docs: DataFrame, weights: dict[str, float],
         .select("doc_id", "source", "n_tokens", n_full.alias("epoch"))
     )
     return full.unionByName(rem).select("doc_id", "source", "epoch", "n_tokens")
+
+
+def rejection_sample(scored: DataFrame, temperature_micro: int,
+                     score_micro_col: str = "margin_micro",
+                     id_col: str = "doc_id", salt: str = "qrs") -> DataFrame:
+    """Soft (stochastic) quality filtering, the DCLM/FineWeb-style
+    alternative to a hard threshold: instead of ``kept = score >= 0``,
+    accept each document with probability rising linearly in its score —
+    ``P(accept) = clamp(1/2 + score/(2T), 0, 1)`` — so marginal documents
+    survive at a rate proportional to their quality and the kept corpus
+    keeps a smooth quality gradient (hard cutoffs throw away the
+    information in the margin).
+
+    Fully deterministic and engine-replicable: the per-document uniform is
+    ``u_micro = java_u32(sha256(salt:doc_id)) % 1e6`` (no RNG state, no
+    sampleBy), and the accept test is the pure INTEGER comparison
+
+        ``(u_micro - 500000) * 2 * temperature_micro
+           <  score_micro * 1_000_000``
+
+    — algebraically identical to ``u < 1/2 + score/(2T)`` with zero
+    division and zero floats, so Spark and any SQL oracle agree bit-for-bit
+    (the SCORED_FILTER margin_micro pattern). ``temperature_micro`` is the
+    temperature in the same micro units as the score column: larger T =
+    softer filter; T -> 0 recovers the hard ``score >= 0`` threshold.
+
+    Scale shape: one stateless JVM projection over the scored table — no
+    shuffle, no window, no driver state; applies unchanged to a stream.
+
+    Returns (id, score_micro, u_micro, kept).
+    """
+    from ..javahash import java_hash_u32_expr
+
+    if temperature_micro <= 0:
+        raise ValueError("temperature_micro must be > 0 (use kept = score >= 0 for a hard threshold)")
+    u = F.pmod(
+        java_hash_u32_expr(
+            F.sha2(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")), 256)
+        ),
+        F.lit(1_000_000),
+    ).cast("long")
+    score = F.col(score_micro_col).cast("long")
+    kept = (u - F.lit(500_000)) * F.lit(2 * int(temperature_micro)).cast("long") \
+        < score * F.lit(1_000_000).cast("long")
+    return scored.select(
+        id_col,
+        score.alias(score_micro_col),
+        u.alias("u_micro"),
+        kept.alias("kept"),
+    )
+
+
+def cluster_balanced_sample(emb: DataFrame, cap: int, n_centroids: int = 16,
+                            train: str = "first_n", centroids=None, seed: int = 7,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            salt: str = "cbs") -> DataFrame:
+    """Cluster-balanced corpus subsampling: assign every embedding to its
+    IVF cell (the shared coarse quantizer — pass ``centroids`` to pin a
+    kmeans fit, the SemDeDup pattern) and downsample each cell to an
+    EXPECTED ``cap`` vectors, so over-represented regions of embedding
+    space (boilerplate clusters, template farms) stop dominating the
+    training mix while small clusters pass through untouched — the
+    cluster-rebalancing step that typically follows SemDeDup in an
+    embedding-curation pipeline.
+
+    Per-cell acceptance rate ``min(1, cap/cell_size)`` with zero division
+    and zero RNG: accept iff ``u_micro * cell_size < cap * 1_000_000``
+    where ``u_micro = java_u32(sha256(salt:vec_id)) % 1e6`` — a pure
+    integer comparison both engines evaluate identically. A cell at or
+    under ``cap`` keeps EVERY vector (u_micro <= 999_999 makes the test
+    always-true), so the operator never thins the tail.
+
+    Scale shape: the assignment is the broadcast-centroid map
+    (similarity.ivf_cell_assign, no shuffle of the corpus); cell sizes are
+    one bounded groupBy (<= n_centroids rows) broadcast back — the corpus
+    itself is never shuffled.
+
+    Returns (vec_id, cell, cell_size, u_micro, kept).
+    """
+    from ..javahash import java_hash_u32_expr
+
+    from .similarity import ivf_cell_assign
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    assigned, _, _ = ivf_cell_assign(
+        emb, n_centroids=n_centroids, train=train, seed=seed,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+    )
+    sizes = assigned.groupBy("cell").agg(F.count("*").cast("long").alias("cell_size"))
+    u = F.pmod(
+        java_hash_u32_expr(
+            F.sha2(F.concat(F.lit(f"{salt}:"), F.col("cid_").cast("string")), 256)
+        ),
+        F.lit(1_000_000),
+    ).cast("long")
+    return (
+        assigned.join(F.broadcast(sizes), "cell")
+        .select(
+            F.col("cid_").alias(id_col),
+            "cell", "cell_size",
+            u.alias("u_micro"),
+            (u * F.col("cell_size") < F.lit(int(cap)) * F.lit(1_000_000).cast("long"))
+            .alias("kept"),
+        )
+    )

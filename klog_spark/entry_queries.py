@@ -4763,3 +4763,89 @@ def q_bloom_screen_packed(spark, sf_dir):
 
 
 SQL_BLOOM_SCREEN_PACKED = SQL_BLOOM_SCREEN
+
+
+# ---------------------------------------------------------------------------
+# round 7: soft quality sampling + cluster-balanced subsampling
+# ---------------------------------------------------------------------------
+
+# temperature (micro margin units) for the soft filter's gate row: 2.0
+# margin units — wide enough that the fixture's margins (|m| up to ~20)
+# exercise the always-accept, never-accept AND genuinely-stochastic bands
+QRS_TEMPERATURE_MICRO = 2_000_000
+
+
+def q_quality_rejection_sample(spark, sf_dir):
+    """DCLM/FineWeb-style SOFT quality filtering (mixture.rejection_sample):
+    accept each document with probability clamp(1/2 + margin/(2T), 0, 1)
+    over the PINNED scored-filter margin — marginal docs survive
+    proportionally to quality instead of dying at a hard cutoff. The
+    per-doc uniform is java_u32(sha256('qrs:'||doc_id)) % 1e6 and the
+    accept test is a pure integer comparison, so the full
+    (doc_id, margin_micro, u_micro, kept) table hash-matches a DuckDB
+    oracle that recomputes margin, uniform and comparison from scratch."""
+    from .datapipe.mixture import rejection_sample
+
+    scored = q_scored_quality_filter(spark, sf_dir).select("doc_id", "margin_micro")
+    return rejection_sample(scored, QRS_TEMPERATURE_MICRO)
+
+
+SQL_QUALITY_REJECTION_SAMPLE = f"""
+WITH s AS (SELECT * FROM ({SQL_SCORED_QUALITY_FILTER})),
+u AS (
+  SELECT doc_id, margin_micro,
+         {_sql_java_u32("sha256('qrs:' || CAST(doc_id AS VARCHAR))")} % 1000000 AS u_micro
+  FROM s
+)
+SELECT doc_id, CAST(margin_micro AS BIGINT) AS margin_micro,
+       CAST(u_micro AS BIGINT) AS u_micro,
+       (u_micro - 500000) * {2 * QRS_TEMPERATURE_MICRO} < margin_micro * 1000000 AS kept
+FROM u
+"""
+
+
+# expected per-cell sample size for the gate row: the 16 pinned cells hold
+# ~20-45 of the 500 sf0.01 embeddings each, so cap=25 thins the big cells
+# and passes the small ones through untouched (both branches exercised)
+CBS_CAP = 25
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced subsampling (mixture.cluster_balanced_sample) on
+    the PINNED kmeans quantizer: every embedding is assigned to its
+    SEMDEDUP_CENTROIDS cell, and each cell is thinned to an expected
+    CBS_CAP vectors via the integer test u_micro * cell_size <
+    cap * 1e6 (cells at or under the cap keep everything). The DuckDB
+    oracle re-derives assignment (argmin L2 against the same literals),
+    cell sizes, uniforms and the comparison from scratch."""
+    from .datapipe.mixture import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    return cluster_balanced_sample(emb, cap=CBS_CAP, centroids=SEMDEDUP_CENTROIDS)
+
+
+def _sql_cluster_balanced_sample() -> str:
+    u = _sql_java_u32("sha256('cbs:' || CAST(vec_id AS VARCHAR))")
+    return f"""
+WITH {_sql_semdedup_pinned_cent()},
+scored_cells AS (
+  SELECT e.vec_id, c.cell,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+),
+sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_size FROM assign GROUP BY cell),
+u AS (SELECT vec_id, {u} % 1000000 AS u_micro FROM assign)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, s.cell_size,
+       CAST(u.u_micro AS BIGINT) AS u_micro,
+       u.u_micro * s.cell_size < {CBS_CAP} * 1000000 AS kept
+FROM assign a JOIN sizes s USING (cell) JOIN u USING (vec_id)
+"""
+
+
+SQL_CLUSTER_BALANCED_SAMPLE = _sql_cluster_balanced_sample()

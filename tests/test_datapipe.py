@@ -1991,3 +1991,74 @@ def test_remove_repeated_spans_empty_doc_counts_zero(spark):
     assert got[1]["n_kept_words"] == 0 and got[1]["cleaned_text"] == ""
     assert got[2]["n_kept_words"] == 0 and got[2]["cleaned_text"] == ""
     assert got[3]["n_kept_words"] == 3 and got[3]["cleaned_text"] == "real words here"
+
+
+def test_rejection_sample_soft_filter_properties(spark):
+    """Soft quality sampling: deterministic across partitionings, hard
+    thresholds at |score| >= T (score >= T always kept, score <= -T never),
+    monotone acceptance in between, and T -> small recovers the hard
+    score >= 0 filter for every doc whose |score| exceeds T."""
+    from klog_spark.datapipe.mixture import rejection_sample
+
+    rows = [(i, (i - 50) * 100_000) for i in range(101)]   # scores -5M..+5M
+    scored = spark.createDataFrame(rows, "doc_id long, margin_micro long")
+    T = 2_000_000
+    got = {r["doc_id"]: r for r in rejection_sample(scored, T).collect()}
+    assert len(got) == 101
+    for i, s in rows:
+        r = got[i]
+        assert r["margin_micro"] == s and 0 <= r["u_micro"] < 1_000_000
+        # exact integer contract: u < 1/2 + s/(2T)
+        want = (r["u_micro"] - 500_000) * 2 * T < s * 1_000_000
+        assert r["kept"] == want
+        if s >= T:
+            assert r["kept"]            # prob 1 band
+        if s <= -T:
+            assert not r["kept"]        # prob 0 band
+    # in the stochastic band both outcomes actually occur
+    band = [got[i]["kept"] for i, s in rows if -T < s < T]
+    assert True in band and False in band
+    # repartitioning changes nothing (pure per-row expression)
+    again = {r["doc_id"]: r["kept"]
+             for r in rejection_sample(scored.repartition(7), T).collect()}
+    assert again == {i: got[i]["kept"] for i, _ in rows}
+    with pytest.raises(ValueError, match="temperature"):
+        rejection_sample(scored, 0)
+
+
+def test_cluster_balanced_sample_caps_big_cells(spark):
+    """Cluster-balanced subsampling: cells at or under the cap keep EVERY
+    vector; oversized cells thin toward the cap (expected-value contract:
+    kept ~ Binomial(size, cap/size)); output covers every input vector
+    exactly once and is partitioning-invariant."""
+    import random
+
+    from klog_spark.datapipe.mixture import cluster_balanced_sample
+
+    rng = random.Random("cbs-test")
+    # two tight clusters: a big one (300 vectors) and a small one (12)
+    big = [(i, [1.0 + rng.uniform(-0.01, 0.01), 0.0, 0.0, 0.0]) for i in range(300)]
+    small = [(1000 + i, [0.0, 1.0 + rng.uniform(-0.01, 0.01), 0.0, 0.0]) for i in range(12)]
+    emb = spark.createDataFrame(big + small, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = cluster_balanced_sample(emb, cap=30, centroids=cents).collect()
+    assert len(out) == 312
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert {c: len(rs) for c, rs in by_cell.items()} == {0: 300, 1: 12}
+    assert all(r["cell_size"] == 300 for r in by_cell[0])
+    # small cell under the cap: everything kept
+    assert all(r["kept"] for r in by_cell[1])
+    # big cell: thinned to ~cap (Binomial(300, 0.1): 6 sigma ~ 31)
+    n_kept = sum(1 for r in by_cell[0] if r["kept"])
+    assert 10 <= n_kept <= 62
+    # exact integer contract per row
+    for r in out:
+        assert r["kept"] == (r["u_micro"] * r["cell_size"] < 30 * 1_000_000)
+    again = sorted((r["vec_id"], r["kept"])
+                   for r in cluster_balanced_sample(
+                       emb.repartition(5), cap=30, centroids=cents).collect())
+    assert again == sorted((r["vec_id"], r["kept"]) for r in out)
+    with pytest.raises(ValueError, match="cap"):
+        cluster_balanced_sample(emb, cap=0, centroids=cents)

@@ -51,7 +51,10 @@ def test_sample_query_matches_oracle(spark, entry_mod, fixture_dir):
     # the oracle SQL against the sf0.001 fixture paths
     from klog_spark import entry_queries as eq
 
-    sdf = entry_mod.queries()["klog_batches_per_epoch"](spark, "/root/testdata/sf0.001")
+    # rotated to extra_queries() in round 7 (A9 keeps driver coverage via
+    # txn_stats/file_health); the pair contract is identical in both dicts
+    registry = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    sdf = registry["klog_batches_per_epoch"](spark, "/root/testdata/sf0.001")
     srows = [tuple(r) for r in sdf.collect()]
     sql = f"""
 WITH {eq.klog_base_cte(fixture_dir)}

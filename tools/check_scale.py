@@ -75,6 +75,13 @@ def main(sf: float = 0.1) -> int:
         "perplexity_buckets": (eq.q_perplexity_buckets, eq.SQL_PERPLEXITY_BUCKETS),
         "token_budget_mixture": (eq.q_token_budget_mixture, eq.SQL_TOKEN_BUDGET_MIXTURE),
         "semdedup": (eq.q_semdedup, eq.SQL_SEMDEDUP),
+        # round-7 operators at 10x the gate scale: decontamination's shingle
+        # join, the packed-bitmap Bloom kernel (same oracle as relational),
+        # the pinned soft sampler and the pinned cluster rebalancer
+        "contamination_removal": (eq.q_contamination_removal, eq.SQL_CONTAMINATION_REMOVAL),
+        "bloom_screen_packed": (eq.q_bloom_screen_packed, eq.SQL_BLOOM_SCREEN_PACKED),
+        "quality_rejection_sample": (eq.q_quality_rejection_sample, eq.SQL_QUALITY_REJECTION_SAMPLE),
+        "cluster_balanced_sample": (eq.q_cluster_balanced_sample, eq.SQL_CLUSTER_BALANCED_SAMPLE),
     }
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "

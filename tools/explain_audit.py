@@ -195,6 +195,27 @@ def main() -> None:
     sections.append(("pinned scored filter (apply)", plan_of(sf_q), ["Scan parquet"]))
     assert "Exchange" not in sf_plan, "applying a pinned model must not shuffle"
 
+    # 8i. round-7 operators: decontamination is the same capped shingle
+    #     equi-join as the scan (no cartesian); the packed Bloom screen and
+    #     the soft quality sampler are pure per-row kernels (ZERO Exchange);
+    #     cluster-balanced sampling broadcasts the bounded cell-size table
+    cr = eq.q_contamination_removal(spark, SF_DIR)
+    cr_plan = plan_of(cr, "simple")
+    sections.append(("contamination removal", plan_of(cr), ["Join"]))
+    assert "CartesianProduct" not in cr_plan and "BroadcastNestedLoopJoin" not in cr_plan
+    bsp = eq.q_bloom_screen_packed(spark, SF_DIR)
+    bsp_plan = plan_of(bsp, "simple")
+    sections.append(("packed Bloom screen", plan_of(bsp), ["MapInArrow"]))
+    assert "Exchange" not in bsp_plan, "packed Bloom probe must not shuffle"
+    qrs = eq.q_quality_rejection_sample(spark, SF_DIR)
+    qrs_plan = plan_of(qrs, "simple")
+    sections.append(("soft quality rejection sample", plan_of(qrs), ["Scan parquet"]))
+    assert "Exchange" not in qrs_plan, "soft sampling must stay a stateless projection"
+    cbs = eq.q_cluster_balanced_sample(spark, SF_DIR)
+    cbs_plan = plan_of(cbs, "simple")
+    sections.append(("cluster-balanced sample", plan_of(cbs), ["BroadcastHashJoin"]))
+    assert "CartesianProduct" not in cbs_plan and "BroadcastNestedLoopJoin" not in cbs_plan
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
