@@ -148,9 +148,16 @@ def run_dedup(spark: SparkSession, sf: float) -> None:
         t0 = time.time()
         n = docs.count()  # first timed action
         pairs = minhash_dedup(docs, num_hashes=64, bands=16, shingle_n=3,
-                              threshold=0.5).cache()
-        n_pairs = pairs.count()
-        n_flagged = pairs.select(F.explode(F.array("id1", "id2"))).distinct().count()
+                              threshold=0.5)
+        # one action for the whole dedup: 2*n_pairs exploded members ->
+        # (pair count, distinct flagged docs) in a single aggregate
+        row = (
+            pairs.select(F.explode(F.array("id1", "id2")).alias("d"))
+            .agg((F.count("*") / 2).cast("long").alias("np"),
+                 F.countDistinct("d").alias("nf"))
+            .collect()[0]
+        )
+        n_pairs, n_flagged = row["np"], row["nf"]
         wall = time.time() - t0
         print(json.dumps({
             "master": spark.sparkContext.master,
