@@ -194,6 +194,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 new capability: soft sampling / cluster rebalancing
         "quality_rejection_sample": eq.q_quality_rejection_sample,  # DCLM-style soft filter over the pinned margin (integer accept test)
         "cluster_balanced_sample": eq.q_cluster_balanced_sample,    # per-IVF-cell expected-cap downsampling on the pinned quantizer
+        "hashed_embeddings": eq.q_hashed_embeddings,                # feature-hashing text->embedding bridge (signed bucket histogram, L2)
     }
 
 
@@ -324,4 +325,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "bloom_screen_packed": eq.SQL_BLOOM_SCREEN_PACKED,
         "quality_rejection_sample": eq.SQL_QUALITY_REJECTION_SAMPLE,
         "cluster_balanced_sample": eq.SQL_CLUSTER_BALANCED_SAMPLE,
+        "hashed_embeddings": eq.SQL_HASHED_EMBEDDINGS,
     }

@@ -427,3 +427,65 @@ def ivfpq_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 
         .filter(F.col("rank") <= k)
         .select("qid", F.col("cid_").alias("vec_id"), "rank")
     )
+
+
+def hashed_doc_embeddings(docs: DataFrame, dim: int = 64,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          normalize: bool = True) -> DataFrame:
+    """Model-free document embeddings via the feature-hashing trick
+    (Weinberger et al. 2009): each word lands in bucket
+    ``java_u32(word) % dim`` with sign ``+1/-1`` from an independent salted
+    hash, the document vector is the signed bucket-count histogram,
+    L2-normalized. No trained model, no Python — and bit-replicable in any
+    engine (the java-hash family the MinHash / SimHash oracles already
+    pin).
+
+    This is the bridge from the text operators to the embedding operators
+    for corpora with no model embeddings: the output (id, array<double>)
+    feeds ann_topk / ivf_topk / semdedup_embedding / cluster_balanced_sample
+    unchanged (cosine on hashed vectors approximates token-multiset
+    cosine; pytest-asserted against an exact NumPy replica).
+
+    Scale shape: the minhash-signature pattern — explode words, hash each
+    word EXACTLY ONCE row-wise (whole-stage codegen; a per-row nested
+    higher-order form was measured 60x slower because Catalyst re-evaluates
+    the inlined hash per output dimension in interpreted mode), then ONE
+    map-side-partial groupBy(doc_id) with ``dim`` conditional sums — the
+    only shuffle carries (doc_id, dim longs). Documents with no words keep
+    an all-zero vector via the left join back onto the id set."""
+    from ..javahash import java_hash_u32_expr
+
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    w = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+    w = w.select(
+        "doc_id",
+        F.pmod(java_hash_u32_expr(F.col("w")), F.lit(dim)).alias("b"),
+        F.when(
+            F.pmod(java_hash_u32_expr(F.concat(F.lit("sign#"), F.col("w"))), F.lit(2)) == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).cast("long").alias("s"),
+    )
+    sums = w.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == i, F.col("s")).otherwise(F.lit(0).cast("long"))).alias(f"v_{i}")
+            for i in range(dim)
+        ]
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    joined = ids.join(sums, "doc_id", "left")
+    vec = F.array(*[
+        F.coalesce(F.col(f"v_{i}"), F.lit(0)).cast("double") for i in range(dim)
+    ])
+    if normalize:
+        out = joined.select("doc_id", vec.alias("_raw"))
+        nrm = F.sqrt(F.aggregate("_raw", F.lit(0.0), lambda a, x: a + x * x))
+        return out.select(
+            "doc_id",
+            F.when(nrm > 0, F.transform("_raw", lambda x: x / nrm))
+            .otherwise(F.col("_raw")).alias("embedding"),
+        )
+    return joined.select("doc_id", vec.alias("embedding"))

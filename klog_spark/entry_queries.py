@@ -4849,3 +4849,57 @@ FROM assign a JOIN sizes s USING (cell) JOIN u USING (vec_id)
 
 
 SQL_CLUSTER_BALANCED_SAMPLE = _sql_cluster_balanced_sample()
+
+
+HDE_DIM = 32
+
+
+def q_hashed_embeddings(spark, sf_dir):
+    """Feature-hashing document embeddings (similarity.hashed_doc_embeddings):
+    signed java-hash bucket histogram per document, L2-normalized — the
+    model-free text -> embedding bridge, gated end-to-end. Components are
+    rounded to 6 dp on BOTH sides for the value hash (the raw operator
+    emits full doubles; sums are exact integers, so rounding the
+    normalized quotient is the only fp on either path)."""
+    from .datapipe.similarity import hashed_doc_embeddings
+
+    emb = hashed_doc_embeddings(_docs(spark, sf_dir), dim=HDE_DIM)
+    return emb.select(
+        "doc_id", F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding")
+    )
+
+
+def _sql_hashed_embeddings() -> str:
+    u32w = _sql_java_u32("w")
+    u32s = _sql_java_u32("'sign#' || w")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         [{{'b': {u32w} % {HDE_DIM},
+            's': CASE WHEN {u32s} % 2 = 0 THEN 1 ELSE -1 END}}
+          for w in words] AS feats
+  FROM w
+),
+v AS (
+  SELECT doc_id,
+         [CAST(coalesce(list_sum([f.s for f in feats if f.b = i]), 0) AS DOUBLE)
+          for i in range(0, {HDE_DIM})] AS vec
+  FROM f
+),
+n AS (
+  SELECT doc_id, vec, sqrt(list_sum([x * x for x in vec])) AS nrm FROM v
+)
+SELECT doc_id,
+       CASE WHEN nrm > 0 THEN [round(x / nrm, 6) for x in vec]
+            ELSE [round(x, 6) for x in vec] END AS embedding
+FROM n
+"""
+
+
+SQL_HASHED_EMBEDDINGS = _sql_hashed_embeddings()

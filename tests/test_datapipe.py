@@ -2062,3 +2062,96 @@ def test_cluster_balanced_sample_caps_big_cells(spark):
     assert again == sorted((r["vec_id"], r["kept"]) for r in out)
     with pytest.raises(ValueError, match="cap"):
         cluster_balanced_sample(emb, cap=0, centroids=cents)
+
+
+def test_rejection_sample_and_packed_bloom_stream_parity(spark, tmp_path_factory):
+    """Both round-7 per-row screens are stateless projections/kernels, so
+    they apply UNCHANGED to a streaming DataFrame in append mode with
+    batch-identical output: the soft quality sampler (pure JVM expression)
+    and the packed-bitmap Bloom screen (broadcast bitmap + Arrow kernel)."""
+    from klog_spark.datapipe.dedup import bloom_bits, bloom_pack, bloom_screen_packed
+    from klog_spark.datapipe.mixture import rejection_sample
+
+    scored = spark.createDataFrame(
+        [(i, (i - 30) * 150_000) for i in range(61)],
+        "doc_id long, margin_micro long",
+    )
+    docs = scored.select("doc_id", F.concat(F.lit("doc "), F.col("doc_id")).alias("text"))
+    T, m, k = 2_000_000, 1 << 14, 3
+    want_rs = {r["doc_id"]: (r["u_micro"], r["kept"])
+               for r in rejection_sample(scored, T).collect()}
+    bitmap = bloom_pack(bloom_bits(docs.filter(F.col("doc_id") % 2 == 0), m=m, k=k), m=m)
+    want_bl = {r["doc_id"]: (r["n_hits"], r["maybe_dup"])
+               for r in bloom_screen_packed(docs, bitmap, m=m, k=k).collect()}
+
+    base = tmp_path_factory.mktemp("r7_stream")
+    scored.repartition(3).write.mode("overwrite").parquet(f"{base}/scored")
+    docs.repartition(3).write.mode("overwrite").parquet(f"{base}/docs")
+
+    s_scored = (spark.readStream.schema(scored.schema)
+                .option("maxFilesPerTrigger", 1).parquet(f"{base}/scored"))
+    q1 = (rejection_sample(s_scored, T)
+          .writeStream.format("memory").queryName("rs_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    s_docs = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{base}/docs"))
+    q2 = (bloom_screen_packed(s_docs, bitmap, m=m, k=k)
+          .writeStream.format("memory").queryName("bl_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+    got_rs = {r["doc_id"]: (r["u_micro"], r["kept"])
+              for r in spark.sql("select * from rs_stream").collect()}
+    got_bl = {r["doc_id"]: (r["n_hits"], r["maybe_dup"])
+              for r in spark.sql("select * from bl_stream").collect()}
+    assert got_rs == want_rs
+    assert got_bl == want_bl
+
+
+def test_hashed_embeddings_numpy_parity_and_composition(spark):
+    """Feature-hashing embeddings are bit-exact vs a NumPy replica of the
+    construction (java-u32 bucket, salted sign hash, L2 norm; empty docs
+    keep the zero vector), and COMPOSE with the embedding operators:
+    near-identical texts land within cosine >= 0.95 so semdedup_embedding
+    over the hashed vectors drops the planted near-copy."""
+    import numpy as np
+
+    from klog_spark.datapipe.dedup import semdedup_embedding
+    from klog_spark.datapipe.similarity import hashed_doc_embeddings
+
+    def ju32(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % (1 << 32)
+        return h
+
+    def ref(text, dim):
+        ws = [w for w in text.strip().lower().split() if w]
+        v = np.zeros(dim)
+        for w in ws:
+            v[ju32(w) % dim] += 1 if ju32("sign#" + w) % 2 == 0 else -1
+        n = np.sqrt((v * v).sum())
+        return v / n if n > 0 else v
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # near-copy of 1
+        (3, "completely unrelated text about spark query planning"),
+        (4, ""),
+        (5, "   "),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    emb = hashed_doc_embeddings(docs, dim=32)
+    got = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for d, t in texts:
+        assert list(got[d]) == list(ref(t, 32)), d    # bit-exact
+    assert got[4] == [0.0] * 32 and got[5] == [0.0] * 32
+
+    out = {r["vec_id"]: (r["dup_of"], r["kept"])
+           for r in semdedup_embedding(
+               emb.filter(F.col("doc_id") <= 3)
+                  .select(F.col("doc_id").alias("vec_id"), "embedding"),
+               threshold=0.9, n_centroids=1).collect()}
+    assert out[2] == (1, False)       # near-copy pruned to its original
+    assert out[1][1] and out[3][1]
