@@ -195,6 +195,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rejection_sample": eq.q_quality_rejection_sample,  # DCLM-style soft filter over the pinned margin (integer accept test)
         "cluster_balanced_sample": eq.q_cluster_balanced_sample,    # per-IVF-cell expected-cap downsampling on the pinned quantizer
         "hashed_embeddings": eq.q_hashed_embeddings,                # feature-hashing text->embedding bridge (signed bucket histogram, L2)
+        "semdedup_prototypes": eq.q_semdedup_prototypes,            # D4-style keep=farthest twin of the semdedup driver row
     }
 
 
@@ -326,4 +327,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "quality_rejection_sample": eq.SQL_QUALITY_REJECTION_SAMPLE,
         "cluster_balanced_sample": eq.SQL_CLUSTER_BALANCED_SAMPLE,
         "hashed_embeddings": eq.SQL_HASHED_EMBEDDINGS,
+        "semdedup_prototypes": eq.SQL_SEMDEDUP_PROTOTYPES,
     }

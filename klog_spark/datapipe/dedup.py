@@ -720,7 +720,8 @@ def semdedup_embedding(emb: DataFrame, threshold: float = 0.95,
                        n_centroids: int = 16, train: str = "first_n",
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        seed: int = 7, centroids=None,
-                       max_cell_size: int | None = None) -> DataFrame:
+                       max_cell_size: int | None = None,
+                       keep: str = "min_id") -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     construction): cluster the embeddings with the IVF coarse quantizer
     (similarity.ivf_cell_assign), compare cosines ONLY within each cluster,
@@ -745,10 +746,22 @@ def semdedup_embedding(emb: DataFrame, threshold: float = 0.95,
     mega-cell would silently turn the per-cell self-join quadratic; with
     the cap set, one cheap groupBy count raises BEFORE the join runs,
     naming the offending cells.
+
+    ``keep`` picks WHICH member of a near-dup neighborhood survives:
+    ``'min_id'`` (SemDeDup's arbitrary-representative default) or
+    ``'farthest'`` — D4-style (Tirumala et al. 2023): among similar
+    vectors, keep the one FARTHEST from its cluster centroid (ordering
+    key ``(round(dist * 1e6) DESC, id ASC)``, micro-rounded on both
+    engines so the comparison is integer-deterministic), dropping the
+    cluster-typical member — the diversity-preserving prune that paper
+    pairs with SemDeDup. Exact duplicates have equal distances, so the
+    id tiebreak keeps the original under either policy.
     """
     from .similarity import ivf_cell_assign
 
-    assigned, _, _ = ivf_cell_assign(
+    if keep not in ("min_id", "farthest"):
+        raise ValueError(f"keep must be 'min_id'|'farthest', got {keep!r}")
+    assigned, cids, cmat = ivf_cell_assign(
         emb, n_centroids=n_centroids, train=train, seed=seed,
         id_col=id_col, vec_col=vec_col, centroids=centroids,
     )
@@ -766,19 +779,58 @@ def semdedup_embedding(emb: DataFrame, threshold: float = 0.95,
     v = assigned.select(
         "cell", F.col("cid_").alias("vid"),
         F.transform("cvec_", lambda x: x / norm).alias("nv"),
+        F.col("cvec_").alias("_raw"),
     )
-    p1 = v.select("cell", F.col("vid").alias("id1"), F.col("nv").alias("v1"))
-    p2 = v.select("cell", F.col("vid").alias("id2"), F.col("nv").alias("v2"))
+    if keep == "farthest":
+        # exact centroid distance (sqrt of the squared-L2 fold), micro-
+        # rounded so both engines compare the same integers; the centroid
+        # table is <= n_centroids rows -> broadcast
+        cent_df = emb.sparkSession.createDataFrame(
+            [(int(c), [float(x) for x in row]) for c, row in zip(cids, cmat)],
+            "cell long, centvec array<double>",
+        )
+        d = F.sqrt(F.aggregate(
+            F.zip_with("_raw", "centvec", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda a, z: a + z,
+        ))
+        v = v.join(F.broadcast(cent_df), "cell").select(
+            "cell", "vid", "nv",
+            F.round(d * 1_000_000).cast("long").alias("rank_micro"),
+        )
+        p1 = v.select("cell", F.col("vid").alias("id1"), F.col("nv").alias("v1"),
+                      F.col("rank_micro").alias("r1"))
+        p2 = v.select("cell", F.col("vid").alias("id2"), F.col("nv").alias("v2"),
+                      F.col("rank_micro").alias("r2"))
+    else:
+        p1 = v.select("cell", F.col("vid").alias("id1"), F.col("nv").alias("v1"))
+        p2 = v.select("cell", F.col("vid").alias("id2"), F.col("nv").alias("v2"))
     cos = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, z: acc + z)
-    dup_of = (
+    sim = (
         p1.join(p2, "cell")
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .groupBy(F.col("id2").alias("vec_id"))
-        .agg(F.min("id1").alias("dup_of"))
     )
+    if keep == "farthest":
+        # per similar pair, the member NEARER its centroid loses (ties by
+        # id: the larger id loses, matching min_id for exact copies); the
+        # canonical is the best-ranked winner: ORDER BY rank DESC, id ASC
+        first_wins = (F.col("r1") > F.col("r2")) | (
+            (F.col("r1") == F.col("r2")) & (F.col("id1") < F.col("id2"))
+        )
+        directed = sim.select(
+            F.when(first_wins, F.col("id2")).otherwise(F.col("id1")).alias("loser"),
+            F.when(first_wins, F.col("id1")).otherwise(F.col("id2")).alias("wid"),
+            F.when(first_wins, F.col("r1")).otherwise(F.col("r2")).alias("wr"),
+        )
+        dup_of = directed.groupBy(F.col("loser").alias("vec_id")).agg(
+            F.expr("max_by(wid, struct(wr, -wid))").alias("dup_of")
+        )
+    else:
+        dup_of = sim.groupBy(F.col("id2").alias("vec_id")).agg(
+            F.min("id1").alias("dup_of")
+        )
     return (
         emb.select(F.col(id_col).alias("vec_id"))
         .join(dup_of, "vec_id", "left")

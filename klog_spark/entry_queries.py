@@ -4903,3 +4903,72 @@ FROM n
 
 
 SQL_HASHED_EMBEDDINGS = _sql_hashed_embeddings()
+
+
+def q_semdedup_prototypes(spark, sf_dir):
+    """SemDeDup with the D4-style keep policy (keep='farthest'): within
+    every near-dup neighborhood the member FARTHEST from its pinned-kmeans
+    centroid survives (diversity-preserving prune; ordering key
+    (round(dist*1e6) DESC, id ASC) is integer-deterministic on both
+    engines). Same corpus and quantizer as the semdedup driver row, so the
+    two rows pin both keep policies end-to-end."""
+    from .datapipe.dedup import semdedup_embedding
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return semdedup_embedding(corpus, threshold=0.95,
+                              centroids=SEMDEDUP_CENTROIDS, max_cell_size=200,
+                              keep="farthest")
+
+
+def _sql_semdedup_prototypes(cent_cte: str) -> str:
+    """Prototype-keep SemDeDup oracle: same assignment + cosine CTEs as
+    _sql_semdedup, then per-pair the nearer-to-centroid member loses (ties
+    by id) and each loser's canonical is its best-ranked winner."""
+    return f"""
+WITH {SQL_SEMDEDUP_CORPUS},
+{cent_cte},
+scored_cells AS (
+  SELECT e.vec_id, c.cell,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS d
+  FROM corpus e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cell, CAST(ROUND(d * 1000000) AS BIGINT) AS r FROM (
+    SELECT vec_id, cell, d, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, a.r AS r1, b.r AS r2
+  FROM assign a JOIN assign b USING (cell)
+  WHERE a.vec_id < b.vec_id
+),
+sim AS (
+  SELECT p.id1, p.id2, p.r1, p.r2 FROM pairs p
+  JOIN corpus e1 ON e1.vec_id = p.id1
+  JOIN corpus e2 ON e2.vec_id = p.id2
+  WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                               CAST(e2.embedding AS DOUBLE[])) >= 0.95
+),
+directed AS (
+  SELECT CASE WHEN r1 > r2 OR (r1 = r2 AND id1 < id2) THEN id2 ELSE id1 END AS loser,
+         CASE WHEN r1 > r2 OR (r1 = r2 AND id1 < id2) THEN id1 ELSE id2 END AS wid,
+         CASE WHEN r1 > r2 OR (r1 = r2 AND id1 < id2) THEN r1 ELSE r2 END AS wr
+  FROM sim
+),
+dup AS (
+  SELECT loser AS vec_id, wid AS dup_of FROM (
+    SELECT loser, wid, ROW_NUMBER() OVER (PARTITION BY loser ORDER BY wr DESC, wid ASC) AS rn
+    FROM directed
+  ) WHERE rn = 1
+)
+SELECT c.vec_id, d.dup_of, d.dup_of IS NULL AS kept
+FROM corpus c LEFT JOIN dup d USING (vec_id)
+"""
+
+
+SQL_SEMDEDUP_PROTOTYPES = _sql_semdedup_prototypes(_sql_semdedup_pinned_cent())

@@ -2155,3 +2155,29 @@ def test_hashed_embeddings_numpy_parity_and_composition(spark):
                threshold=0.9, n_centroids=1).collect()}
     assert out[2] == (1, False)       # near-copy pruned to its original
     assert out[1][1] and out[3][1]
+
+
+def test_semdedup_keep_farthest_policy(spark):
+    """keep='farthest' (D4-style prototypes): within a near-dup
+    neighborhood the member farthest from its centroid survives and the
+    cluster-typical member is dropped; exact copies still resolve to the
+    original via the id tiebreak; min_id semantics are unchanged."""
+    from klog_spark.datapipe.dedup import semdedup_embedding
+
+    rows = [
+        (1, [1.0, 0.0]),    # nearest the centroid -> dropped under farthest
+        (2, [1.2, 0.0]),    # same direction, farther -> the kept prototype
+        (3, [0.0, 1.0]),    # other cell, untouched
+        (10, [1.2, 0.0]),   # exact copy of 2 -> tie, larger id loses
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out_min = {r["vec_id"]: (r["dup_of"], r["kept"])
+               for r in semdedup_embedding(df, 0.95, centroids=cents).collect()}
+    out_far = {r["vec_id"]: (r["dup_of"], r["kept"])
+               for r in semdedup_embedding(df, 0.95, centroids=cents,
+                                           keep="farthest").collect()}
+    assert out_min == {1: (None, True), 2: (1, False), 3: (None, True), 10: (1, False)}
+    assert out_far == {1: (2, False), 2: (None, True), 3: (None, True), 10: (2, False)}
+    with pytest.raises(ValueError, match="keep"):
+        semdedup_embedding(df, 0.95, centroids=cents, keep="nope")
