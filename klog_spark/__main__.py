@@ -543,6 +543,103 @@ def cmd_corpus_score(spark, args) -> int:
     return 0
 
 
+
+
+def cmd_corpus_sample(spark, args) -> int:
+    """Soft (rejection) quality sampling: score every document with the
+    pinned trained filter, then accept with probability
+    clamp(1/2 + margin/(2T)) via the deterministic integer test
+    (mixture.rejection_sample — the DCLM-style soft alternative to the
+    hard `corpus score` cutoff). Writes (doc_id, margin_micro, u_micro,
+    kept) and prints the acceptance summary."""
+    from . import entry_queries as eq
+    from .datapipe.mixture import rejection_sample
+    from .streaming import scored_filter_stream
+
+    docs = _corpus_df(spark, args.input)
+    scored = scored_filter_stream(
+        docs, eq.SCORED_FILTER_WEIGHTS, eq.SCORED_FILTER_STATS
+    ).select("doc_id", "margin_micro")
+    rejection_sample(scored, args.temperature_micro).write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        )
+    )
+    print(f"sampled corpus decision table written to {args.out}")
+    return 0
+
+
+def cmd_corpus_decontaminate(spark, args) -> int:
+    """Contamination removal against a held-out/benchmark corpus: drop
+    every training document sharing >= --min-common distinct --n-gram
+    shingles with the test side (dedup.decontaminate). Writes the full
+    decision table (doc_id, n_test_shingles, n_test_docs, kept) over the
+    TRAIN input; filter kept for the publishable corpus."""
+    from .datapipe.dedup import decontaminate
+
+    train = _corpus_df(spark, args.input)
+    test = _corpus_df(spark, args.test)
+    both = train.select("doc_id", "text").unionByName(
+        test.select("doc_id", "text")
+    )
+    split = train.select("doc_id", F.lit("train").alias("split")).unionByName(
+        test.select("doc_id", F.lit("test").alias("split"))
+    )
+    decision = decontaminate(both, split, n=args.n, min_common=args.min_common,
+                             max_df=args.max_df)
+    decision.write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+            F.sum((~F.col("kept")).cast("int")).cast("long").alias("n_dropped"),
+        )
+    )
+    print(f"decontamination decision table written to {args.out}")
+    return 0
+
+
+def cmd_corpus_embed(spark, args) -> int:
+    """Model-free document embeddings via the feature-hashing trick
+    (similarity.hashed_doc_embeddings): writes (doc_id, embedding
+    array<double>) ready for the ANN / SemDeDup / rebalance operators."""
+    from .datapipe.similarity import hashed_doc_embeddings
+
+    docs = _corpus_df(spark, args.input)
+    hashed_doc_embeddings(docs, dim=args.dim).write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} document embeddings (dim={args.dim}) written to {args.out}")
+    return 0
+
+
+def cmd_corpus_rebalance(spark, args) -> int:
+    """Cluster-balanced subsampling over an embeddings parquet
+    (vec_id, embedding): thin each IVF cell to an expected --cap vectors
+    (mixture.cluster_balanced_sample). Writes the decision table
+    (vec_id, cell, cell_size, u_micro, kept)."""
+    from .datapipe.mixture import cluster_balanced_sample
+
+    emb = spark.read.parquet(args.input)
+    missing = {"vec_id", "embedding"} - set(emb.columns)
+    if missing:
+        raise SystemExit(f"embeddings input {args.input!r} lacks column(s) {sorted(missing)}")
+    out = cluster_balanced_sample(emb.select("vec_id", "embedding"), cap=args.cap,
+                                  n_centroids=args.n_centroids)
+    out.write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).groupBy("cell").agg(
+            F.max("cell_size").alias("cell_size"),
+            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        ).orderBy("cell")
+    )
+    print(f"rebalanced decision table written to {args.out}")
+    return 0
+
+
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="klog-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -619,6 +716,34 @@ def build_parser() -> argparse.ArgumentParser:
     csc.add_argument("input")
     csc.add_argument("--out", required=True)
     csc.set_defaults(fn=cmd_corpus_score)
+
+    csa = corp.add_parser("sample")
+    csa.add_argument("input")
+    csa.add_argument("--out", required=True)
+    csa.add_argument("--temperature-micro", type=int, default=2_000_000)
+    csa.set_defaults(fn=cmd_corpus_sample)
+
+    cde = corp.add_parser("decontaminate")
+    cde.add_argument("input", help="training documents parquet")
+    cde.add_argument("--test", required=True, help="held-out/benchmark documents parquet")
+    cde.add_argument("--out", required=True)
+    cde.add_argument("--n", type=int, default=5)
+    cde.add_argument("--min-common", type=int, default=3)
+    cde.add_argument("--max-df", type=int, default=None)
+    cde.set_defaults(fn=cmd_corpus_decontaminate)
+
+    cem = corp.add_parser("embed")
+    cem.add_argument("input")
+    cem.add_argument("--out", required=True)
+    cem.add_argument("--dim", type=int, default=64)
+    cem.set_defaults(fn=cmd_corpus_embed)
+
+    crb = corp.add_parser("rebalance")
+    crb.add_argument("input", help="embeddings parquet (vec_id, embedding)")
+    crb.add_argument("--out", required=True)
+    crb.add_argument("--cap", type=int, required=True)
+    crb.add_argument("--n-centroids", type=int, default=16)
+    crb.set_defaults(fn=cmd_corpus_rebalance)
     return ap
 
 

@@ -427,3 +427,58 @@ def test_cli_corpus_commands(spark, capsys, tmp_path):
                 spark, "/root/testdata/sf0.001").collect()}
     got = {r["doc_id"]: (r["kept"], r["margin_micro"]) for r in scored.collect()}
     assert got == want                      # CLI face == gated query, row-exact
+
+
+def test_cli_corpus_round7_commands(spark, capsys, tmp_path):
+    """Round-7 corpus CLI faces: sample == the gated rejection-sample
+    query row-exact; decontaminate drops a planted train->test leak;
+    embed writes normalized hashed vectors; rebalance keeps every vector
+    of cells at or under the cap."""
+    from klog_spark import entry_queries as eq
+    from klog_spark.__main__ import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    n_docs = spark.read.parquet(docs).count()
+
+    # sample: CLI face == gated quality_rejection_sample at the same T
+    sdest = str(tmp_path / "sampled")
+    assert main(["corpus", "sample", docs, "--out", sdest,
+                 "--temperature-micro", str(eq.QRS_TEMPERATURE_MICRO)], spark=spark) == 0
+    got = {r["doc_id"]: (r["margin_micro"], r["u_micro"], r["kept"])
+           for r in spark.read.parquet(sdest).collect()}
+    want = {r["doc_id"]: (r["margin_micro"], r["u_micro"], r["kept"])
+            for r in eq.q_quality_rejection_sample(
+                spark, "/root/testdata/sf0.001").collect()}
+    assert got == want
+
+    # decontaminate: doc 0's text re-published as a benchmark doc
+    leak = spark.read.parquet(docs).filter(F.col("doc_id") == 0) \
+        .select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    test_path = str(tmp_path / "bench_docs")
+    leak.write.mode("overwrite").parquet(test_path)
+    ddest = str(tmp_path / "decon")
+    assert main(["corpus", "decontaminate", docs, "--test", test_path,
+                 "--out", ddest, "--n", "5", "--min-common", "3"], spark=spark) == 0
+    dec = {r["doc_id"]: r["kept"] for r in spark.read.parquet(ddest).collect()}
+    assert len(dec) == n_docs and dec[0] is False
+    assert sum(0 if k else 1 for k in dec.values()) < n_docs / 2
+
+    # embed: unit-norm vectors (or zero for empty docs), requested dim
+    edest = str(tmp_path / "embedded")
+    assert main(["corpus", "embed", docs, "--out", edest, "--dim", "16"], spark=spark) == 0
+    emb = spark.read.parquet(edest)
+    assert emb.count() == n_docs
+    nrm2 = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+    bad = emb.select(F.size("embedding").alias("d"), nrm2.alias("n2")) \
+        .filter((F.col("d") != 16) | ((F.abs(F.col("n2") - 1.0) > 1e-9) & (F.col("n2") != 0.0)))
+    assert bad.count() == 0
+
+    # rebalance: big cap keeps everything
+    rdest = str(tmp_path / "rebalanced")
+    embs = "/root/testdata/sf0.001/embeddings.parquet"
+    n_vecs = spark.read.parquet(embs).count()
+    assert main(["corpus", "rebalance", embs, "--out", rdest,
+                 "--cap", str(n_vecs), "--n-centroids", "4"], spark=spark) == 0
+    reb = spark.read.parquet(rdest)
+    assert reb.count() == n_vecs
+    assert reb.filter(~F.col("kept")).count() == 0
