@@ -82,6 +82,7 @@ def main(sf: float = 0.1) -> int:
         "bloom_screen_packed": (eq.q_bloom_screen_packed, eq.SQL_BLOOM_SCREEN_PACKED),
         "quality_rejection_sample": (eq.q_quality_rejection_sample, eq.SQL_QUALITY_REJECTION_SAMPLE),
         "cluster_balanced_sample": (eq.q_cluster_balanced_sample, eq.SQL_CLUSTER_BALANCED_SAMPLE),
+        "semdedup_prototypes": (eq.q_semdedup_prototypes, eq.SQL_SEMDEDUP_PROTOTYPES),
     }
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "

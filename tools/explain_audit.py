@@ -215,6 +215,14 @@ def main() -> None:
     cbs_plan = plan_of(cbs, "simple")
     sections.append(("cluster-balanced sample", plan_of(cbs), ["BroadcastHashJoin"]))
     assert "CartesianProduct" not in cbs_plan and "BroadcastNestedLoopJoin" not in cbs_plan
+    hde = eq.q_hashed_embeddings(spark, SF_DIR)
+    hde_plan = plan_of(hde, "simple")
+    sections.append(("hashed doc embeddings", plan_of(hde), ["HashAggregate"]))
+    assert "CartesianProduct" not in hde_plan and "BroadcastNestedLoopJoin" not in hde_plan
+    sp = eq.q_semdedup_prototypes(spark, SF_DIR)
+    sp_plan = plan_of(sp, "simple")
+    sections.append(("SemDeDup prototypes (keep=farthest)", plan_of(sp), ["BroadcastHashJoin"]))
+    assert "CartesianProduct" not in sp_plan and "BroadcastNestedLoopJoin" not in sp_plan
 
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
