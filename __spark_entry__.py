@@ -39,6 +39,16 @@ contamination_check row it replaces (same shingle join, aggregated on
 the train side where the removal decision lives). The eleven rows
 rotated out — all green in CORRECTNESS_r06 — moved to
 ``extra_queries()`` with subsumption notes.
+
+Mid-round-7, the five operators BUILT this round (packed-bitmap Bloom,
+soft rejection sampling, cluster-balanced subsampling, feature-hashing
+embeddings, D4 prototypes) rotated in immediately rather than waiting a
+round (the recurring "zero driver history" gap of VERDICT r5 #1 / r6 #1):
+bloom_screen_packed, quality_rejection_sample, cluster_balanced_sample,
+hashed_embeddings, semdedup_prototypes replaced repeated_spans,
+bpe_pair_counts, event_funnel, user_retention, corpus_mixture_sample —
+all five rotated-out rows green in CORRECTNESS_r06 with their
+capabilities kept by the noted subsuming rows.
 """
 
 from __future__ import annotations
@@ -92,11 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": eq.q_pii_redaction,               # rule-based PII scrub, byte-exact rewrite parity
         "lm_quality_score": eq.q_lm_quality,               # unigram-LM (perplexity-style) corpus filter
         "weighted_sample_by_source": eq.q_weighted_sample, # derandomized A-ES weighted sampling
-        "repeated_spans": eq.q_repeated_spans,             # cross-doc repeated-span detection
-        "repeated_span_removal": eq.q_repeated_span_removal,  # exact-substring-dedup rewrite (spans excised)
+        "repeated_span_removal": eq.q_repeated_span_removal,  # exact-substring-dedup rewrite (spans excised; recomputes the detection CTEs)
         "cms_user_counts": eq.q_cms_user_counts,           # Count-Min sketch estimates vs exact
-        "bpe_pair_counts": eq.q_bpe_pair_counts,           # BPE training statistic (argmax = first merge)
-        "bpe_encode_stats": eq.q_bpe_encode_stats,         # BPE ENCODE path vs recursive-CTE re-encoder
+        "bpe_encode_stats": eq.q_bpe_encode_stats,         # BPE ENCODE path vs recursive-CTE re-encoder (consumes the trained merges)
         "corpus_curate": eq.q_corpus_curate,               # quality+PII+split+dedup+DECONTAMINATION composed pipeline (r7: 5 stages)
         # round-6 corpus-recipe classes, first driver rows (r7 rotation)
         "scored_quality_filter": eq.q_scored_quality_filter,  # pinned-model apply side, hash incl. margins
@@ -109,9 +117,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # telemetry/event analytics (engine-robustness fixed in round 4:
         # NTZ timestamps, pinned NULL ordering, tie-free exact averages)
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
-        "event_funnel": eq.q_event_funnel,                 # ordered view->click->purchase conversion (r6 rotation)
-        "user_retention": eq.q_user_retention,             # weekly cohort retention triangle (r6 rotation)
-        "corpus_mixture_sample": eq.q_corpus_mixture_sample,  # deterministic domain-mixture curation
+        # round-7-built operators, driver rows from birth (no stale round)
+        "bloom_screen_packed": eq.q_bloom_screen_packed,   # packed-bitmap broadcast Bloom, Arrow-kernel probe (VERDICT r6 #2)
+        "quality_rejection_sample": eq.q_quality_rejection_sample,  # DCLM-style soft filter over the pinned margin
+        "cluster_balanced_sample": eq.q_cluster_balanced_sample,    # per-IVF-cell expected-cap downsampling (pinned quantizer)
+        "hashed_embeddings": eq.q_hashed_embeddings,       # feature-hashing text->embedding bridge
+        "semdedup_prototypes": eq.q_semdedup_prototypes,   # D4-style keep=farthest prototype selection
         # named custom-operator classes (as-of / range / rollup / sketch)
         "klog_batch_state_asof": eq.q_batch_state_asof,
         "interval_join_oversized": eq.q_interval_join_oversized,  # range join, bucketed + broadcast-overflow paths both hashed
@@ -190,12 +201,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": eq.q_contamination_check,         # superseded by the contamination_removal driver row (same join, train-side agg)
         # round-7 variants, locally gated from birth
         "semdedup_first_n": eq.q_semdedup_first_n,               # engine-replicable first_n quantizer twin of the pinned-kmeans driver row
-        "bloom_screen_packed": eq.q_bloom_screen_packed,         # packed-bitmap broadcast Bloom (Arrow kernel), same oracle as bloom_screen
-        # round-7 new capability: soft sampling / cluster rebalancing
-        "quality_rejection_sample": eq.q_quality_rejection_sample,  # DCLM-style soft filter over the pinned margin (integer accept test)
-        "cluster_balanced_sample": eq.q_cluster_balanced_sample,    # per-IVF-cell expected-cap downsampling on the pinned quantizer
-        "hashed_embeddings": eq.q_hashed_embeddings,                # feature-hashing text->embedding bridge (signed bucket histogram, L2)
-        "semdedup_prototypes": eq.q_semdedup_prototypes,            # D4-style keep=farthest twin of the semdedup driver row
+        # rotated OUT mid-round-7 to give the round-7-built operators driver
+        # rows from birth (all five green in CORRECTNESS_r06)
+        "repeated_spans": eq.q_repeated_spans,                   # detection CTEs recomputed inside the repeated_span_removal driver row
+        "bpe_pair_counts": eq.q_bpe_pair_counts,                 # training statistic consumed by the bpe_encode_stats driver row; Sennrich-parity pytest
+        "event_funnel": eq.q_event_funnel,                       # event family keeps sessions + hypertable driver rows
+        "user_retention": eq.q_user_retention,                   # same; cohort logic pytest-pinned
+        "corpus_mixture_sample": eq.q_corpus_mixture_sample,     # mixture family keeps weighted_sample + token_budget_mixture driver rows
     }
 
 
@@ -237,10 +249,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": eq.SQL_PII_REDACTION,
         "lm_quality_score": eq.SQL_LM_QUALITY,
         "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
-        "repeated_spans": eq.SQL_REPEATED_SPANS,
         "repeated_span_removal": eq.SQL_REPEATED_SPAN_REMOVAL,
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
-        "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "bpe_encode_stats": eq.SQL_BPE_ENCODE_STATS,
         "corpus_curate": eq.SQL_CORPUS_CURATE,
         # r7 rotation (trained_quality_filter deliberately ABSENT:
@@ -252,9 +262,11 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mixture": eq.SQL_TOKEN_BUDGET_MIXTURE,
         "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
         "event_sessions": eq.SQL_EVENT_SESSIONS,
-        "event_funnel": eq.SQL_EVENT_FUNNEL,
-        "user_retention": eq.SQL_USER_RETENTION,
-        "corpus_mixture_sample": eq.SQL_CORPUS_MIXTURE_SAMPLE,
+        "bloom_screen_packed": eq.SQL_BLOOM_SCREEN_PACKED,
+        "quality_rejection_sample": eq.SQL_QUALITY_REJECTION_SAMPLE,
+        "cluster_balanced_sample": eq.SQL_CLUSTER_BALANCED_SAMPLE,
+        "hashed_embeddings": eq.SQL_HASHED_EMBEDDINGS,
+        "semdedup_prototypes": eq.SQL_SEMDEDUP_PROTOTYPES,
         "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
         "interval_join_oversized": eq.SQL_INTERVAL_JOIN_OVERSIZED,
         "events_hypertable": eq.SQL_EVENTS_HYPERTABLE,
@@ -323,9 +335,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_simhash": eq.SQL_DEDUP_SIMHASH,
         "contamination_check": eq.SQL_CONTAMINATION_CHECK,
         "semdedup_first_n": eq.SQL_SEMDEDUP_FIRST_N,
-        "bloom_screen_packed": eq.SQL_BLOOM_SCREEN_PACKED,
-        "quality_rejection_sample": eq.SQL_QUALITY_REJECTION_SAMPLE,
-        "cluster_balanced_sample": eq.SQL_CLUSTER_BALANCED_SAMPLE,
-        "hashed_embeddings": eq.SQL_HASHED_EMBEDDINGS,
-        "semdedup_prototypes": eq.SQL_SEMDEDUP_PROTOTYPES,
+        "repeated_spans": eq.SQL_REPEATED_SPANS,
+        "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
+        "event_funnel": eq.SQL_EVENT_FUNNEL,
+        "user_retention": eq.SQL_USER_RETENTION,
+        "corpus_mixture_sample": eq.SQL_CORPUS_MIXTURE_SAMPLE,
     }
