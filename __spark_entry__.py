@@ -87,7 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution (subsumes dedup_exact's digest agg)
         "dedup_clusters": eq.q_dedup_clusters,             # large-star/small-star CC (recomputes the jaccard pair CTEs)
         "dedup_minhash_lsh": eq.q_dedup_minhash,
-        "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,   # scale path (no O(n^2))
+        "dedup_paragraphs": eq.q_dedup_paragraphs,         # CCNet/MassiveText paragraph dedup: first-occurrence keep + reassembly (r7-built)
         "semdedup": eq.q_semdedup,                         # SemDeDup on the PINNED kmeans quantizer (r7: trains offline, gates the kmeans codepath)
         "bloom_screen": eq.q_bloom_screen,                 # Bloom dedup pre-screen (definitely-new fast path)
         "contamination_removal": eq.q_contamination_removal,  # decontaminated-corpus decision table (supersedes contamination_check row: same shingle join, train-side agg)
@@ -204,6 +204,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated OUT mid-round-7 to give the round-7-built operators driver
         # rows from birth (all five green in CORRECTNESS_r06)
         "repeated_spans": eq.q_repeated_spans,                   # detection CTEs recomputed inside the repeated_span_removal driver row
+        "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,         # hyperplane-bucket capability kept by ann_lsh_topk; embedding near-dup family keeps semdedup/_prototypes driver rows
         "bpe_pair_counts": eq.q_bpe_pair_counts,                 # training statistic consumed by the bpe_encode_stats driver row; Sennrich-parity pytest
         "event_funnel": eq.q_event_funnel,                       # event family keeps sessions + hypertable driver rows
         "user_retention": eq.q_user_retention,                   # same; cohort logic pytest-pinned
@@ -235,7 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
         "dedup_clusters": eq.SQL_DEDUP_CLUSTERS,
         "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
-        "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
+        "dedup_paragraphs": eq.SQL_DEDUP_PARAGRAPHS,
         "semdedup": eq.SQL_SEMDEDUP,
         "bloom_screen": eq.SQL_BLOOM_SCREEN,
         "contamination_removal": eq.SQL_CONTAMINATION_REMOVAL,
@@ -336,6 +337,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "contamination_check": eq.SQL_CONTAMINATION_CHECK,
         "semdedup_first_n": eq.SQL_SEMDEDUP_FIRST_N,
         "repeated_spans": eq.SQL_REPEATED_SPANS,
+        "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,

@@ -716,6 +716,89 @@ def remove_repeated_spans(docs: DataFrame, spans: DataFrame | None = None,
     return out
 
 
+def dedup_paragraph_blocks(docs: DataFrame, block_words: int = 16,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           hash_blocks: bool = False) -> DataFrame:
+    """Paragraph-granular exact deduplication with FIRST-occurrence keep
+    (the CCNet / MassiveText paragraph-dedup recipe: drop every later
+    occurrence of an already-seen paragraph anywhere in the corpus, then
+    reassemble each document from its surviving paragraphs). The synthetic
+    corpus has no newline structure, so "paragraph" here is a disjoint
+    ``block_words``-word block over the same ``lower(trim())``/``\\s+``
+    normalization the span operators use — the granularity knob, not the
+    algorithm, is the stand-in.
+
+    Returns (doc_id, n_blocks, n_kept_blocks, kept_text) for EVERY input
+    document: ``kept_text`` is the document rebuilt from its globally-first
+    blocks in original order; an exact duplicate of an earlier document
+    keeps 0 blocks and comes back empty. "First" is the minimum
+    ``(doc_id, block_idx)`` over all occurrences of an identical block —
+    deterministic, total, and independent of partitioning.
+
+    Scale shape (the reason this is NOT a window over block text): the
+    keep decision is ``min(struct(doc_id, block_idx, block_text))`` in one
+    block-keyed hash aggregation — map-side partial aggregation collapses
+    even a boilerplate block repeated across millions of documents to one
+    row per partition before the shuffle, where a row_number window would
+    funnel every occurrence of a hot block through a single task. With
+    ``hash_blocks`` the shuffle key is ``xxhash64(block_text)`` (8 bytes,
+    the corpus-scale key — identical output short of a 2^-64 collision);
+    the gate path keys on the block text itself, which DuckDB recomputes
+    from scratch. Reassembly is one doc_id-keyed aggregation plus a left
+    join back to the full corpus (duplicate-only docs must still appear).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(words, lambda w: w != "").alias("_w"),
+    )
+    n_blocks = F.ceil(F.size("_w") / F.lit(block_words)).cast("long")
+    blk = (
+        base.filter(F.size("_w") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.ceil(F.size("_w") / F.lit(block_words)).cast("int") - 1),
+                    lambda i: F.array_join(
+                        F.slice("_w", i * block_words + 1, block_words), " "
+                    ),
+                )
+            ).alias("block_idx", "block_text"),
+        )
+    )
+    key = F.xxhash64("block_text") if hash_blocks else F.col("block_text")
+    first = (
+        blk.groupBy(key.alias("_k"))
+        .agg(F.min(F.struct("doc_id", "block_idx", "block_text")).alias("_f"))
+        .select(
+            F.col("_f.doc_id").alias("doc_id"),
+            F.col("_f.block_idx").alias("block_idx"),
+            F.col("_f.block_text").alias("block_text"),
+        )
+    )
+    assembled = first.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept_blocks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_idx", "block_text"))),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        base.select("doc_id", n_blocks.alias("n_blocks"))
+        .join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            F.coalesce("n_kept_blocks", F.lit(0)).cast("long").alias("n_kept_blocks"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def semdedup_embedding(emb: DataFrame, threshold: float = 0.95,
                        n_centroids: int = 16, train: str = "first_n",
                        id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1456,6 +1456,59 @@ FROM cleaned
 )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-granular exact dedup with first-occurrence keep
+    (dedup.dedup_paragraph_blocks — the CCNet/MassiveText paragraph-dedup
+    recipe over 16-word blocks): every doc of the planted-duplicate corpus
+    rebuilt from its globally-first blocks; exact copies come back empty.
+    The keep decision is a min-struct hash aggregation (map-side partials
+    absorb hot boilerplate blocks), NOT a row_number window. The oracle
+    recomputes block boundaries, the global first-occurrence rule and the
+    reassembly from scratch in SQL."""
+    from .datapipe.dedup import dedup_paragraph_blocks
+
+    return dedup_paragraph_blocks(_dup_corpus(spark, sf_dir), block_words=16)
+
+
+# DuckDB list_slice is 1-based INCLUSIVE on both ends: elements
+# i*16+1 .. i*16+16 = Spark slice(_w, i*16+1, 16). row_number ordered by
+# (doc_id, block_idx) = Spark min(struct(doc_id, block_idx, ...)).
+SQL_DEDUP_PARAGRAPHS = f"""
+WITH {SQL_DUP_CORPUS},
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM corpus
+),
+blk0 AS (
+  SELECT doc_id,
+         unnest([{{'block_idx': i,
+                   'block_text': array_to_string(list_slice(ws, i*16 + 1, i*16 + 16), ' ')}}
+                 for i in range(0, CAST(ceil(len(ws) / 16.0) AS INT))]) AS b
+  FROM w WHERE len(ws) > 0
+),
+blk AS (
+  SELECT doc_id, b.block_idx AS block_idx, b.block_text AS block_text FROM blk0
+),
+kept AS (
+  SELECT doc_id, block_idx, block_text,
+         row_number() OVER (PARTITION BY block_text ORDER BY doc_id, block_idx) AS rn
+  FROM blk
+),
+asm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_blocks,
+         string_agg(block_text, ' ' ORDER BY block_idx) AS kept_text
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(ceil(len(ws) / 16.0) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(asm.n_kept_blocks, 0) AS BIGINT) AS n_kept_blocks,
+       COALESCE(asm.kept_text, '') AS kept_text
+FROM w LEFT JOIN asm USING (doc_id)
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the exact n-gram
     Jaccard pairs — pairwise output turned into dedup groups. Oracle: the

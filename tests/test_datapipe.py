@@ -2181,3 +2181,49 @@ def test_semdedup_keep_farthest_policy(spark):
     assert out_far == {1: (2, False), 2: (None, True), 3: (None, True), 10: (2, False)}
     with pytest.raises(ValueError, match="keep"):
         semdedup_embedding(df, 0.95, centroids=cents, keep="nope")
+
+
+def test_dedup_paragraph_blocks(spark):
+    """Paragraph-block dedup: exact duplicate docs come back empty, the
+    first occurrence keeps its full text, within-doc repeated blocks keep
+    only the first copy, empty docs report 0 blocks, and the xxhash64-keyed
+    scale variant equals the string-keyed one. Verified against a
+    sequential Python oracle replaying the first-(doc_id, block_idx) rule."""
+    from klog_spark.datapipe.dedup import dedup_paragraph_blocks
+
+    K = 3
+    blk_a = "a1 a2 a3"
+    blk_b = "b1 b2 b3"
+    rows = [
+        (1, f"{blk_a} {blk_b} tail1"),       # all blocks first-occurrence
+        (2, f"{blk_a} {blk_b} tail1"),       # exact copy -> everything dropped
+        (3, f"{blk_b} {blk_b} fresh"),       # within-doc repeat of b... but
+        #   doc3 block0 = blk_b already seen in doc1 block1 -> dropped;
+        #   doc3 block1 = blk_b dropped too; block2 = "fresh" kept
+        (4, "   "),                          # whitespace-only -> 0 blocks
+        (5, "solo"),                         # short doc, 1 partial block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # sequential oracle
+    seen, want = set(), {}
+    for doc_id, text in rows:
+        ws = [w for w in text.lower().strip().split() if w]
+        blocks = [" ".join(ws[i:i + K]) for i in range(0, len(ws), K)]
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        want[doc_id] = (len(blocks), len(kept), " ".join(kept))
+
+    out = {r["doc_id"]: (r["n_blocks"], r["n_kept_blocks"], r["kept_text"])
+           for r in dedup_paragraph_blocks(df, block_words=K).collect()}
+    assert out == want
+    assert out[2] == (3, 0, "")
+    assert out[4] == (0, 0, "")
+
+    hashed = {r["doc_id"]: (r["n_blocks"], r["n_kept_blocks"], r["kept_text"])
+              for r in dedup_paragraph_blocks(df, block_words=K,
+                                              hash_blocks=True).collect()}
+    assert hashed == out
