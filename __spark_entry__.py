@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_removal": eq.q_contamination_removal,  # decontaminated-corpus decision table (supersedes contamination_check row: same shingle join, train-side agg)
         "ann_lsh_topk": eq.q_ann_lsh,                      # hyperplane-LSH multiprobe
         "ann_ivfpq_topk": eq.q_ann_ivfpq,                  # product-quantized scale path (8 B/vector; subsumes IVF-Flat's cell routing)
+        "ann_ivfpq_rerank": eq.q_ann_ivfpq_rerank,         # two-stage refine: ADC candidates -> exact re-rank (r7-built)
         "ann_recall_eval": eq.q_ann_recall_eval,           # recall@10 of IVF vs brute-force ground truth (subsumes knn_label_eval's eval role)
         "text_lang_id": eq.q_text_lang_id,
         "source_quality": eq.q_source_quality,             # per-source corpus report
@@ -100,7 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": eq.q_multimodal_decode,       # REAL stdlib PNG/WAV decode vs first-principles oracle
         # round-5/6 corpus-curation classes, first driver rows (r6 rotation)
         "pii_redaction": eq.q_pii_redaction,               # rule-based PII scrub, byte-exact rewrite parity
-        "lm_quality_score": eq.q_lm_quality,               # unigram-LM (perplexity-style) corpus filter
         "weighted_sample_by_source": eq.q_weighted_sample, # derandomized A-ES weighted sampling
         "repeated_span_removal": eq.q_repeated_span_removal,  # exact-substring-dedup rewrite (spans excised; recomputes the detection CTEs)
         "cms_user_counts": eq.q_cms_user_counts,           # Count-Min sketch estimates vs exact
@@ -205,6 +205,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows from birth (all five green in CORRECTNESS_r06)
         "repeated_spans": eq.q_repeated_spans,                   # detection CTEs recomputed inside the repeated_span_removal driver row
         "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,         # hyperplane-bucket capability kept by ann_lsh_topk; embedding near-dup family keeps semdedup/_prototypes driver rows
+        "lm_quality_score": eq.q_lm_quality,                     # unigram LM strictly generalized by the bigram_lm_score driver row (interpolates the same unigram model)
         "bpe_pair_counts": eq.q_bpe_pair_counts,                 # training statistic consumed by the bpe_encode_stats driver row; Sennrich-parity pytest
         "event_funnel": eq.q_event_funnel,                       # event family keeps sessions + hypertable driver rows
         "user_retention": eq.q_user_retention,                   # same; cohort logic pytest-pinned
@@ -242,13 +243,13 @@ def oracle_sql() -> dict[str, str]:
         "contamination_removal": eq.SQL_CONTAMINATION_REMOVAL,
         "ann_lsh_topk": eq.SQL_ANN_LSH,
         "ann_ivfpq_topk": eq.SQL_ANN_IVFPQ,
+        "ann_ivfpq_rerank": eq.SQL_ANN_IVFPQ_RERANK,
         "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
         "source_quality": eq.SQL_SOURCE_QUALITY,
         "corpus_pack": eq.SQL_CORPUS_PACK,
         "multimodal_decode": eq.SQL_MULTIMODAL_DECODE,
         "pii_redaction": eq.SQL_PII_REDACTION,
-        "lm_quality_score": eq.SQL_LM_QUALITY,
         "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
         "repeated_span_removal": eq.SQL_REPEATED_SPAN_REMOVAL,
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
@@ -338,6 +339,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "semdedup_first_n": eq.SQL_SEMDEDUP_FIRST_N,
         "repeated_spans": eq.SQL_REPEATED_SPANS,
         "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
+        "lm_quality_score": eq.SQL_LM_QUALITY,
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,

@@ -429,6 +429,58 @@ def ivfpq_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 
     )
 
 
+def ivfpq_rerank_topk(emb: DataFrame, queries: list[tuple[int, list[float]]],
+                      k: int = 10, refine: int = 40,
+                      n_centroids: int = 16, n_probe: int = 2, m: int = 8,
+                      ksub: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding", train: str = "first_n",
+                      sample_size: int = 4096, seed: int = 7) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ ADC narrows each query to ``refine``
+    candidates, then EXACT cosine against the ORIGINAL float vectors
+    re-ranks those candidates to the final top-``k`` — the standard
+    refine/re-rank step production ANN systems put after a compressed
+    index (faiss ``IndexRefineFlat``). PQ quantization error decides only
+    which ~``refine`` vectors are considered; the returned ordering is
+    exact, so recall@k approaches brute force once ``refine`` covers the
+    true neighbors, at PQ's candidate-generation cost.
+
+    Returns (qid, vec_id, rank, cosine) with the exact cosine, rounded.
+
+    Scale shape: stage 1 is the gated ``ivfpq_topk`` plan (8 B/vector
+    index, broadcast probes); the refine set is ``|queries| x refine``
+    rows — tiny — so stage 2 BROADCASTS it against the full-precision
+    corpus: one scan of ``emb``, a broadcast hash join, zero shuffle of
+    the big side, then a per-query window over <= refine rows. The
+    full-precision vectors are touched only for candidates — at 10^12
+    vectors the random-access fetch is the join, never a second index.
+    """
+    cand = ivfpq_topk(emb, queries, k=refine, n_centroids=n_centroids,
+                      n_probe=n_probe, m=m, ksub=ksub, id_col=id_col,
+                      vec_col=vec_col, train=train, sample_size=sample_size,
+                      seed=seed).select("qid", "vec_id")
+    qdf = emb.sparkSession.createDataFrame(
+        [(qid, [float(x) for x in vec]) for qid, vec in queries],
+        "qid: long, qvec: array<double>",
+    )
+    fetched = (
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("dvec"))
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qdf), "qid")
+    )
+    qn = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, x: a + x * x))
+    dn = F.sqrt(F.aggregate("dvec", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(F.zip_with("qvec", "dvec", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, z: a + z)
+    scored = fetched.withColumn("cosine", dot / (qn * dn))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def hashed_doc_embeddings(docs: DataFrame, dim: int = 64,
                           text_col: str = "text", id_col: str = "doc_id",
                           normalize: bool = True) -> DataFrame:

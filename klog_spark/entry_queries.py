@@ -3478,6 +3478,41 @@ SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 SQL_ANN_IVFPQ = _sql_ann_ivfpq()
 
 
+def q_ann_ivfpq_rerank(spark, sf_dir):
+    """Two-stage retrieval (similarity.ivfpq_rerank_topk): the gated IVF-PQ
+    plan narrows each query to 40 ADC candidates, then exact cosine on the
+    ORIGINAL float vectors re-ranks to top-10 — the faiss
+    IndexRefineFlat recipe. The refine set is broadcast against the
+    full-precision corpus (one scan, zero shuffle of the big side). The
+    oracle nests the complete IVF-PQ SQL at k=40 as a derived table and
+    replays the exact re-rank from the raw embeddings."""
+    from .datapipe.similarity import ivfpq_rerank_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_rerank_topk(emb, _ann_query_set(emb), k=10, refine=40,
+                             n_centroids=16, n_probe=2, m=8, ksub=16
+                             ).select("qid", "vec_id", "rank")
+
+
+SQL_ANN_IVFPQ_RERANK = f"""
+WITH approx AS (
+  SELECT * FROM ({_sql_ann_ivfpq(k=40)})
+),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 5),
+exact AS (
+  SELECT a.qid, a.vec_id,
+         list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM approx a JOIN q ON a.qid = q.qid JOIN embeddings e ON a.vec_id = e.vec_id
+),
+rr AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM exact
+)
+SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM rr WHERE rank <= 10
+"""
+
+
 def q_group_offset_rewinds(spark, sf_dir):
     """Committed-offset regression (rewind) detection per consumer
     group-partition — the reset-to-earliest / zombie-member incident

@@ -2227,3 +2227,53 @@ def test_dedup_paragraph_blocks(spark):
               for r in dedup_paragraph_blocks(df, block_words=K,
                                               hash_blocks=True).collect()}
     assert hashed == out
+
+
+def test_ivfpq_rerank_exact_order_and_recall(spark, emb):
+    """Two-stage refine invariants: (1) the re-ranked list is EXACTLY the
+    brute-force cosine order restricted to the ADC candidate set, and
+    (2) per-query recall@k vs brute force is >= plain IVF-PQ's — exact
+    re-scoring can only promote true neighbors the compressed stage
+    admitted."""
+    import numpy as np
+
+    from klog_spark.datapipe.similarity import (brute_force_topk, ivfpq_topk,
+                                                ivfpq_rerank_topk)
+    from klog_spark.entry_queries import _ann_query_set
+
+    queries = _ann_query_set(emb)
+    k, refine = 10, 40
+    adc = ivfpq_topk(emb, queries, k=refine, n_centroids=16, n_probe=2,
+                     m=8, ksub=16)
+    rr = ivfpq_rerank_topk(emb, queries, k=k, refine=refine, n_centroids=16,
+                           n_probe=2, m=8, ksub=16)
+    truth = brute_force_topk(emb, queries, k=k)
+
+    cand = {}
+    for r in adc.collect():
+        cand.setdefault(r["qid"], set()).add(r["vec_id"])
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = {}
+    for r in rr.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+
+    true_sets = {}
+    for r in truth.collect():
+        true_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    adc_top = {}
+    for r in adc.collect():
+        if r["rank"] <= k:
+            adc_top.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        ids = sorted(cand[qid])
+        cos = {i: float(q @ vecs[i] / (np.linalg.norm(q) * np.linalg.norm(vecs[i])))
+               for i in ids}
+        want = [i for i in sorted(ids, key=lambda i: (-cos[i], i))][:k]
+        have = [v for _, v in sorted(got[qid])]
+        assert have == want, f"qid={qid}: rerank != exact order on candidates"
+        rec_rr = len(set(have) & true_sets[qid])
+        rec_adc = len(adc_top[qid] & true_sets[qid])
+        assert rec_rr >= rec_adc
