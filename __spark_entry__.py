@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_rerank": eq.q_ann_ivfpq_rerank,         # two-stage refine: ADC candidates -> exact re-rank (r7-built)
         "ann_recall_eval": eq.q_ann_recall_eval,           # recall@10 of IVF vs brute-force ground truth (subsumes knn_label_eval's eval role)
         "text_lang_id": eq.q_text_lang_id,
-        "source_quality": eq.q_source_quality,             # per-source corpus report
+        "wordlist_filter": eq.q_wordlist_filter,           # blocked-wordlist (badwords) filter, integer ppm accept test (r7-built)
         "corpus_pack": eq.q_corpus_pack,                   # token-budget sequence packing
         "multimodal_decode": eq.q_multimodal_decode,       # REAL stdlib PNG/WAV decode vs first-principles oracle
         # round-5/6 corpus-curation classes, first driver rows (r6 rotation)
@@ -206,6 +206,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": eq.q_repeated_spans,                   # detection CTEs recomputed inside the repeated_span_removal driver row
         "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,         # hyperplane-bucket capability kept by ann_lsh_topk; embedding near-dup family keeps semdedup/_prototypes driver rows
         "lm_quality_score": eq.q_lm_quality,                     # unigram LM strictly generalized by the bigram_lm_score driver row (interpolates the same unigram model)
+        "source_quality": eq.q_source_quality,                   # per-source report kept by corpus_curate + source_curation_report; per-doc heuristics by text_quality
         "bpe_pair_counts": eq.q_bpe_pair_counts,                 # training statistic consumed by the bpe_encode_stats driver row; Sennrich-parity pytest
         "event_funnel": eq.q_event_funnel,                       # event family keeps sessions + hypertable driver rows
         "user_retention": eq.q_user_retention,                   # same; cohort logic pytest-pinned
@@ -246,7 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_rerank": eq.SQL_ANN_IVFPQ_RERANK,
         "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
-        "source_quality": eq.SQL_SOURCE_QUALITY,
+        "wordlist_filter": eq.SQL_WORDLIST_FILTER,
         "corpus_pack": eq.SQL_CORPUS_PACK,
         "multimodal_decode": eq.SQL_MULTIMODAL_DECODE,
         "pii_redaction": eq.SQL_PII_REDACTION,
@@ -340,6 +341,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "repeated_spans": eq.SQL_REPEATED_SPANS,
         "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
         "lm_quality_score": eq.SQL_LM_QUALITY,
+        "source_quality": eq.SQL_SOURCE_QUALITY,
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,

@@ -55,6 +55,67 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def wordlist_filter(docs: DataFrame, blocklist: list[str],
+                    max_ppm: int = 100_000, text_col: str = "text",
+                    id_col: str = "doc_id", method: str = "expr") -> DataFrame:
+    """Blocked-wordlist filtering (the RefinedWeb / C4 badwords recipe):
+    count occurrences of blocklisted words per document and keep documents
+    whose blocked fraction stays under ``max_ppm`` parts-per-million — an
+    all-integer accept test (``n_blocked * 1_000_000 <= max_ppm * n_words``),
+    so both engines decide identically with zero float thresholds.
+
+    Returns (doc_id, n_words, n_blocked, keep) for every document; empty
+    documents keep (0 blocked of 0 words).
+
+    Two physical strategies, identical results (parity pytest):
+
+    * ``method='expr'`` — the blocklist as a plan-literal array probed with
+      ``array_contains`` per word. O(|blocklist|) per word, zero shuffle,
+      streams in append mode; right for the usual few-hundred-term lists.
+    * ``method='join'`` — words explode once and hit a BROADCAST blocklist
+      table, hits aggregate per doc, left join back. O(1) hash probe per
+      word and the list never enters the plan tree; the shape for
+      million-term lists where a literal array would not even compile
+      (the packed-Bloom lesson, VERDICT r6 #1 on dedup.py:769).
+    """
+    if method not in ("expr", "join"):
+        raise ValueError(f"method must be 'expr' or 'join', got {method!r}")
+    words = F.filter(_WORDS(text_col), lambda w: w != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    if method == "expr":
+        blk = F.array(*[F.lit(w) for w in sorted(set(blocklist))])
+        counted = base.select(
+            "doc_id",
+            F.size("_w").cast("long").alias("n_words"),
+            F.size(F.filter("_w", lambda w: F.array_contains(blk, w)))
+            .cast("long").alias("n_blocked"),
+        )
+    else:
+        spark = docs.sparkSession
+        bdf = spark.createDataFrame(
+            [(w,) for w in sorted(set(blocklist))], "word: string"
+        )
+        hits = (
+            base.select("doc_id", F.explode("_w").alias("word"))
+            .join(F.broadcast(bdf), "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_blocked"))
+        )
+        counted = (
+            base.select("doc_id", F.size("_w").cast("long").alias("n_words"))
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id", "n_words",
+                F.coalesce("n_blocked", F.lit(0)).cast("long").alias("n_blocked"),
+            )
+        )
+    return counted.select(
+        "doc_id", "n_words", "n_blocked",
+        (F.col("n_blocked") * F.lit(1_000_000)
+         <= F.lit(int(max_ppm)) * F.col("n_words")).alias("keep"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic stopword-vote language guess: count distinct stopword
     hits per language, argmax with lexicographic tiebreak."""

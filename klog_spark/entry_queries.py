@@ -2397,6 +2397,35 @@ FROM ranked WHERE rn = 1
 """.replace("{STOPS}", _sql_stoplist_all())
 
 
+def q_wordlist_filter(spark, sf_dir):
+    """Blocked-wordlist filter (textstats.wordlist_filter — the
+    RefinedWeb/C4 badwords recipe): per-doc blocked-word counts and an
+    all-integer parts-per-million accept test (3% here), zero float
+    thresholds on either engine. Gate runs the plan-literal 'expr' path;
+    the broadcast-join scale path is pinned equal by pytest."""
+    from .datapipe.textstats import wordlist_filter
+
+    return wordlist_filter(_docs(spark, sf_dir), ["slow", "dup", "spam"],
+                           max_ppm=30_000)
+
+
+SQL_WORDLIST_FILTER = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_filter(ws, x -> list_contains(['dup', 'slow', 'spam'], x)))
+            AS BIGINT) AS n_blocked,
+       len(list_filter(ws, x -> list_contains(['dup', 'slow', 'spam'], x))) * 1000000
+         <= 30000 * len(ws) AS keep
+FROM w
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     from .datapipe.textstats import lang_id
 

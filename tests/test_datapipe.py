@@ -2277,3 +2277,32 @@ def test_ivfpq_rerank_exact_order_and_recall(spark, emb):
         rec_rr = len(set(have) & true_sets[qid])
         rec_adc = len(adc_top[qid] & true_sets[qid])
         assert rec_rr >= rec_adc
+
+
+def test_wordlist_filter_paths_and_semantics(spark):
+    """expr and broadcast-join paths agree exactly; counts are occurrence
+    counts (not distinct); empty docs keep; the ppm accept test is
+    all-integer."""
+    from klog_spark.datapipe.textstats import wordlist_filter
+
+    rows = [
+        (1, "bad bad bad good good good good good good good"),  # 3/10 blocked
+        (2, "clean words only here"),
+        (3, "bad"),                                             # 1/1 blocked
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_words"], r["n_blocked"], r["keep"])
+           for r in wordlist_filter(df, ["bad", "worse"], max_ppm=300_000).collect()}
+    assert out == {1: (10, 3, True), 2: (4, 0, True), 3: (1, 1, False), 4: (0, 0, True)}
+    # threshold is inclusive: exactly 30% blocked at max_ppm=300000 keeps
+    strict = {r["doc_id"]: r["keep"]
+              for r in wordlist_filter(df, ["bad"], max_ppm=299_999).collect()}
+    assert strict[1] is False
+
+    joined = {r["doc_id"]: (r["n_words"], r["n_blocked"], r["keep"])
+              for r in wordlist_filter(df, ["bad", "worse"], max_ppm=300_000,
+                                       method="join").collect()}
+    assert joined == out
+    with pytest.raises(ValueError, match="method"):
+        wordlist_filter(df, ["bad"], method="nope")
