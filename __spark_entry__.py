@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": eq.q_doc_chunks,                     # context-window chunking (zero-Exchange)
         "token_budget_mixture": eq.q_token_budget_mixture, # per-source token budgets + epoch repetition
         "corpus_shard_manifest": eq.q_corpus_shard_manifest,  # deterministic shuffle -> shard audit manifest
+        "corpus_diff": eq.q_corpus_diff,                   # snapshot diff for incremental curation (digest-only full-outer join; r7-built)
         # telemetry/event analytics (engine-robustness fixed in round 4:
         # NTZ timestamps, pinned NULL ordering, tie-free exact averages)
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
@@ -126,7 +127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # named custom-operator classes (as-of / range / rollup / sketch)
         "klog_batch_state_asof": eq.q_batch_state_asof,
         "interval_join_oversized": eq.q_interval_join_oversized,  # range join, bucketed + broadcast-overflow paths both hashed
-        "events_hypertable": eq.q_events_hypertable,
     }
 
 
@@ -207,6 +207,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": eq.q_dedup_embedding_lsh,         # hyperplane-bucket capability kept by ann_lsh_topk; embedding near-dup family keeps semdedup/_prototypes driver rows
         "lm_quality_score": eq.q_lm_quality,                     # unigram LM strictly generalized by the bigram_lm_score driver row (interpolates the same unigram model)
         "source_quality": eq.q_source_quality,                   # per-source report kept by corpus_curate + source_curation_report; per-doc heuristics by text_quality
+        "events_hypertable": eq.q_events_hypertable,             # rollup capability pytest-pinned; event family keeps event_sessions driver row
         "bpe_pair_counts": eq.q_bpe_pair_counts,                 # training statistic consumed by the bpe_encode_stats driver row; Sennrich-parity pytest
         "event_funnel": eq.q_event_funnel,                       # event family keeps sessions + hypertable driver rows
         "user_retention": eq.q_user_retention,                   # same; cohort logic pytest-pinned
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": eq.SQL_DOC_CHUNKS,
         "token_budget_mixture": eq.SQL_TOKEN_BUDGET_MIXTURE,
         "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
+        "corpus_diff": eq.SQL_CORPUS_DIFF,
         "event_sessions": eq.SQL_EVENT_SESSIONS,
         "bloom_screen_packed": eq.SQL_BLOOM_SCREEN_PACKED,
         "quality_rejection_sample": eq.SQL_QUALITY_REJECTION_SAMPLE,
@@ -272,7 +274,6 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_prototypes": eq.SQL_SEMDEDUP_PROTOTYPES,
         "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
         "interval_join_oversized": eq.SQL_INTERVAL_JOIN_OVERSIZED,
-        "events_hypertable": eq.SQL_EVENTS_HYPERTABLE,
     }
 
 
@@ -342,6 +343,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": eq.SQL_DEDUP_EMBEDDING_LSH,
         "lm_quality_score": eq.SQL_LM_QUALITY,
         "source_quality": eq.SQL_SOURCE_QUALITY,
+        "events_hypertable": eq.SQL_EVENTS_HYPERTABLE,
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,

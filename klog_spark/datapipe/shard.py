@@ -92,3 +92,37 @@ def shard_manifest(shuffled: DataFrame, text_col: str = "text",
             F.pmod(F.sum("_ch"), F.lit(U32)).cast("long").alias("content_checksum"),
         )
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit step of an
+    incremental curation pipeline (what changed between yesterday's corpus
+    and today's re-run?): every doc_id present in either version labeled
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both, text
+    digest differs) or ``unchanged``.
+
+    Returns (doc_id, status). Scale shape: both sides reduce to
+    (doc_id, 32-byte sha256) projections before the one full-outer
+    equi-join on doc_id — the shuffle carries digests, never text, and the
+    join key is the natural bucketing/partitioning column of a stored
+    corpus, so with bucketed snapshots (sources/bucketed.py) the diff runs
+    with zero Exchange. Status counts are one further groupBy for
+    dashboards; the row-level output is what feeds a selective
+    re-processing of ``added``+``changed``.
+    """
+    o = old.select(F.col(id_col).alias("doc_id"),
+                   F.sha2(F.col(text_col), 256).alias("_od"))
+    n = new.select(F.col(id_col).alias("doc_id"),
+                   F.sha2(F.col(text_col), 256).alias("_nd"))
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("_od").isNull(), F.lit("added"))
+            .when(F.col("_nd").isNull(), F.lit("removed"))
+            .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )

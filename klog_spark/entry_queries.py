@@ -4307,6 +4307,51 @@ GROUP BY a.source
 SQL_BPE_ENCODE_STATS = _sql_bpe_encode_stats()
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (shard.corpus_diff): documents vs a
+    deterministically perturbed v2 (every 7th doc dropped, every 5th
+    rewritten, a shifted-id slice appended) — per-doc added / removed /
+    changed / unchanged status from one digest-only full-outer join. The
+    oracle rebuilds v2 and replays the digest compare in SQL."""
+    from .datapipe.shard import corpus_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 7 != 3)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(docs, v2)
+
+
+SQL_CORPUS_DIFF = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+o AS (SELECT doc_id, sha256(text) AS od FROM documents),
+n AS (SELECT doc_id, sha256(text) AS nd FROM v2)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN od IS NULL THEN 'added'
+            WHEN nd IS NULL THEN 'removed'
+            WHEN od = nd THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 def q_corpus_shard_manifest(spark, sf_dir):
     """Deterministic corpus shuffle + shard export manifest
     (datapipe/shard.py): every document gets a seeded-hash-permutation

@@ -2306,3 +2306,18 @@ def test_wordlist_filter_paths_and_semantics(spark):
     assert joined == out
     with pytest.raises(ValueError, match="method"):
         wordlist_filter(df, ["bad"], method="nope")
+
+
+def test_corpus_diff_statuses(spark):
+    """All four statuses come out right, including an id present in both
+    with identical text, a rewrite, a pure add and a pure remove."""
+    from klog_spark.datapipe.shard import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (9, "brand new")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 9: "added"}
