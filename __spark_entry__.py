@@ -212,6 +212,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": eq.q_event_funnel,                       # event family keeps sessions + hypertable driver rows
         "user_retention": eq.q_user_retention,                   # same; cohort logic pytest-pinned
         "corpus_mixture_sample": eq.q_corpus_mixture_sample,     # mixture family keeps weighted_sample + token_budget_mixture driver rows
+        # round-7-built eval/report composition over two driver-gated rows
+        "quality_calibration": eq.q_quality_calibration,         # threshold sweep -> confusion counts on the pinned micro-margin grid
     }
 
 
@@ -348,4 +350,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,
         "corpus_mixture_sample": eq.SQL_CORPUS_MIXTURE_SAMPLE,
+        "quality_calibration": eq.SQL_QUALITY_CALIBRATION,
     }

@@ -126,3 +126,41 @@ def numpy_reference(X, y, iters: int = 100, lr: float = 1.0, reg: float = 0.0):
         losses.append(float(ll.mean() + reg * 0.5 * float(w @ w)))
     return w.tolist(), losses
 
+
+
+def calibration_sweep(scored: DataFrame, margin_col: str, label_col: str,
+                      thresholds: list[int]) -> DataFrame:
+    """Operating-point calibration for a fitted filter: confusion counts of
+    ``margin >= threshold`` against the reference labels at every candidate
+    threshold — the table you read to pick the precision/recall trade-off
+    before a 100 TB filtering run (raise the threshold for precision, lower
+    it for recall/yield). Works on the integer micro-margin grid the pinned
+    scorer emits, so the decision is exact on any engine.
+
+    Returns one row per threshold: (threshold_micro, n_docs, n_kept, tp,
+    fp, fn, tn) — all counts, no ratios; precision/recall are one division
+    away and stay float-free here.
+
+    Scale shape: margins and labels are computed once; the per-threshold
+    replication is an explode of a bounded literal list (|thresholds| x
+    rows, partial-aggregated map-side before the single groupBy on the
+    |thresholds|-ary key). No second scan per operating point.
+    """
+    t = F.explode(
+        F.array(*[F.lit(int(x)).cast("long") for x in thresholds])
+    ).alias("threshold_micro")
+    e = scored.select(
+        F.col(margin_col).cast("long").alias("_m"),
+        F.col(label_col).cast("int").alias("_y"),
+        t,
+    )
+    kept = (F.col("_m") >= F.col("threshold_micro")).cast("int")
+    y = F.col("_y")
+    return e.groupBy("threshold_micro").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(kept * y).cast("long").alias("tp"),
+        F.sum(kept * (1 - y)).cast("long").alias("fp"),
+        F.sum((1 - kept) * y).cast("long").alias("fn"),
+        F.sum((1 - kept) * (1 - y)).cast("long").alias("tn"),
+    )

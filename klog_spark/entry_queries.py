@@ -4858,6 +4858,50 @@ FROM s
 
 SQL_SCORED_QUALITY_FILTER = _sql_scored_quality_filter()
 
+CALIBRATION_THRESHOLDS = [-5_000_000, -2_000_000, -500_000, 0,
+                          500_000, 2_000_000, 5_000_000]
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Operating-point calibration of the pinned quality filter
+    (classifier.calibration_sweep): confusion counts of margin >= t against
+    the Gopher-style heuristic labels at seven candidate thresholds — the
+    precision/recall trade-off table read before a full filtering run.
+    All-integer on the hash-verified micro-margin grid; one scan, one
+    bounded explode, one groupBy."""
+    from .datapipe.classifier import calibration_sweep
+    from .datapipe.textstats import quality_scores
+
+    scored = q_scored_quality_filter(spark, sf_dir)
+    labels = quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("passes_quality").cast("int").alias("label")
+    )
+    return calibration_sweep(scored.join(labels, "doc_id"),
+                             "margin_micro", "label", CALIBRATION_THRESHOLDS)
+
+
+SQL_QUALITY_CALIBRATION = f"""
+WITH s AS (SELECT * FROM ({SQL_SCORED_QUALITY_FILTER})),
+q AS ({SQL_TEXT_QUALITY}),
+j AS (
+  SELECT s.doc_id, s.margin_micro AS mm, CAST(q.passes_quality AS INT) AS y
+  FROM s JOIN q USING (doc_id)
+),
+e AS (
+  SELECT j.*, CAST(t.threshold_micro AS BIGINT) AS threshold_micro
+  FROM j CROSS JOIN (
+    SELECT unnest({CALIBRATION_THRESHOLDS}) AS threshold_micro) t
+)
+SELECT threshold_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN mm >= threshold_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN mm >= threshold_micro AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN mm >= threshold_micro AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN mm < threshold_micro AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN mm < threshold_micro AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM e GROUP BY threshold_micro
+"""
+
 
 BLOOM_M, BLOOM_K = 4096, 3
 

@@ -2321,3 +2321,22 @@ def test_corpus_diff_statuses(spark):
         "doc_id long, text string")
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 9: "added"}
+
+
+def test_calibration_sweep_confusion_counts(spark):
+    """Hand-checkable confusion table at three thresholds; counts partition
+    n_docs; monotonicity: n_kept is non-increasing in the threshold."""
+    from klog_spark.datapipe.classifier import calibration_sweep
+
+    rows = [(1, 10, 1), (2, 5, 1), (3, -1, 0), (4, -7, 1), (5, 3, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, margin_micro long, label int")
+    out = {r["threshold_micro"]: (r["n_kept"], r["tp"], r["fp"], r["fn"], r["tn"])
+           for r in calibration_sweep(df, "margin_micro", "label",
+                                      [-10, 0, 6]).collect()}
+    assert out == {
+        -10: (5, 3, 2, 0, 0),
+        0: (3, 2, 1, 1, 1),
+        6: (1, 1, 0, 2, 2),
+    }
+    kept_by_t = [out[t][0] for t in sorted(out)]
+    assert kept_by_t == sorted(kept_by_t, reverse=True)
