@@ -30,6 +30,12 @@ Usage::
                                      [--overlap K]
     python -m klog_spark corpus curate DOCS_PARQUET --out DIR
     python -m klog_spark corpus score DOCS_PARQUET --out DIR
+    python -m klog_spark corpus dedup-blocks DOCS_PARQUET --out DIR
+                                     [--block-words N] [--hash-blocks]
+    python -m klog_spark corpus badwords DOCS_PARQUET --out DIR
+                                     --blocklist w1,w2 [--max-ppm N]
+    python -m klog_spark corpus diff OLD_PARQUET --new NEW_PARQUET --out DIR
+    python -m klog_spark corpus calibrate DOCS_PARQUET [--thresholds t1,t2]
 
 The ``corpus`` family is the training-data side of the engine (documents
 parquet with ``doc_id``/``text``[/``source``] columns): per-source stats,
@@ -640,6 +646,92 @@ def cmd_corpus_rebalance(spark, args) -> int:
 
 
 
+def cmd_corpus_dedup_blocks(spark, args) -> int:
+    """Paragraph-granular exact dedup (dedup.dedup_paragraph_blocks):
+    rewrite every document keeping only the globally-first occurrence of
+    each block. Writes (doc_id, n_blocks, n_kept_blocks, kept_text) and
+    prints the corpus-level block survival rate."""
+    from .datapipe.dedup import dedup_paragraph_blocks
+
+    docs = _corpus_df(spark, args.input)
+    out = dedup_paragraph_blocks(docs, block_words=args.block_words,
+                                 hash_blocks=args.hash_blocks)
+    out.write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_blocks").cast("long").alias("n_blocks"),
+            F.sum("n_kept_blocks").cast("long").alias("n_kept_blocks"),
+        )
+    )
+    print(f"block-deduped corpus written to {args.out}")
+    return 0
+
+
+def cmd_corpus_badwords(spark, args) -> int:
+    """Blocked-wordlist screen (textstats.wordlist_filter): per-doc blocked
+    counts and the integer ppm accept decision. Writes (doc_id, n_words,
+    n_blocked, keep) and prints the acceptance summary."""
+    from .datapipe.textstats import wordlist_filter
+
+    blocklist = [w for w in args.blocklist.split(",") if w]
+    if not blocklist:
+        raise SystemExit("--blocklist needs at least one word")
+    docs = _corpus_df(spark, args.input)
+    out = wordlist_filter(docs, blocklist, max_ppm=args.max_ppm,
+                          method=args.method)
+    out.write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.sum("n_blocked").cast("long").alias("n_blocked_words"),
+        )
+    )
+    print(f"badwords decision table written to {args.out}")
+    return 0
+
+
+def cmd_corpus_diff(spark, args) -> int:
+    """Snapshot diff between two corpus versions (shard.corpus_diff):
+    writes (doc_id, status) and prints the added/removed/changed/unchanged
+    counts — the audit step of an incremental curation pipeline."""
+    from .datapipe.shard import corpus_diff
+
+    old = _corpus_df(spark, args.input)
+    new = _corpus_df(spark, args.new)
+    corpus_diff(old, new).write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).groupBy("status").count().orderBy("status")
+    )
+    print(f"diff written to {args.out}")
+    return 0
+
+
+def cmd_corpus_calibrate(spark, args) -> int:
+    """Operating-point sweep of the pinned quality filter
+    (classifier.calibration_sweep vs the Gopher-style heuristic labels):
+    prints per-threshold confusion counts so the filtering threshold is
+    chosen from evidence, not defaults."""
+    from . import entry_queries as eq
+    from .datapipe.classifier import calibration_sweep
+    from .datapipe.textstats import quality_scores
+    from .streaming import scored_filter_stream
+
+    docs = _corpus_df(spark, args.input)
+    scored = scored_filter_stream(
+        docs, eq.SCORED_FILTER_WEIGHTS, eq.SCORED_FILTER_STATS
+    )
+    labels = quality_scores(docs).select(
+        "doc_id", F.col("passes_quality").cast("int").alias("label")
+    )
+    thresholds = [int(t) for t in args.thresholds.split(",") if t]
+    out = calibration_sweep(scored.join(labels, "doc_id"),
+                            "margin_micro", "label", thresholds)
+    _print_rows(out.orderBy("threshold_micro"))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="klog-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -744,6 +836,33 @@ def build_parser() -> argparse.ArgumentParser:
     crb.add_argument("--cap", type=int, required=True)
     crb.add_argument("--n-centroids", type=int, default=16)
     crb.set_defaults(fn=cmd_corpus_rebalance)
+
+    cdb = corp.add_parser("dedup-blocks")
+    cdb.add_argument("input")
+    cdb.add_argument("--out", required=True)
+    cdb.add_argument("--block-words", type=int, default=16, dest="block_words")
+    cdb.add_argument("--hash-blocks", action="store_true", dest="hash_blocks")
+    cdb.set_defaults(fn=cmd_corpus_dedup_blocks)
+
+    cbw = corp.add_parser("badwords")
+    cbw.add_argument("input")
+    cbw.add_argument("--out", required=True)
+    cbw.add_argument("--blocklist", required=True,
+                     help="comma-separated blocked words")
+    cbw.add_argument("--max-ppm", type=int, default=100_000, dest="max_ppm")
+    cbw.add_argument("--method", default="expr", choices=["expr", "join"])
+    cbw.set_defaults(fn=cmd_corpus_badwords)
+
+    cdf = corp.add_parser("diff")
+    cdf.add_argument("input", help="old corpus parquet")
+    cdf.add_argument("--new", required=True, help="new corpus parquet")
+    cdf.add_argument("--out", required=True)
+    cdf.set_defaults(fn=cmd_corpus_diff)
+
+    cca = corp.add_parser("calibrate")
+    cca.add_argument("input")
+    cca.add_argument("--thresholds", default="-2000000,-500000,0,500000,2000000")
+    cca.set_defaults(fn=cmd_corpus_calibrate)
     return ap
 
 

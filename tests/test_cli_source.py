@@ -482,3 +482,67 @@ def test_cli_corpus_round7_commands(spark, capsys, tmp_path):
     reb = spark.read.parquet(rdest)
     assert reb.count() == n_vecs
     assert reb.filter(~F.col("kept")).count() == 0
+
+
+def test_cli_corpus_new_round7_commands(spark, capsys, tmp_path):
+    """Late round-7 corpus CLI faces: dedup-blocks == the batch operator
+    row-exact; badwords decisions match wordlist_filter; diff status counts
+    are exact on a constructed v2; calibrate prints one confusion row per
+    threshold with counts partitioning n_docs."""
+    from klog_spark.__main__ import main
+    from klog_spark.datapipe.dedup import dedup_paragraph_blocks
+    from klog_spark.datapipe.textstats import wordlist_filter
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    ddf = spark.read.parquet(docs)
+    n_docs = ddf.count()
+
+    bdest = str(tmp_path / "blocks")
+    assert main(["corpus", "dedup-blocks", docs, "--out", bdest,
+                 "--block-words", "8"], spark=spark) == 0
+    got = {r["doc_id"]: (r["n_blocks"], r["n_kept_blocks"], r["kept_text"])
+           for r in spark.read.parquet(bdest).collect()}
+    want = {r["doc_id"]: (r["n_blocks"], r["n_kept_blocks"], r["kept_text"])
+            for r in dedup_paragraph_blocks(ddf, block_words=8).collect()}
+    assert got == want
+
+    wdest = str(tmp_path / "badwords")
+    assert main(["corpus", "badwords", docs, "--out", wdest,
+                 "--blocklist", "slow,dup", "--max-ppm", "30000"],
+                spark=spark) == 0
+    got = {r["doc_id"]: (r["n_blocked"], r["keep"])
+           for r in spark.read.parquet(wdest).collect()}
+    want = {r["doc_id"]: (r["n_blocked"], r["keep"])
+            for r in wordlist_filter(ddf, ["slow", "dup"],
+                                     max_ppm=30_000).collect()}
+    assert got == want
+
+    v2 = str(tmp_path / "v2.parquet")
+    ddf.filter("doc_id % 3 != 0").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1, F.concat("text", F.lit(" x")))
+        .otherwise(F.col("text")).alias("text"),
+    ).write.parquet(v2)
+    fdest = str(tmp_path / "diff")
+    assert main(["corpus", "diff", docs, "--new", v2, "--out", fdest],
+                spark=spark) == 0
+    diff = {r["status"]: r["count"]
+            for r in spark.read.parquet(fdest).groupBy("status").count().collect()}
+    assert diff.get("added") is None                # v2 adds nothing
+    assert diff["removed"] == ddf.filter("doc_id % 3 = 0").count()
+    assert diff["changed"] == ddf.filter(
+        "doc_id % 3 != 0 and doc_id % 4 = 1").count()
+    assert sum(diff.values()) == n_docs
+
+    capsys.readouterr()
+    assert main(["corpus", "calibrate", docs,
+                 "--thresholds=-1000000,0,1000000"], spark=spark) == 0
+    out = capsys.readouterr().out
+    rows = [ln for ln in out.splitlines() if "threshold_micro=" in ln]
+    assert len(rows) == 3
+    for ln in rows:
+        tp = int(ln.split("tp=")[1].split()[0])
+        fp = int(ln.split("fp=")[1].split()[0])
+        fn = int(ln.split("fn=")[1].split()[0])
+        tn = int(ln.split("tn=")[1].split()[0])
+        assert tp + fp + fn + tn == n_docs
