@@ -83,6 +83,14 @@ def main(sf: float = 0.1) -> int:
         "quality_rejection_sample": (eq.q_quality_rejection_sample, eq.SQL_QUALITY_REJECTION_SAMPLE),
         "cluster_balanced_sample": (eq.q_cluster_balanced_sample, eq.SQL_CLUSTER_BALANCED_SAMPLE),
         "semdedup_prototypes": (eq.q_semdedup_prototypes, eq.SQL_SEMDEDUP_PROTOTYPES),
+        # late-round-7 operators: paragraph dedup's global first-occurrence
+        # rule, the two-stage ANN refine, the wordlist screen, the snapshot
+        # diff and the calibration sweep
+        "dedup_paragraphs": (eq.q_dedup_paragraphs, eq.SQL_DEDUP_PARAGRAPHS),
+        "ann_ivfpq_rerank": (eq.q_ann_ivfpq_rerank, eq.SQL_ANN_IVFPQ_RERANK),
+        "wordlist_filter": (eq.q_wordlist_filter, eq.SQL_WORDLIST_FILTER),
+        "corpus_diff": (eq.q_corpus_diff, eq.SQL_CORPUS_DIFF),
+        "quality_calibration": (eq.q_quality_calibration, eq.SQL_QUALITY_CALIBRATION),
     }
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "

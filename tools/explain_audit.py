@@ -224,6 +224,33 @@ def main() -> None:
     sections.append(("SemDeDup prototypes (keep=farthest)", plan_of(sp), ["BroadcastHashJoin"]))
     assert "CartesianProduct" not in sp_plan and "BroadcastNestedLoopJoin" not in sp_plan
 
+    # 8j. late-round-7 operators: paragraph dedup's keep decision must be a
+    #     partial-aggregated hash agg (never a window funneling hot blocks
+    #     through one task); the ANN refine stage must BROADCAST the
+    #     candidate set against the corpus; the wordlist screen is a pure
+    #     projection; the snapshot diff is one digest-only SortMergeJoin/
+    #     ShuffledHashJoin with no cartesian
+    dp = eq.q_dedup_paragraphs(spark, SF_DIR)
+    dp_plan = plan_of(dp, "simple")
+    sections.append(("paragraph-block dedup", plan_of(dp), ["HashAggregate"]))
+    assert "Window" not in dp_plan, "block keep decision must be an agg, not a window"
+    rr = eq.q_ann_ivfpq_rerank(spark, SF_DIR)
+    rr_plan = plan_of(rr, "simple")
+    sections.append(("IVF-PQ exact re-rank", plan_of(rr), ["BroadcastHashJoin"]))
+    assert "CartesianProduct" not in rr_plan and "BroadcastNestedLoopJoin" not in rr_plan
+    wf = eq.q_wordlist_filter(spark, SF_DIR)
+    wf_plan = plan_of(wf, "simple")
+    sections.append(("blocked-wordlist filter", plan_of(wf), ["Scan parquet"]))
+    assert "Exchange" not in wf_plan, "the expr wordlist path must not shuffle"
+    cd = eq.q_corpus_diff(spark, SF_DIR)
+    cd_plan = plan_of(cd, "simple")
+    sections.append(("corpus snapshot diff", plan_of(cd), ["Join"]))
+    assert "CartesianProduct" not in cd_plan and "BroadcastNestedLoopJoin" not in cd_plan
+    qc = eq.q_quality_calibration(spark, SF_DIR)
+    qc_plan = plan_of(qc, "simple")
+    sections.append(("quality calibration sweep", plan_of(qc), ["HashAggregate"]))
+    assert "CartesianProduct" not in qc_plan and "BroadcastNestedLoopJoin" not in qc_plan
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
