@@ -101,7 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": eq.q_multimodal_decode,       # REAL stdlib PNG/WAV decode vs first-principles oracle
         # round-5/6 corpus-curation classes, first driver rows (r6 rotation)
         "pii_redaction": eq.q_pii_redaction,               # rule-based PII scrub, byte-exact rewrite parity
-        "weighted_sample_by_source": eq.q_weighted_sample, # derandomized A-ES weighted sampling
+        "dsir_sample": eq.q_dsir_sample,                   # DSIR importance resampling: LM log-ratio weights + derandomized Gumbel-top-k (r7-built)
         "repeated_span_removal": eq.q_repeated_span_removal,  # exact-substring-dedup rewrite (spans excised; recomputes the detection CTEs)
         "cms_user_counts": eq.q_cms_user_counts,           # Count-Min sketch estimates vs exact
         "bpe_encode_stats": eq.q_bpe_encode_stats,         # BPE ENCODE path vs recursive-CTE re-encoder (consumes the trained merges)
@@ -208,6 +208,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_score": eq.q_lm_quality,                     # unigram LM strictly generalized by the bigram_lm_score driver row (interpolates the same unigram model)
         "source_quality": eq.q_source_quality,                   # per-source report kept by corpus_curate + source_curation_report; per-doc heuristics by text_quality
         "events_hypertable": eq.q_events_hypertable,             # rollup capability pytest-pinned; event family keeps event_sessions driver row
+        "weighted_sample_by_source": eq.q_weighted_sample,       # A-ES selection machinery lives on inside the dsir_sample driver row (Gumbel-top-k = A-ES in log space) + token_budget_mixture
         "bpe_pair_counts": eq.q_bpe_pair_counts,                 # training statistic consumed by the bpe_encode_stats driver row; Sennrich-parity pytest
         "event_funnel": eq.q_event_funnel,                       # event family keeps sessions + hypertable driver rows
         "user_retention": eq.q_user_retention,                   # same; cohort logic pytest-pinned
@@ -254,7 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack": eq.SQL_CORPUS_PACK,
         "multimodal_decode": eq.SQL_MULTIMODAL_DECODE,
         "pii_redaction": eq.SQL_PII_REDACTION,
-        "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
+        "dsir_sample": eq.SQL_DSIR_SAMPLE,
         "repeated_span_removal": eq.SQL_REPEATED_SPAN_REMOVAL,
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
         "bpe_encode_stats": eq.SQL_BPE_ENCODE_STATS,
@@ -346,6 +347,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "lm_quality_score": eq.SQL_LM_QUALITY,
         "source_quality": eq.SQL_SOURCE_QUALITY,
         "events_hypertable": eq.SQL_EVENTS_HYPERTABLE,
+        "weighted_sample_by_source": eq.SQL_WEIGHTED_SAMPLE,
         "bpe_pair_counts": eq.SQL_BPE_PAIR_COUNTS,
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,

@@ -270,3 +270,95 @@ def cluster_balanced_sample(emb: DataFrame, cap: int, n_centroids: int = 16,
             .alias("kept"),
         )
     )
+
+
+def dsir_importance_sample(docs: DataFrame, target: DataFrame, k: int,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           salt: str = "dsir") -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): re-weight a raw
+    corpus toward a small TARGET domain by the log-likelihood ratio of two
+    cheap unigram LMs — weight(doc) = log p_target(doc) − log p_raw(doc)
+    under add-1 smoothing — then sample ``k`` documents WITHOUT replacement
+    proportionally to the importance ratio via the Gumbel-top-k identity
+    (top-k of ``log w_i + Gumbel_i`` is exactly weighted sampling without
+    replacement). Fully derandomized: the Gumbel noise derives from
+    ``java_u32(sha256(salt:doc_id))`` uniforms, so the selection is
+    identical on any engine, run, or cluster size (the A-ES convention of
+    ``weighted_sample``, in log space).
+
+    Determinism of the weights themselves follows the LM convention
+    (textstats.unigram_lm_scores): the per-WORD log-ratio is rounded once
+    to integer micro-nats — a pure function of the two LM count tables —
+    and documents integer-sum those micro-nats, order-independently.
+
+    Returns every non-empty raw document:
+    (doc_id, n_words, weight_micro, key_micro, selected) — the decision
+    table; ``selected`` marks the k winners.
+
+    Scale shape: two word-count passes (map-side partial agg; vocabulary ~
+    Heaps-law-sized), the per-word ratio table joins back on the word key
+    (AQE broadcasts small vocabularies), one per-doc aggregation, and the
+    global top-k compiles to TakeOrdered (per-partition partial top-k,
+    k rows shuffled per partition — never a global sort). The target side
+    is small by construction (a hand-curated domain sample), so its LM is
+    a broadcast."""
+    from ..javahash import java_hash_u32_expr
+
+    def _words(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        ).filter(F.col("w") != "")
+
+    rw = _words(docs)
+    tw = _words(target)
+    raw_lm = rw.groupBy("w").agg(F.count("*").alias("c_raw"))
+    tgt_lm = tw.groupBy("w").agg(F.count("*").alias("c_tgt"))
+    # add-1 smoothing over the UNION vocabulary (pure function of counts)
+    vocab = raw_lm.select("w").unionByName(tgt_lm.select("w")).distinct()
+    n_vocab = vocab.count()
+    n_raw = rw.count()
+    n_tgt = tw.count()
+    ratio = (
+        raw_lm.join(tgt_lm, "w", "left")
+        .select(
+            "w",
+            F.round(
+                (F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                       / F.lit(float(n_tgt + n_vocab)))
+                 - F.log((F.col("c_raw") + 1) / F.lit(float(n_raw + n_vocab))))
+                * 1000000, 0
+            ).cast("long").alias("lr_micro"),
+        )
+    )
+    weights = (
+        rw.join(ratio, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("lr_micro").cast("long").alias("weight_micro"),
+        )
+    )
+    u = (java_hash_u32_expr(
+            F.sha2(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")), 256)
+         ).cast("double") + 0.5) / float(1 << 32)
+    keyed = weights.withColumn(
+        "key_micro",
+        (F.col("weight_micro")
+         + F.round(-F.log(-F.log(u)) * 1000000, 0).cast("long")),
+    )
+    winners = (
+        keyed.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return (
+        keyed.join(F.broadcast(winners), "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "weight_micro", "key_micro",
+            F.coalesce("selected", F.lit(False)).alias("selected"),
+        )
+    )

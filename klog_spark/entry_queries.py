@@ -1303,6 +1303,73 @@ SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split FROM 
 """
 
 
+def q_dsir_sample(spark, sf_dir):
+    """DSIR-style importance resampling (mixture.dsir_importance_sample):
+    re-weight the corpus toward the src0 target domain by the add-1 unigram
+    LM log-ratio (per-word integer micro-nats, order-independent doc sums)
+    and select k=100 docs by derandomized Gumbel-top-k (hash uniforms).
+    The oracle retrains BOTH LMs, recomputes every log-ratio, the Gumbel
+    keys and the top-k from scratch."""
+    from .datapipe.mixture import dsir_importance_sample
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance_sample(docs, docs.filter(F.col("source") == "src0"),
+                                  k=100)
+
+
+SQL_DSIR_SAMPLE = f"""
+WITH rw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+tw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE source = 'src0')
+  WHERE w <> ''
+),
+raw_lm AS (SELECT w, COUNT(*) AS c_raw FROM rw GROUP BY w),
+tgt_lm AS (SELECT w, COUNT(*) AS c_tgt FROM tw GROUP BY w),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT w FROM raw_lm UNION SELECT w FROM tgt_lm))
+           AS n_vocab,
+         (SELECT COUNT(*) FROM rw) AS n_raw,
+         (SELECT COUNT(*) FROM tw) AS n_tgt
+),
+ratio AS (
+  SELECT r.w,
+         CAST(ROUND((LN((COALESCE(t.c_tgt, 0) + 1)
+                        / CAST(n_tgt + n_vocab AS DOUBLE))
+                     - LN((r.c_raw + 1) / CAST(n_raw + n_vocab AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS lr_micro
+  FROM raw_lm r LEFT JOIN tgt_lm t USING (w) CROSS JOIN consts
+),
+weights AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(lr_micro) AS BIGINT) AS weight_micro
+  FROM rw JOIN ratio USING (w) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_words, weight_micro,
+         weight_micro + CAST(ROUND(-LN(-LN(
+           ({_sql_java_u32("sha256('dsir:' || CAST(doc_id AS VARCHAR))")} + 0.5)
+             / 4294967296.0)) * 1000000) AS BIGINT) AS key_micro
+  FROM weights
+),
+sel AS (
+  SELECT doc_id, TRUE AS selected
+  FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT 100
+)
+SELECT k.doc_id, k.n_words, k.weight_micro, k.key_micro,
+       COALESCE(s.selected, FALSE) AS selected
+FROM keyed k LEFT JOIN sel s USING (doc_id)
+"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Derandomized Efraimidis-Spirakis weighted sampling: top-5 docs per
     source with probability proportional to n_chars, deterministic via

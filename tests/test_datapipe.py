@@ -2340,3 +2340,59 @@ def test_calibration_sweep_confusion_counts(spark):
     }
     kept_by_t = [out[t][0] for t in sorted(out)]
     assert kept_by_t == sorted(kept_by_t, reverse=True)
+
+
+def test_dsir_importance_sample_python_oracle(spark):
+    """DSIR selection equals a sequential Python recomputation: both LMs,
+    the per-word micro-nat log-ratios, the hash-Gumbel keys and the top-k.
+    Docs made of target-domain words must out-weigh off-domain docs."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from klog_spark.datapipe.mixture import dsir_importance_sample
+    from klog_spark.javahash import java_string_hash_np
+
+    rows = [(i, "aa bb aa cc") for i in range(6)]          # target-ish
+    rows += [(i, "xx yy zz xx") for i in range(6, 12)]     # off-domain
+    rows += [(12, "aa xx")]                                # mixed
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "aa bb cc aa bb aa")], "doc_id long, text string")
+
+    out = {r["doc_id"]: (r["n_words"], r["weight_micro"], r["key_micro"],
+                         r["selected"])
+           for r in dsir_importance_sample(docs, target, k=4).collect()}
+
+    # sequential oracle
+    raw_words = {i: [w for w in t.lower().strip().split() if w] for i, t in rows}
+    c_raw, c_tgt = {}, {}
+    for ws in raw_words.values():
+        for w in ws:
+            c_raw[w] = c_raw.get(w, 0) + 1
+    for w in "aa bb cc aa bb aa".split():
+        c_tgt[w] = c_tgt.get(w, 0) + 1
+    n_raw = sum(c_raw.values())
+    n_tgt = sum(c_tgt.values())
+    vocab = len(set(c_raw) | set(c_tgt))
+    lr = {w: round((math.log((c_tgt.get(w, 0) + 1) / (n_tgt + vocab))
+                    - math.log((c_raw[w] + 1) / (n_raw + vocab))) * 1e6)
+          for w in c_raw}
+    want = {}
+    for i, ws in raw_words.items():
+        wm = sum(lr[w] for w in ws)
+        digest = hashlib.sha256(f"dsir:{i}".encode()).hexdigest()
+        u32 = int(java_string_hash_np(pd.Series([digest]))[0]) % (1 << 32)
+        u = (u32 + 0.5) / float(1 << 32)
+        key = wm + round(-math.log(-math.log(u)) * 1e6)
+        want[i] = (len(ws), wm, key)
+    topk = sorted(want, key=lambda i: (-want[i][2], i))[:4]
+    for i in want:
+        assert out[i] == (*want[i], i in topk), f"doc {i}"
+
+    # domain separation: every pure-target doc out-weighs every off-domain doc
+    tgt_w = [out[i][1] for i in range(6)]
+    off_w = [out[i][1] for i in range(6, 12)]
+    assert min(tgt_w) > max(off_w)
