@@ -36,6 +36,8 @@ Usage::
                                      --blocklist w1,w2 [--max-ppm N]
     python -m klog_spark corpus diff OLD_PARQUET --new NEW_PARQUET --out DIR
     python -m klog_spark corpus calibrate DOCS_PARQUET [--thresholds t1,t2]
+    python -m klog_spark corpus dsir DOCS_PARQUET --target T_PARQUET --k N
+                                     --out DIR
 
 The ``corpus`` family is the training-data side of the engine (documents
 parquet with ``doc_id``/``text``[/``source``] columns): per-source stats,
@@ -732,6 +734,27 @@ def cmd_corpus_calibrate(spark, args) -> int:
     return 0
 
 
+def cmd_corpus_dsir(spark, args) -> int:
+    """DSIR-style importance resampling toward a target-domain parquet
+    (mixture.dsir_importance_sample): writes the per-doc decision table
+    (doc_id, n_words, weight_micro, key_micro, selected) and prints the
+    selected count."""
+    from .datapipe.mixture import dsir_importance_sample
+
+    docs = _corpus_df(spark, args.input)
+    target = _corpus_df(spark, args.target)
+    out = dsir_importance_sample(docs, target, k=args.k)
+    out.write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("selected").cast("int")).cast("long").alias("n_selected"),
+        )
+    )
+    print(f"dsir decision table written to {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="klog-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -863,6 +886,13 @@ def build_parser() -> argparse.ArgumentParser:
     cca.add_argument("input")
     cca.add_argument("--thresholds", default="-2000000,-500000,0,500000,2000000")
     cca.set_defaults(fn=cmd_corpus_calibrate)
+
+    cds = corp.add_parser("dsir")
+    cds.add_argument("input", help="raw corpus parquet")
+    cds.add_argument("--target", required=True, help="target-domain documents parquet")
+    cds.add_argument("--k", type=int, required=True)
+    cds.add_argument("--out", required=True)
+    cds.set_defaults(fn=cmd_corpus_dsir)
     return ap
 
 

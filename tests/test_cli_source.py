@@ -546,3 +546,24 @@ def test_cli_corpus_new_round7_commands(spark, capsys, tmp_path):
         fn = int(ln.split("fn=")[1].split()[0])
         tn = int(ln.split("tn=")[1].split()[0])
         assert tp + fp + fn + tn == n_docs
+
+
+def test_cli_corpus_dsir(spark, tmp_path):
+    """dsir CLI face == the operator row-exact, with the gate's src0 target."""
+    from klog_spark.__main__ import main
+    from klog_spark.datapipe.mixture import dsir_importance_sample
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    ddf = spark.read.parquet(docs)
+    tgt = str(tmp_path / "target.parquet")
+    ddf.filter("source = 'src0'").write.parquet(tgt)
+    dest = str(tmp_path / "dsir")
+    assert main(["corpus", "dsir", docs, "--target", tgt, "--k", "10",
+                 "--out", dest], spark=spark) == 0
+    got = {r["doc_id"]: (r["weight_micro"], r["key_micro"], r["selected"])
+           for r in spark.read.parquet(dest).collect()}
+    want = {r["doc_id"]: (r["weight_micro"], r["key_micro"], r["selected"])
+            for r in dsir_importance_sample(
+                ddf, ddf.filter("source = 'src0'"), k=10).collect()}
+    assert got == want
+    assert sum(1 for v in got.values() if v[2]) == 10

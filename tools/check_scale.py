@@ -91,6 +91,7 @@ def main(sf: float = 0.1) -> int:
         "wordlist_filter": (eq.q_wordlist_filter, eq.SQL_WORDLIST_FILTER),
         "corpus_diff": (eq.q_corpus_diff, eq.SQL_CORPUS_DIFF),
         "quality_calibration": (eq.q_quality_calibration, eq.SQL_QUALITY_CALIBRATION),
+        "dsir_sample": (eq.q_dsir_sample, eq.SQL_DSIR_SAMPLE),
     }
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "

@@ -250,6 +250,11 @@ def main() -> None:
     qc_plan = plan_of(qc, "simple")
     sections.append(("quality calibration sweep", plan_of(qc), ["HashAggregate"]))
     assert "CartesianProduct" not in qc_plan and "BroadcastNestedLoopJoin" not in qc_plan
+    ds = eq.q_dsir_sample(spark, SF_DIR)
+    ds_plan = plan_of(ds, "simple")
+    sections.append(("DSIR importance resampling", plan_of(ds), ["TakeOrderedAndProject"]))
+    assert "CartesianProduct" not in ds_plan and "BroadcastNestedLoopJoin" not in ds_plan, \
+        "DSIR top-k must be TakeOrdered partial top-k, never a global sort/cartesian"
 
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
