@@ -49,6 +49,12 @@ hashed_embeddings, semdedup_prototypes replaced repeated_spans,
 bpe_pair_counts, event_funnel, user_retention, corpus_mixture_sample —
 all five rotated-out rows green in CORRECTNESS_r06 with their
 capabilities kept by the noted subsuming rows.
+
+The five operators built LATER in round 7 also took driver rows from
+birth: dedup_paragraphs, ann_ivfpq_rerank, wordlist_filter, corpus_diff,
+dsir_sample replaced dedup_embedding_lsh, lm_quality_score,
+source_quality, events_hypertable, weighted_sample_by_source (each green
+in CORRECTNESS_r06 or earlier, capability kept per the inline notes).
 """
 
 from __future__ import annotations

@@ -41,7 +41,9 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from klog_spark.datapipe.dedup import embedding_near_dups_lsh, minhash_dedup
+    from klog_spark.datapipe.dedup import (dedup_paragraph_blocks,
+                                           embedding_near_dups_lsh,
+                                           minhash_dedup)
     from klog_spark.entry_queries import _dup_corpus
     from klog_spark.operators import checks
     from klog_spark.operators.enrich import enrich_with_producer_meta
@@ -137,6 +139,15 @@ def main() -> None:
             # round-7: packed-bitmap Bloom dedup screen end-to-end — build
             # the bit table, pack it executor-side, broadcast, O(1)-probe
             timed("bloom_screen_packed", lambda: eq.q_bloom_screen_packed(spark, sf_dir)
+                  .write.format("noop").mode("overwrite").save())
+            # late round-7: paragraph dedup (min-struct agg + reassembly,
+            # xxhash64 8-byte shuffle key) and DSIR importance resampling
+            # (two LM passes + Gumbel-top-k TakeOrdered)
+            timed("dedup_paragraphs",
+                  lambda: dedup_paragraph_blocks(_dup_corpus(spark, sf_dir),
+                                                 block_words=16, hash_blocks=True)
+                  .write.format("noop").mode("overwrite").save())
+            timed("dsir_sample", lambda: eq.q_dsir_sample(spark, sf_dir)
                   .write.format("noop").mode("overwrite").save())
             all_runs.append(timings)
             shutil.rmtree(routed_dir, ignore_errors=True)
