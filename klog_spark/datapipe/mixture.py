@@ -315,13 +315,15 @@ def dsir_importance_sample(docs: DataFrame, target: DataFrame, k: int,
 
     rw = _words(docs)
     tw = _words(target)
-    raw_lm = rw.groupBy("w").agg(F.count("*").alias("c_raw"))
-    tgt_lm = tw.groupBy("w").agg(F.count("*").alias("c_tgt"))
+    # the LM tables are vocabulary-sized (Heaps' law: ~O(corpus^0.5)) —
+    # persist them so the corpus explodes ONCE per side; the three scalar
+    # constants below then read the cached vocab tables, not the corpus
+    raw_lm = rw.groupBy("w").agg(F.count("*").alias("c_raw")).persist()
+    tgt_lm = tw.groupBy("w").agg(F.count("*").alias("c_tgt")).persist()
     # add-1 smoothing over the UNION vocabulary (pure function of counts)
-    vocab = raw_lm.select("w").unionByName(tgt_lm.select("w")).distinct()
-    n_vocab = vocab.count()
-    n_raw = rw.count()
-    n_tgt = tw.count()
+    n_vocab = raw_lm.select("w").unionByName(tgt_lm.select("w")).distinct().count()
+    n_raw = raw_lm.agg(F.sum("c_raw")).first()[0]
+    n_tgt = tgt_lm.agg(F.sum("c_tgt")).first()[0]
     ratio = (
         raw_lm.join(tgt_lm, "w", "left")
         .select(
