@@ -221,6 +221,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_sample": eq.q_corpus_mixture_sample,     # mixture family keeps weighted_sample + token_budget_mixture driver rows
         # round-7-built eval/report composition over two driver-gated rows
         "quality_calibration": eq.q_quality_calibration,         # threshold sweep -> confusion counts on the pinned micro-margin grid
+        "chunk_quality": eq.q_chunk_quality,                     # FineWeb-style worst-chunk decision (composes doc_chunks + the pinned model)
     }
 
 
@@ -359,4 +360,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "user_retention": eq.SQL_USER_RETENTION,
         "corpus_mixture_sample": eq.SQL_CORPUS_MIXTURE_SAMPLE,
         "quality_calibration": eq.SQL_QUALITY_CALIBRATION,
+        "chunk_quality": eq.SQL_CHUNK_QUALITY,
     }

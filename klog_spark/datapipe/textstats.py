@@ -515,6 +515,59 @@ def chunk_documents(docs: DataFrame, max_words: int, overlap: int = 0,
     )
 
 
+def chunk_quality_filter(docs: DataFrame, weights: list[float],
+                         stats: dict[str, tuple[float, float]],
+                         max_words: int = 40, overlap: int = 0,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Chunk-granular quality filtering (the FineWeb-Edu-style refinement
+    of a document-level filter): score every context-window chunk of a
+    document with the PINNED quality model and decide per document on the
+    WORST chunk — a long document with one boilerplate/garbage section
+    fails even when its document-level average looks fine, which is
+    exactly what document-granular filters miss.
+
+    Features per chunk replicate ``quality_scores`` + the scored-filter
+    fold bit-for-bit (4-dp ratio rounding, 6-dp f_len grid, the same
+    literal weight/stat fold), so ``margin_micro`` per chunk is
+    deterministic-identical across engines.
+
+    Returns (doc_id, n_chunks, min_margin_micro, sum_margin_micro, keep)
+    with ``keep = min_margin >= 0``; ``sum_margin_micro / n_chunks`` is the
+    mean operating point for callers preferring the softer rule.
+
+    Scale shape: chunking is the zero-shuffle per-row explode of
+    ``chunk_documents``; scoring is a stateless JVM fold per chunk; the
+    only shuffle is the final doc_id-keyed aggregation (map-side partial).
+    """
+    chunks = chunk_documents(docs, max_words=max_words, overlap=overlap,
+                             text_col=text_col, id_col=id_col)
+    words = _WORDS("chunk_text")
+    n_words = F.size(words)
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stops])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.regexp_count(F.col("chunk_text"), F.lit(r"[^\w\s]"))
+    feats = {
+        "f_stop": F.round(n_stop / n_words, 4),
+        "f_punct": F.round(n_punct / F.length("chunk_text"), 4),
+        "f_len": F.round(F.log1p(n_words) / 10.0, 6),
+    }
+    margin = F.lit(float(weights[0]))
+    for w, (name, col) in zip(weights[1:], feats.items()):
+        m, s = stats[name]
+        margin = margin + F.lit(float(w)) * ((col - F.lit(float(m))) / F.lit(float(s)))
+    scored = chunks.select(
+        "doc_id", F.round(margin * 1000000).cast("long").alias("_mm")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.min("_mm").cast("long").alias("min_margin_micro"),
+        F.sum("_mm").cast("long").alias("sum_margin_micro"),
+        (F.min("_mm") >= 0).alias("keep"),
+    )
+
+
 def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
                        source_col: str = "source", text_col: str = "text",
                        id_col: str = "doc_id",

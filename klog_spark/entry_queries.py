@@ -4970,6 +4970,59 @@ FROM e GROUP BY threshold_micro
 """
 
 
+def q_chunk_quality(spark, sf_dir):
+    """Chunk-granular quality filtering (textstats.chunk_quality_filter):
+    every 40-word/8-overlap context chunk scored with the pinned model,
+    per-doc decision on the WORST chunk — the FineWeb-style refinement
+    that catches one bad section inside a long document. The oracle
+    composes the gated chunk SQL with a from-scratch recomputation of the
+    chunk features and the pinned margin fold."""
+    from .datapipe.textstats import chunk_quality_filter
+
+    return chunk_quality_filter(_docs(spark, sf_dir), SCORED_FILTER_WEIGHTS,
+                                SCORED_FILTER_STATS, max_words=40, overlap=8)
+
+
+def _sql_chunk_quality() -> str:
+    (m1, s1) = SCORED_FILTER_STATS["f_stop"]
+    (m2, s2) = SCORED_FILTER_STATS["f_punct"]
+    (m3, s3) = SCORED_FILTER_STATS["f_len"]
+    w0, w1, w2, w3 = SCORED_FILTER_WEIGHTS
+    return f"""
+WITH chunks AS (SELECT * FROM ({SQL_DOC_CHUNKS})),
+feat AS (
+  SELECT doc_id, chunk_text,
+         regexp_split_to_array(lower(trim(chunk_text)), '\\s+') AS words
+  FROM chunks
+),
+sc AS (
+  SELECT doc_id,
+         ROUND(len(list_filter(words, x -> list_contains({{STOPS}}, x)))
+               / len(words), 4) AS f_stop,
+         ROUND(len(regexp_extract_all(chunk_text, '[^a-zA-Z0-9_\\s]'))
+               / length(chunk_text), 4) AS f_punct,
+         ROUND(ln(1 + len(words)) / 10.0, 6) AS f_len
+  FROM feat
+),
+mg AS (
+  SELECT doc_id,
+         CAST(ROUND(({w0!r} + {w1!r} * ((f_stop - {m1!r}) / {s1!r})
+                            + {w2!r} * ((f_punct - {m2!r}) / {s2!r})
+                            + {w3!r} * ((f_len - {m3!r}) / {s3!r}))
+                    * 1000000) AS BIGINT) AS mm
+  FROM sc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(MIN(mm) AS BIGINT) AS min_margin_micro,
+       CAST(SUM(mm) AS BIGINT) AS sum_margin_micro,
+       MIN(mm) >= 0 AS keep
+FROM mg GROUP BY doc_id
+""".replace("{STOPS}", _sql_stoplist_all())
+
+
+SQL_CHUNK_QUALITY = _sql_chunk_quality()
+
+
 BLOOM_M, BLOOM_K = 4096, 3
 
 

@@ -2396,3 +2396,34 @@ def test_dsir_importance_sample_python_oracle(spark):
     tgt_w = [out[i][1] for i in range(6)]
     off_w = [out[i][1] for i in range(6, 12)]
     assert min(tgt_w) > max(off_w)
+
+
+def test_chunk_quality_filter_worst_chunk_semantics(spark):
+    """A long doc with one bad section fails the worst-chunk rule even when
+    most chunks are fine; a uniformly good doc keeps; chunk margins match
+    scoring each chunk text independently with the pinned doc-level fold."""
+    from klog_spark.datapipe.textstats import (chunk_documents,
+                                               chunk_quality_filter)
+    from klog_spark.entry_queries import (SCORED_FILTER_STATS,
+                                          SCORED_FILTER_WEIGHTS)
+
+    good = "the key table a value " * 8          # stopword-rich, passes
+    bad = "zzz " * 40                            # stopword-free block
+    rows = [(1, (good * 2).strip()),             # all-good chunks
+            (2, (good + bad + good).strip())]    # one bad chunk inside
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in chunk_quality_filter(
+        df, SCORED_FILTER_WEIGHTS, SCORED_FILTER_STATS,
+        max_words=40, overlap=0).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False
+    assert out[2]["min_margin_micro"] < 0 < out[1]["min_margin_micro"]
+
+    # per-chunk margins == scoring each chunk text as its own document
+    chunks = chunk_documents(df, max_words=40, overlap=0)
+    rescored = chunk_quality_filter(
+        chunks.select(F.col("chunk_text").alias("text"),
+                      (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id")),
+        SCORED_FILTER_WEIGHTS, SCORED_FILTER_STATS, max_words=40, overlap=0)
+    per_chunk = {r["doc_id"]: r["min_margin_micro"] for r in rescored.collect()}
+    assert min(per_chunk[2000 + i] for i in range(3)) == out[2]["min_margin_micro"]
