@@ -113,13 +113,15 @@ def register_corpus_views(spark: SparkSession, docs, prefix: str = "corpus") -> 
     statistic — so corpus curation, like the klog analysis, is drivable
     from pure ``spark.sql``. DataFrame-backed temp views: filters an
     analyst writes in SQL push down into every underlying plan."""
+    from . import entry_queries as eq
     from .datapipe.bpe import symbol_pair_counts
     from .datapipe.dedup import (
-        exact_duplicates, leakage_safe_split, repeated_ngram_spans,
+        dedup_paragraph_blocks, exact_duplicates, leakage_safe_split,
+        repeated_ngram_spans,
     )
     from .datapipe.textstats import (
-        lang_id, quality_scores, redact_pii, repetition_scores,
-        unigram_lm_scores,
+        chunk_quality_filter, lang_id, quality_scores, redact_pii,
+        repetition_scores, unigram_lm_scores,
     )
 
     if not isinstance(docs, DataFrame):
@@ -135,6 +137,11 @@ def register_corpus_views(spark: SparkSession, docs, prefix: str = "corpus") -> 
         "split": leakage_safe_split(docs),
         "repeated_spans": repeated_ngram_spans(docs),
         "bpe_pairs": symbol_pair_counts(docs),
+        # round-7 curation surface
+        "block_dedup": dedup_paragraph_blocks(docs),
+        "chunk_quality": chunk_quality_filter(
+            docs, eq.SCORED_FILTER_WEIGHTS, eq.SCORED_FILTER_STATS,
+            max_words=40, overlap=8),
     }
     names = []
     for view, df in views.items():
