@@ -222,6 +222,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7-built eval/report composition over two driver-gated rows
         "quality_calibration": eq.q_quality_calibration,         # threshold sweep -> confusion counts on the pinned micro-margin grid
         "chunk_quality": eq.q_chunk_quality,                     # FineWeb-style worst-chunk decision (composes doc_chunks + the pinned model)
+        "bm25_topk": eq.q_bm25_topk,                             # BM25 keyword retrieval: relational postings, integer micro scores
     }
 
 
@@ -361,4 +362,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_mixture_sample": eq.SQL_CORPUS_MIXTURE_SAMPLE,
         "quality_calibration": eq.SQL_QUALITY_CALIBRATION,
         "chunk_quality": eq.SQL_CHUNK_QUALITY,
+        "bm25_topk": eq.SQL_BM25_TOPK,
     }

@@ -5023,6 +5023,70 @@ FROM mg GROUP BY doc_id
 SQL_CHUNK_QUALITY = _sql_chunk_quality()
 
 
+BM25_QUERIES = [(1, "slow query table"), (2, "stream window agg"),
+                (3, "customer join fast"), (4, "the a big"),
+                (5, "vector sort merge")]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (retrieval.bm25_topk) — the lexical
+    first-stage retriever complementing the embedding-ANN family: Okapi
+    tf saturation + RSJ idf over relational postings, five keyword
+    queries, top-10 each. Per-(term, doc) scores round once to integer
+    micro units (pure function of tf/df/dl/corpus constants), so ranks
+    and scores are engine-exact. The oracle rebuilds postings, df, length
+    norms and the saturation formula from scratch."""
+    from .datapipe.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
+
+
+def _sql_bm25(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in BM25_QUERIES
+        for t in sorted(set(q.lower().strip().split()))
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM lens),
+post AS (SELECT doc_id, unnest(ws) AS w FROM w),
+tft AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM post GROUP BY 1, 2),
+dft AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tft GROUP BY w),
+q(qid, w) AS (VALUES {{QVALS}}),
+sc AS (
+  SELECT q.qid, t.doc_id,
+         CAST(ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                    * ((t.tf * {k1 + 1.0!r})
+                       / (t.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))
+                    * 1000000) AS BIGINT) AS s
+  FROM q JOIN tft t USING (w) JOIN dft USING (w)
+  JOIN lens ON t.doc_id = lens.doc_id CROSS JOIN consts
+),
+agg AS (
+  SELECT qid, doc_id, CAST(SUM(s) AS BIGINT) AS score_micro
+  FROM sc GROUP BY qid, doc_id
+),
+r AS (
+  SELECT qid, doc_id, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT qid, doc_id, CAST(rank AS INT) AS rank, score_micro
+FROM r WHERE rank <= {k}
+""".replace("{QVALS}", qvals)
+
+
+SQL_BM25_TOPK = _sql_bm25()
+
+
 BLOOM_M, BLOOM_K = 4096, 3
 
 

@@ -2427,3 +2427,57 @@ def test_chunk_quality_filter_worst_chunk_semantics(spark):
         SCORED_FILTER_WEIGHTS, SCORED_FILTER_STATS, max_words=40, overlap=0)
     per_chunk = {r["doc_id"]: r["min_margin_micro"] for r in rescored.collect()}
     assert min(per_chunk[2000 + i] for i in range(3)) == out[2]["min_margin_micro"]
+
+
+def test_bm25_topk_python_oracle(spark):
+    """BM25 ranks equal a sequential Python recomputation of the exact
+    formula on a hand-built mini-corpus; a rare term out-ranks a common
+    one; ties break on doc_id."""
+    import math
+
+    from klog_spark.datapipe.retrieval import bm25_topk
+
+    rows = [
+        (1, "apple banana apple"),          # tf(apple)=2
+        (2, "apple cherry"),
+        (3, "banana banana banana banana"),
+        (4, "cherry durian cherry"),
+        (5, "filler words only here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(1, "apple"), (2, "durian banana"), (3, "apple apple")]
+    out = {}
+    for r in bm25_topk(df, queries, k=3).collect():
+        out.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score_micro"]))
+
+    k1, b = 1.2, 0.75
+    docs_w = {i: t.split() for i, t in rows}
+    N = len(rows)
+    avgdl = sum(len(w) for w in docs_w.values()) / N
+    tf = {}
+    for i, ws in docs_w.items():
+        for w in ws:
+            tf[(w, i)] = tf.get((w, i), 0) + 1
+    dfreq = {}
+    for (w, _i) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+
+    def score(q_terms, i):
+        s = 0
+        for w in sorted(set(q_terms)):
+            if (w, i) not in tf:
+                continue
+            idf = math.log(1.0 + (N - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            t = tf[(w, i)]
+            tfn = (t * (k1 + 1.0)) / (t + k1 * (1 - b + b * len(docs_w[i]) / avgdl))
+            s += round(idf * tfn * 1e6)
+        return s
+
+    for qid, q in queries:
+        scored = [(score(q.split(), i), i) for i in docs_w
+                  if score(q.split(), i) > 0]
+        want = [(r + 1, i, s) for r, (s, i) in
+                enumerate(sorted(scored, key=lambda x: (-x[0], x[1]))[:3])]
+        assert sorted(out[qid]) == want, f"qid={qid}"
+    # duplicate query terms count once: qids 1 and 3 rank identically
+    assert [x[1:] for x in sorted(out[1])] == [x[1:] for x in sorted(out[3])]
