@@ -223,6 +223,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": eq.q_quality_calibration,         # threshold sweep -> confusion counts on the pinned micro-margin grid
         "chunk_quality": eq.q_chunk_quality,                     # FineWeb-style worst-chunk decision (composes doc_chunks + the pinned model)
         "bm25_topk": eq.q_bm25_topk,                             # BM25 keyword retrieval: relational postings, integer micro scores
+        "temperature_weights": eq.q_temperature_weights,         # mT5/XLM-R alpha-sampling source weights (integer normalizer)
     }
 
 
@@ -363,4 +364,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "quality_calibration": eq.SQL_QUALITY_CALIBRATION,
         "chunk_quality": eq.SQL_CHUNK_QUALITY,
         "bm25_topk": eq.SQL_BM25_TOPK,
+        "temperature_weights": eq.SQL_TEMPERATURE_WEIGHTS,
     }

@@ -364,3 +364,50 @@ def dsir_importance_sample(docs: DataFrame, target: DataFrame, k: int,
             F.coalesce("selected", F.lit(False)).alias("selected"),
         )
     )
+
+
+def temperature_mixture_weights(docs: DataFrame, alpha: float = 0.5,
+                                text_col: str = "text",
+                                source_col: str = "source") -> DataFrame:
+    """Temperature-based source weighting (the mT5 / XLM-R alpha-sampling
+    recipe, alpha in (0, 1]): per-source sampling weight proportional to
+    (token mass)^alpha — alpha=1 reproduces natural proportions, smaller
+    alpha up-weights low-resource sources, the knob every multilingual /
+    multi-domain data recipe exposes. Feed the resulting weights into
+    ``token_budget_mixture`` (pytest-asserted composition) to materialize
+    the recipe.
+
+    Returns one row per source: (source, n_tokens, weight_micro). The
+    float determinism follows the micro-grid convention: each source's
+    ``pow_micro = round(1e6 * n_s^alpha)`` is rounded ONCE from a pure
+    function of its own token mass, the normalizer is the INTEGER sum of
+    those (order-independent — a float sum across sources would be
+    partition-order-dependent, the trained-filter lesson), and
+    ``weight_micro = round(1e6 * pow_micro / total_micro)`` divides two
+    exact integers — any engine reproduces every step bit-for-bit.
+
+    Scale shape: one word-count aggregation keyed by source (map-side
+    partial; output is source-cardinality-sized), one scalar total, one
+    projection. Nothing here scales with documents beyond the first agg.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != "")
+    masses = (
+        docs.select(F.col(source_col).alias("source"), F.size(words).alias("_n"))
+        .groupBy("source")
+        .agg(F.sum("_n").cast("long").alias("n_tokens"))
+        .persist()
+    )
+    pm = masses.select(
+        "source", "n_tokens",
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+                * 1000000).cast("long").alias("_pm"),
+    )
+    total_micro = pm.agg(F.sum("_pm").cast("long")).first()[0]
+    return pm.select(
+        "source", "n_tokens",
+        F.round(F.col("_pm").cast("double") / F.lit(float(total_micro)) * 1000000)
+        .cast("long").alias("weight_micro"),
+    )

@@ -5023,6 +5023,38 @@ FROM mg GROUP BY doc_id
 SQL_CHUNK_QUALITY = _sql_chunk_quality()
 
 
+def q_temperature_weights(spark, sf_dir):
+    """Temperature (alpha=0.5) source weighting
+    (mixture.temperature_mixture_weights — the mT5/XLM-R alpha-sampling
+    recipe): per-source weight proportional to sqrt(token mass), on the
+    micro-integer grid with an INTEGER normalizer (a float sum across
+    sources would be partition-order-dependent). Oracle recomputes masses,
+    pow_micro, the integer total and the final ratio from scratch."""
+    from .datapipe.mixture import temperature_mixture_weights
+
+    return temperature_mixture_weights(_docs(spark, sf_dir), alpha=0.5)
+
+
+SQL_TEMPERATURE_WEIGHTS = """
+WITH masses AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+pm AS (
+  SELECT source, n_tokens,
+         CAST(ROUND(POW(CAST(n_tokens AS DOUBLE), 0.5) * 1000000) AS BIGINT) AS pmv
+  FROM masses
+),
+tot AS (SELECT CAST(SUM(pmv) AS BIGINT) AS total_micro FROM pm)
+SELECT source, n_tokens,
+       CAST(ROUND(CAST(pmv AS DOUBLE) / total_micro * 1000000) AS BIGINT)
+         AS weight_micro
+FROM pm CROSS JOIN tot
+"""
+
+
 BM25_QUERIES = [(1, "slow query table"), (2, "stream window agg"),
                 (3, "customer join fast"), (4, "the a big"),
                 (5, "vector sort merge")]

@@ -2481,3 +2481,35 @@ def test_bm25_topk_python_oracle(spark):
         assert sorted(out[qid]) == want, f"qid={qid}"
     # duplicate query terms count once: qids 1 and 3 rank identically
     assert [x[1:] for x in sorted(out[1])] == [x[1:] for x in sorted(out[3])]
+
+
+def test_temperature_weights_semantics(spark):
+    """alpha=1 reproduces natural token proportions (to micro rounding);
+    alpha=0.5 up-weights the low-resource source; weights sum to ~1e6;
+    composition with token_budget_mixture is deterministic."""
+    from klog_spark.datapipe.mixture import (temperature_mixture_weights,
+                                             token_budget_mixture)
+
+    rows = [(i, "w " * 100, "big") for i in range(9)]        # 900 tokens
+    rows += [(100, "w " * 100, "small")]                     # 100 tokens
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string")
+
+    nat = {r["source"]: r["weight_micro"]
+           for r in temperature_mixture_weights(df, alpha=1.0).collect()}
+    assert abs(nat["big"] - 900_000) <= 1 and abs(nat["small"] - 100_000) <= 1
+
+    sq = {r["source"]: r["weight_micro"]
+          for r in temperature_mixture_weights(df, alpha=0.5).collect()}
+    assert sq["small"] > 100_000                     # up-weighted
+    assert abs(sum(sq.values()) - 1_000_000) <= 2    # normalized
+    assert sq["big"] / sq["small"] == pytest.approx(3.0, abs=1e-4)  # sqrt(9)
+
+    mix = token_budget_mixture(
+        df, {s: w / 1e6 for s, w in sq.items()}, total_tokens=400)
+    got = mix.groupBy("source").count().collect()
+    assert {r["source"] for r in got} == {"big", "small"}
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_weights(df, alpha=0.0)
