@@ -92,6 +92,9 @@ def main(sf: float = 0.1) -> int:
         "corpus_diff": (eq.q_corpus_diff, eq.SQL_CORPUS_DIFF),
         "quality_calibration": (eq.q_quality_calibration, eq.SQL_QUALITY_CALIBRATION),
         "dsir_sample": (eq.q_dsir_sample, eq.SQL_DSIR_SAMPLE),
+        "chunk_quality": (eq.q_chunk_quality, eq.SQL_CHUNK_QUALITY),
+        "bm25_topk": (eq.q_bm25_topk, eq.SQL_BM25_TOPK),
+        "temperature_weights": (eq.q_temperature_weights, eq.SQL_TEMPERATURE_WEIGHTS),
     }
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "

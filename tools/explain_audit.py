@@ -255,6 +255,20 @@ def main() -> None:
     sections.append(("DSIR importance resampling", plan_of(ds), ["TakeOrderedAndProject"]))
     assert "CartesianProduct" not in ds_plan and "BroadcastNestedLoopJoin" not in ds_plan, \
         "DSIR top-k must be TakeOrdered partial top-k, never a global sort/cartesian"
+    cq = eq.q_chunk_quality(spark, SF_DIR)
+    cq_plan = plan_of(cq, "simple")
+    sections.append(("chunk-quality worst-chunk filter", plan_of(cq), ["HashAggregate"]))
+    assert "Exchange hashpartitioning(doc_id" in cq_plan, \
+        "chunk quality's only shuffle is the doc_id aggregation"
+    assert cq_plan.count("Exchange") == 1, \
+        "chunk quality must shuffle exactly once (the doc_id agg)"
+    bm = eq.q_bm25_topk(spark, SF_DIR)
+    bm_plan = plan_of(bm, "simple")
+    sections.append(("BM25 keyword retrieval", plan_of(bm), ["BroadcastHashJoin"]))
+    assert "CartesianProduct" not in bm_plan and "BroadcastNestedLoopJoin" not in bm_plan, \
+        "query terms must broadcast into the postings join"
+    twq = eq.q_temperature_weights(spark, SF_DIR)
+    sections.append(("temperature source weights", plan_of(twq), ["HashAggregate"]))
 
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
