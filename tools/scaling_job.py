@@ -40,6 +40,9 @@ def main() -> None:
     if mode == "dedup":
         run_dedup(spark, sf)
         return
+    if mode == "paragraphs":
+        run_paragraphs(spark, sf)
+        return
     from klog_spark.datagen import ensure_fixture
 
     fx = str(ensure_fixture(sf))
@@ -167,6 +170,68 @@ def run_dedup(spark: SparkSession, sf: float) -> None:
             "rows_per_sec": round(n / wall, 1),
             "num_committed": n_pairs,
             "num_aborted": n_flagged,
+            "n_sessions": -1,
+        }))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+def run_paragraphs(spark: SparkSession, sf: float) -> None:
+    """Paragraph-block dedup scaling mode: the round-7 first-occurrence-keep
+    rewrite over the same deterministic synthetic corpus as run_dedup, under
+    the identical N -> 4N protocol. Exercises the min-struct block
+    aggregation (one wide shuffle on 8-byte hashed block keys), the doc_id
+    regroup and the reassembly join — a different shuffle/agg mix than
+    MinHash (no Python beyond the scan, no banded explode), so it isolates
+    whether the dedup family's scaling ceiling is the algorithm or the VM.
+
+    Sanity across levels: num_committed = total blocks,
+    num_aborted = globally-kept blocks (both must be identical at N and 4N).
+    """
+    import os as _os
+
+    from klog_spark.datapipe.dedup import dedup_paragraph_blocks
+
+    n_docs = max(1000, int(100_000 * sf))
+    out = tempfile.mkdtemp(prefix="klog-scaling-para-",
+                           dir="/dev/shm" if _os.path.isdir("/dev/shm") else None)
+    try:
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(79)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("doc_id") * F.lit(997) + i), F.lit(4000)),
+            ),
+        )
+        base = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+        )
+        dups = base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + n_docs).alias("doc_id"), "text"
+        )
+        base.unionByName(dups).repartition(4 * spark_cores()) \
+            .write.mode("overwrite").parquet(f"{out}/docs")
+        docs = spark.read.parquet(f"{out}/docs")
+        docs.limit(16).collect()  # pre-warm (session-init, excluded)
+
+        t0 = time.time()
+        n = docs.count()  # first timed action
+        rewritten = dedup_paragraph_blocks(docs, block_words=16,
+                                           hash_blocks=True)
+        row = rewritten.agg(
+            F.sum("n_blocks").cast("long").alias("nb"),
+            F.sum("n_kept_blocks").cast("long").alias("nk"),
+        ).collect()[0]
+        wall = time.time() - t0
+        print(json.dumps({
+            "master": spark.sparkContext.master,
+            "mode": "paragraphs",
+            "rows": n,
+            "wall_s": round(wall, 2),
+            "rows_per_sec": round(n / wall, 1),
+            "num_committed": row["nb"],
+            "num_aborted": row["nk"],
             "n_sessions": -1,
         }))
     finally:
