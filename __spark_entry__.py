@@ -224,6 +224,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_quality": eq.q_chunk_quality,                     # FineWeb-style worst-chunk decision (composes doc_chunks + the pinned model)
         "bm25_topk": eq.q_bm25_topk,                             # BM25 keyword retrieval: relational postings, integer micro scores
         "temperature_weights": eq.q_temperature_weights,         # mT5/XLM-R alpha-sampling source weights (integer normalizer)
+        "minhash_recall_eval": eq.q_minhash_recall_eval,         # LSH candidate recall vs exact Jaccard ground truth (near-dup twin of ann_recall_eval)
     }
 
 
@@ -365,4 +366,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "chunk_quality": eq.SQL_CHUNK_QUALITY,
         "bm25_topk": eq.SQL_BM25_TOPK,
         "temperature_weights": eq.SQL_TEMPERATURE_WEIGHTS,
+        "minhash_recall_eval": eq.SQL_MINHASH_RECALL_EVAL,
     }

@@ -5023,6 +5023,26 @@ FROM mg GROUP BY doc_id
 SQL_CHUNK_QUALITY = _sql_chunk_quality()
 
 
+def q_minhash_recall_eval(spark, sf_dir):
+    """Candidate-recall evaluation of the MinHash-LSH near-dup detector
+    against the exact n-gram-Jaccard ground truth — the near-dup family's
+    twin of ann_recall_eval: one row (n_exact_pairs, n_lsh_pairs,
+    n_common_pairs); recall = common/exact, precision = common/lsh, left
+    as exact integers. Composes two driver-gated pair queries; the oracle
+    nests both full SQLs and intersects."""
+    mh = q_dedup_minhash(spark, sf_dir).select("id1", "id2")
+    ex = q_dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    full = ex.withColumn("_e", F.lit(1)).join(
+        mh.withColumn("_l", F.lit(1)), ["id1", "id2"], "full_outer"
+    )
+    return full.agg(
+        F.sum("_e").cast("long").alias("n_exact_pairs"),
+        F.sum("_l").cast("long").alias("n_lsh_pairs"),
+        F.sum(F.coalesce(F.col("_e"), F.lit(0)) * F.coalesce(F.col("_l"), F.lit(0)))
+        .cast("long").alias("n_common_pairs"),
+    )
+
+
 def q_temperature_weights(spark, sf_dir):
     """Temperature (alpha=0.5) source weighting
     (mixture.temperature_mixture_weights — the mT5/XLM-R alpha-sampling
@@ -5033,6 +5053,16 @@ def q_temperature_weights(spark, sf_dir):
     from .datapipe.mixture import temperature_mixture_weights
 
     return temperature_mixture_weights(_docs(spark, sf_dir), alpha=0.5)
+
+
+SQL_MINHASH_RECALL_EVAL = f"""
+WITH mh AS (SELECT id1, id2 FROM ({SQL_DEDUP_MINHASH})),
+ex AS (SELECT id1, id2 FROM ({SQL_DEDUP_NGRAM_JACCARD}))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_lsh_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT * FROM ex INTERSECT SELECT * FROM mh)) AS n_common_pairs
+"""
 
 
 SQL_TEMPERATURE_WEIGHTS = """
