@@ -55,6 +55,16 @@ birth: dedup_paragraphs, ann_ivfpq_rerank, wordlist_filter, corpus_diff,
 dsir_sample replaced dedup_embedding_lsh, lm_quality_score,
 source_quality, events_hypertable, weighted_sample_by_source (each green
 in CORRECTNESS_r06 or earlier, capability kept per the inline notes).
+
+Round 8 (VERDICT r7 #2-#4): every driver row is now hashable —
+trained_quality_filter (the one guaranteed-``err`` row: the driver
+contract has no rows-only mode) moved to extras, and the five r7-built
+operators with zero driver history rotated in (quality_calibration,
+chunk_quality, bm25_topk, temperature_weights, minhash_recall_eval).
+Four rows whose full SQL another driver row nests or whose semantics a
+driver row parity-pins rotated out (scored_quality_filter, bloom_screen,
+ann_ivfpq_topk, dedup_minhash_lsh — notes inline). hashed_embeddings
+reshaped to scalar (doc_id, dim, component_micro) rows (VERDICT r7 #1).
 """
 
 from __future__ import annotations
@@ -92,14 +102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (dedup / similarity / text / multimodal)
         "dedup_canonical": eq.q_dedup_canonical,           # keep-best resolution (subsumes dedup_exact's digest agg)
         "dedup_clusters": eq.q_dedup_clusters,             # large-star/small-star CC (recomputes the jaccard pair CTEs)
-        "dedup_minhash_lsh": eq.q_dedup_minhash,
         "dedup_paragraphs": eq.q_dedup_paragraphs,         # CCNet/MassiveText paragraph dedup: first-occurrence keep + reassembly (r7-built)
         "semdedup": eq.q_semdedup,                         # SemDeDup on the PINNED kmeans quantizer (r7: trains offline, gates the kmeans codepath)
-        "bloom_screen": eq.q_bloom_screen,                 # Bloom dedup pre-screen (definitely-new fast path)
         "contamination_removal": eq.q_contamination_removal,  # decontaminated-corpus decision table (supersedes contamination_check row: same shingle join, train-side agg)
         "ann_lsh_topk": eq.q_ann_lsh,                      # hyperplane-LSH multiprobe
-        "ann_ivfpq_topk": eq.q_ann_ivfpq,                  # product-quantized scale path (8 B/vector; subsumes IVF-Flat's cell routing)
-        "ann_ivfpq_rerank": eq.q_ann_ivfpq_rerank,         # two-stage refine: ADC candidates -> exact re-rank (r7-built)
+        "ann_ivfpq_rerank": eq.q_ann_ivfpq_rerank,         # two-stage refine: ADC candidates -> exact re-rank; oracle NESTS the full IVF-PQ SQL at k=40 (subsumes the ann_ivfpq_topk row)
         "ann_recall_eval": eq.q_ann_recall_eval,           # recall@10 of IVF vs brute-force ground truth (subsumes knn_label_eval's eval role)
         "text_lang_id": eq.q_text_lang_id,
         "wordlist_filter": eq.q_wordlist_filter,           # blocked-wordlist (badwords) filter, integer ppm accept test (r7-built)
@@ -113,8 +120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_stats": eq.q_bpe_encode_stats,         # BPE ENCODE path vs recursive-CTE re-encoder (consumes the trained merges)
         "corpus_curate": eq.q_corpus_curate,               # quality+PII+split+dedup+DECONTAMINATION composed pipeline (r7: 5 stages)
         # round-6 corpus-recipe classes, first driver rows (r7 rotation)
-        "scored_quality_filter": eq.q_scored_quality_filter,  # pinned-model apply side, hash incl. margins
-        "trained_quality_filter": eq.q_trained_quality_filter,  # labels->logreg->filter report (rows-only: iterative GD; NumPy-parity pytest)
         "bigram_lm_score": eq.q_bigram_lm_score,           # interpolated bigram-LM perplexity filter
         "perplexity_buckets": eq.q_perplexity_buckets,     # CCNet head/middle/tail split
         "doc_chunks": eq.q_doc_chunks,                     # context-window chunking (zero-Exchange)
@@ -128,8 +133,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen_packed": eq.q_bloom_screen_packed,   # packed-bitmap broadcast Bloom, Arrow-kernel probe (VERDICT r6 #2)
         "quality_rejection_sample": eq.q_quality_rejection_sample,  # DCLM-style soft filter over the pinned margin
         "cluster_balanced_sample": eq.q_cluster_balanced_sample,    # per-IVF-cell expected-cap downsampling (pinned quantizer)
-        "hashed_embeddings": eq.q_hashed_embeddings,       # feature-hashing text->embedding bridge
+        "hashed_embeddings": eq.q_hashed_embeddings,       # feature-hashing text->embedding bridge (r8: scalar (doc_id, dim, component_micro) rows — VERDICT r7 #1)
         "semdedup_prototypes": eq.q_semdedup_prototypes,   # D4-style keep=farthest prototype selection
+        # round-8 rotation (VERDICT r7 #3/#4): the five r7-built operators
+        # with zero driver history take rows; trained_quality_filter (the
+        # only guaranteed-err row: no rows-only driver mode exists) moves to
+        # extras, and four green rows whose capability another driver row
+        # recomputes rotate out (notes inline in extra_queries()).
+        "quality_calibration": eq.q_quality_calibration,   # threshold sweep -> confusion counts; oracle NESTS the full scored_quality_filter SQL (keeps that row's coverage)
+        "chunk_quality": eq.q_chunk_quality,               # FineWeb worst-chunk decision; composes doc_chunks + the pinned model
+        "bm25_topk": eq.q_bm25_topk,                       # BM25 keyword retrieval: relational postings, integer micro scores
+        "temperature_weights": eq.q_temperature_weights,   # mT5/XLM-R alpha-sampling source weights (integer normalizer)
+        "minhash_recall_eval": eq.q_minhash_recall_eval,   # LSH candidate recall vs exact Jaccard; oracle NESTS the full dedup_minhash SQL (keeps that row's coverage)
         # named custom-operator classes (as-of / range / rollup / sketch)
         "klog_batch_state_asof": eq.q_batch_state_asof,
         "interval_join_oversized": eq.q_interval_join_oversized,  # range join, bucketed + broadcast-overflow paths both hashed
@@ -219,12 +234,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": eq.q_event_funnel,                       # event family keeps sessions + hypertable driver rows
         "user_retention": eq.q_user_retention,                   # same; cohort logic pytest-pinned
         "corpus_mixture_sample": eq.q_corpus_mixture_sample,     # mixture family keeps weighted_sample + token_budget_mixture driver rows
-        # round-7-built eval/report composition over two driver-gated rows
-        "quality_calibration": eq.q_quality_calibration,         # threshold sweep -> confusion counts on the pinned micro-margin grid
-        "chunk_quality": eq.q_chunk_quality,                     # FineWeb-style worst-chunk decision (composes doc_chunks + the pinned model)
-        "bm25_topk": eq.q_bm25_topk,                             # BM25 keyword retrieval: relational postings, integer micro scores
-        "temperature_weights": eq.q_temperature_weights,         # mT5/XLM-R alpha-sampling source weights (integer normalizer)
-        "minhash_recall_eval": eq.q_minhash_recall_eval,         # LSH candidate recall vs exact Jaccard ground truth (near-dup twin of ann_recall_eval)
+        # rotated OUT of the driver gate in round 8 (all green in
+        # CORRECTNESS_r07; capability kept by the noted driver row)
+        "trained_quality_filter": eq.q_trained_quality_filter,   # rows-only by design (iterative GD); its fitted twin is hash-covered via quality_calibration's nested scored-filter SQL + NumPy-parity pytests — moved here so no driver row burns a guaranteed err (VERDICT r7 #2)
+        "scored_quality_filter": eq.q_scored_quality_filter,     # full SQL nested inside the quality_calibration driver row; chunk_quality applies the same pinned model
+        "bloom_screen": eq.q_bloom_screen,                       # relational Bloom twin; bloom_screen_packed driver row keeps the semantics (parity pytest) at the scale shape
+        "ann_ivfpq_topk": eq.q_ann_ivfpq,                        # full IVF-PQ SQL nested (k=40) inside the ann_ivfpq_rerank driver row
+        "dedup_minhash_lsh": eq.q_dedup_minhash,                 # full MinHash-LSH pair SQL nested inside the minhash_recall_eval driver row
     }
 
 
@@ -251,13 +267,10 @@ def oracle_sql() -> dict[str, str]:
         "klog_group_offsets_read_committed": eq.SQL_GROUP_OFFSETS_READ_COMMITTED,
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
         "dedup_clusters": eq.SQL_DEDUP_CLUSTERS,
-        "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
         "dedup_paragraphs": eq.SQL_DEDUP_PARAGRAPHS,
         "semdedup": eq.SQL_SEMDEDUP,
-        "bloom_screen": eq.SQL_BLOOM_SCREEN,
         "contamination_removal": eq.SQL_CONTAMINATION_REMOVAL,
         "ann_lsh_topk": eq.SQL_ANN_LSH,
-        "ann_ivfpq_topk": eq.SQL_ANN_IVFPQ,
         "ann_ivfpq_rerank": eq.SQL_ANN_IVFPQ_RERANK,
         "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
@@ -270,9 +283,6 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
         "bpe_encode_stats": eq.SQL_BPE_ENCODE_STATS,
         "corpus_curate": eq.SQL_CORPUS_CURATE,
-        # r7 rotation (trained_quality_filter deliberately ABSENT:
-        # rows-only driver row — iterative GD is not SQL-hashable)
-        "scored_quality_filter": eq.SQL_SCORED_QUALITY_FILTER,
         "bigram_lm_score": eq.SQL_BIGRAM_LM_SCORE,
         "perplexity_buckets": eq.SQL_PERPLEXITY_BUCKETS,
         "doc_chunks": eq.SQL_DOC_CHUNKS,
@@ -285,6 +295,12 @@ def oracle_sql() -> dict[str, str]:
         "cluster_balanced_sample": eq.SQL_CLUSTER_BALANCED_SAMPLE,
         "hashed_embeddings": eq.SQL_HASHED_EMBEDDINGS,
         "semdedup_prototypes": eq.SQL_SEMDEDUP_PROTOTYPES,
+        # r8 rotation: every row in queries() has an oracle — 50/50 hashable
+        "quality_calibration": eq.SQL_QUALITY_CALIBRATION,
+        "chunk_quality": eq.SQL_CHUNK_QUALITY,
+        "bm25_topk": eq.SQL_BM25_TOPK,
+        "temperature_weights": eq.SQL_TEMPERATURE_WEIGHTS,
+        "minhash_recall_eval": eq.SQL_MINHASH_RECALL_EVAL,
         "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
         "interval_join_oversized": eq.SQL_INTERVAL_JOIN_OVERSIZED,
     }
@@ -362,9 +378,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "event_funnel": eq.SQL_EVENT_FUNNEL,
         "user_retention": eq.SQL_USER_RETENTION,
         "corpus_mixture_sample": eq.SQL_CORPUS_MIXTURE_SAMPLE,
-        "quality_calibration": eq.SQL_QUALITY_CALIBRATION,
-        "chunk_quality": eq.SQL_CHUNK_QUALITY,
-        "bm25_topk": eq.SQL_BM25_TOPK,
-        "temperature_weights": eq.SQL_TEMPERATURE_WEIGHTS,
-        "minhash_recall_eval": eq.SQL_MINHASH_RECALL_EVAL,
+        # r8 rotated-out rows (trained_quality_filter stays rows-only here)
+        "scored_quality_filter": eq.SQL_SCORED_QUALITY_FILTER,
+        "bloom_screen": eq.SQL_BLOOM_SCREEN,
+        "ann_ivfpq_topk": eq.SQL_ANN_IVFPQ,
+        "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
     }

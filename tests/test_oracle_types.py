@@ -29,7 +29,13 @@ from pyspark.sql import types as T
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from check_queries import SF_DIR, TABLES, lint_arrow_schema  # noqa: E402
+from check_queries import (  # noqa: E402
+    SF_DIR,
+    TABLES,
+    driver_canon_check,
+    lint_arrow_schema,
+    lint_spark_schema,
+)
 
 import __spark_entry__ as entry  # noqa: E402
 
@@ -73,6 +79,47 @@ def test_all_oracle_arrow_schemas_lint_clean():
     for name, sql in oss.items():
         schema = con.execute(sql).arrow().schema
         viol = lint_arrow_schema(schema)
+        if viol:
+            bad[name] = viol
+    assert not bad, bad
+
+
+def test_spark_lint_rejects_nested_output(spark):
+    """Spark-side twin of the oracle lint (VERDICT r7 #1/#2): an
+    array-emitting query fed to the gate must be rejected BEFORE any
+    value comparison — the driver's pandas canonicalizer cannot hash it
+    (CORRECTNESS_r07 hashed_embeddings, ``unhashable type: 'list'``)."""
+    arr = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "doc_id long, embedding array<double>"
+    )
+    viol = lint_spark_schema(arr.schema)
+    assert viol and "embedding" in viol[0] and "array<double>" in viol[0], viol
+
+    st = spark.createDataFrame([(1, (2, 3))], "id long, s struct<a:long,b:long>")
+    assert lint_spark_schema(st.schema), "struct output must lint"
+    mp = spark.createDataFrame([(1, {"k": 2})], "id long, m map<string,long>")
+    assert lint_spark_schema(mp.schema), "map output must lint"
+
+    flat = spark.createDataFrame([(1, 0.5, "x")], "id long, v double, s string")
+    assert lint_spark_schema(flat.schema) == []
+
+
+def test_driver_canon_check_replicates_pandas_crash():
+    """The gate's second hash path runs the driver's exact canonicalization
+    (pandas multi-column sort_values -> factorize). List cells must return
+    the driver's error; scalar rows must pass."""
+    err = driver_canon_check([(1, [0.1]), (2, [0.2])], ["id", "emb"])
+    assert err is not None and "unhashable" in err, err
+    assert driver_canon_check([(1, 0.1), (2, 0.2)], ["id", "v"]) is None
+
+
+def test_all_driver_row_spark_schemas_flat(spark):
+    """No registered DRIVER row may emit a nested-type column. Schemas are
+    resolved lazily (analysis only, no job) so the sweep stays cheap; the
+    full-execution path is covered by tools/check_queries.py."""
+    bad = {}
+    for name, q in entry.queries().items():
+        viol = lint_spark_schema(q(spark, SF_DIR).schema)
         if viol:
             bad[name] = viol
     assert not bad, bad

@@ -86,6 +86,48 @@ def lint_arrow_schema(schema):
     return [f"{b} — CAST(... AS BIGINT/DOUBLE) in the oracle SQL" for b in bad]
 
 
+def lint_spark_schema(schema):
+    """Return lint violations for a SPARK result schema.
+
+    The driver canonicalizes the Spark result with pandas
+    ``sort_values`` over all columns, which factorizes object columns and
+    raises ``TypeError: unhashable type`` on list/dict values — so any
+    ArrayType/MapType/StructType column ships a guaranteed-red driver row
+    even when this gate's tuple-based hash is green (CORRECTNESS_r07
+    ``hashed_embeddings``). Nested types in a gated Spark output are a hard
+    local failure; flatten them (posexplode arrays, star-expand structs).
+    """
+    from pyspark.sql import types as T
+
+    bad = []
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            bad.append(
+                f"{f.name}: {f.dataType.simpleString()} — driver pandas canonicalizer "
+                "cannot hash nested values; posexplode/flatten to scalar columns"
+            )
+    return bad
+
+
+def driver_canon_check(rows, cols):
+    """Replicate the driver's pandas canonicalization on the Spark result.
+
+    The driver loads the result into pandas and ``sort_values`` over all
+    columns before hashing; multi-column sorts factorize object columns,
+    which hash every value. Run the exact same operation here so anything
+    the driver would crash on crashes the local gate first. Returns an
+    error string, or None if the driver-style canonicalization succeeds.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf.sort_values(by=sorted(cols), kind="mergesort", ignore_index=True)
+    except Exception as e:  # noqa: BLE001 — any crash here is a driver crash
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
 def value_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
@@ -126,8 +168,18 @@ def main(names=None):
     for name in selected:
         t0 = time.time()
         sdf = qs[name](spark, SF_DIR)
+        slint = lint_spark_schema(sdf.schema)
+        if slint:
+            print(f"  {name:36s} SPARK TYPE LINT: " + "; ".join(slint))
+            failures.append(name)
+            continue
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
+        canon_err = driver_canon_check(srows, scols)
+        if canon_err:
+            print(f"  {name:36s} DRIVER CANON FAIL: {canon_err}")
+            failures.append(name)
+            continue
         status = []
         if name not in oss:
             print(f"  {name:36s} rows={len(srows):7d}  (no oracle: rows-only) {time.time()-t0:5.1f}s")
