@@ -58,9 +58,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
+        from klog_spark.cachereg import release_tracked
+
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        # operator-owned caches (minhash sigs, DSIR LMs, BM25 lengths) are
+        # per-invocation; release so run N+1 starts from the same storage
+        # state as run 1 (ADVICE r7)
+        release_tracked()
 
     # RAM-backed staging dir: the bench measures engine time, not /tmp disk
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -148,6 +154,12 @@ def main() -> None:
                                                  block_words=16, hash_blocks=True)
                   .write.format("noop").mode("overwrite").save())
             timed("dsir_sample", lambda: eq.q_dsir_sample(spark, sf_dir)
+                  .write.format("noop").mode("overwrite").save())
+            # round-8 (VERDICT r7 #6): the two r7-built operators without a
+            # bench row — BM25 retrieval (postings + broadcast query join)
+            # and chunk-granular quality (explode + pinned-margin fold)
+            timed("bm25_topk", lambda: eq.q_bm25_topk(spark, sf_dir).count())
+            timed("chunk_quality", lambda: eq.q_chunk_quality(spark, sf_dir)
                   .write.format("noop").mode("overwrite").save())
             all_runs.append(timings)
             shutil.rmtree(routed_dir, ignore_errors=True)

@@ -589,11 +589,18 @@ def cmd_corpus_decontaminate(spark, args) -> int:
 
     train = _corpus_df(spark, args.input)
     test = _corpus_df(spark, args.test)
-    both = train.select("doc_id", "text").unionByName(
-        test.select("doc_id", "text")
+    # Independent corpora are commonly both numbered from 0: a colliding
+    # doc_id would carry BOTH split labels, join its shingles to both sides,
+    # self-match its test twin and be silently dropped (plus duplicate
+    # decision rows). Namespace the test side past the train id range; the
+    # decision table is train-side only, so its doc_ids are unaffected.
+    id_offset = (train.agg(F.max("doc_id")).first()[0] or 0) + 1
+    test_ns = test.select(
+        (F.col("doc_id") + F.lit(id_offset)).cast("long").alias("doc_id"), "text"
     )
+    both = train.select("doc_id", "text").unionByName(test_ns)
     split = train.select("doc_id", F.lit("train").alias("split")).unionByName(
-        test.select("doc_id", F.lit("test").alias("split"))
+        test_ns.select("doc_id", F.lit("test").alias("split"))
     )
     decision = decontaminate(both, split, n=args.n, min_common=args.min_common,
                              max_df=args.max_df)

@@ -242,7 +242,11 @@ def minhash_dedup(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     if persist_signatures:
         from pyspark import StorageLevel
 
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        from ..cachereg import track
+
+        # registered with the cache registry: long-lived sessions release
+        # via cachereg.release_tracked() after materializing (ADVICE r7)
+        sigs = track(sigs.persist(StorageLevel.MEMORY_AND_DISK))
     cands = minhash_lsh_candidates(sigs, bands, num_hashes=num_hashes)
     s1 = sigs.select(F.col("doc_id").alias("id1"), F.col("signature").alias("sig1"))
     s2 = sigs.select(F.col("doc_id").alias("id2"), F.col("signature").alias("sig2"))
@@ -1092,12 +1096,24 @@ def bloom_screen_packed(incoming: DataFrame, bitmap, m: int, k: int,
     bb = incoming.sparkSession.sparkContext.broadcast(bm_bytes)
 
     digest = F.sha2(F.col(text_col), 256)
+    # NULL text -> NULL digest -> k NULL probes; the relational and
+    # broadcast forms both resolve that row to (n_hits=0, maybe_dup=false)
+    # (left join matches nothing / array_contains(NULL) filters out).
+    # Coalesce probes to 0 so the kernel's int64 cast never sees NaN, and
+    # carry a validity flag so those rows land on the same (0, false).
     probe_bits = F.array(*[
-        F.pmod(java_hash_u32_expr(F.concat(digest, F.lit(f":{i}"))), F.lit(m))
-        .cast("long")
+        F.coalesce(
+            F.pmod(java_hash_u32_expr(F.concat(digest, F.lit(f":{i}"))), F.lit(m))
+            .cast("long"),
+            F.lit(0).cast("long"),
+        )
         for i in range(k)
     ])
-    probes = incoming.select(F.col(id_col).alias("doc_id"), probe_bits.alias("pbits"))
+    probes = incoming.select(
+        F.col(id_col).alias("doc_id"),
+        probe_bits.alias("pbits"),
+        digest.isNotNull().alias("valid"),
+    )
     out_schema = StructType([
         probes.schema["doc_id"],
         StructField("n_hits", LongType()),
@@ -1110,11 +1126,12 @@ def bloom_screen_packed(incoming: DataFrame, bitmap, m: int, k: int,
             ids = batch.column(0)
             if not len(ids):
                 continue
-            # every row carries exactly k probes (fixed-size F.array above)
+            # every row carries exactly k non-null probes (coalesced above)
             flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
             pb = flat.astype(np.int64).reshape(len(ids), k)
+            valid = batch.column(2).to_numpy(zero_copy_only=False).astype(bool)
             hit = (bm[pb >> 3] >> (pb & 7).astype(np.uint8)) & 1
-            n_hits = hit.sum(axis=1).astype(np.int64)
+            n_hits = np.where(valid, hit.sum(axis=1), 0).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(n_hits), pa.array(n_hits == k)],
                 names=["doc_id", "n_hits", "maybe_dup"],

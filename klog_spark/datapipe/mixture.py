@@ -318,8 +318,12 @@ def dsir_importance_sample(docs: DataFrame, target: DataFrame, k: int,
     # the LM tables are vocabulary-sized (Heaps' law: ~O(corpus^0.5)) —
     # persist them so the corpus explodes ONCE per side; the three scalar
     # constants below then read the cached vocab tables, not the corpus
-    raw_lm = rw.groupBy("w").agg(F.count("*").alias("c_raw")).persist()
-    tgt_lm = tw.groupBy("w").agg(F.count("*").alias("c_tgt")).persist()
+    # cachereg-tracked: the returned plan still reads both LMs, so release
+    # happens at the caller's invocation boundary (ADVICE r7)
+    from ..cachereg import track
+
+    raw_lm = track(rw.groupBy("w").agg(F.count("*").alias("c_raw")).persist())
+    tgt_lm = track(tw.groupBy("w").agg(F.count("*").alias("c_tgt")).persist())
     # add-1 smoothing over the UNION vocabulary (pure function of counts)
     n_vocab = raw_lm.select("w").unionByName(tgt_lm.select("w")).distinct().count()
     n_raw = raw_lm.agg(F.sum("c_raw")).first()[0]
@@ -394,7 +398,9 @@ def temperature_mixture_weights(docs: DataFrame, alpha: float = 0.5,
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                      lambda w: w != "")
-    masses = (
+    from ..cachereg import track
+
+    masses = track(
         docs.select(F.col(source_col).alias("source"), F.size(words).alias("_n"))
         .groupBy("source")
         .agg(F.sum("_n").cast("long").alias("n_tokens"))

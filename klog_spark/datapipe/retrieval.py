@@ -48,7 +48,11 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                      lambda w: w != "")
     base = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
-    lengths = base.select("doc_id", F.size("_w").cast("long").alias("dl")).persist()
+    from ..cachereg import track
+
+    lengths = track(
+        base.select("doc_id", F.size("_w").cast("long").alias("dl")).persist()
+    )
     n_docs = lengths.count()
     avgdl = lengths.agg(F.avg("dl")).first()[0]
     postings = (

@@ -83,7 +83,10 @@ def wordlist_filter(docs: DataFrame, blocklist: list[str],
     words = F.filter(_WORDS(text_col), lambda w: w != "")
     base = docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
     if method == "expr":
-        blk = F.array(*[F.lit(w) for w in sorted(set(blocklist))])
+        # the cast keeps an EMPTY blocklist analyzable: a bare F.array()
+        # is array<void> and array_contains fails analysis (same
+        # empty-literal trap as bloom_screen_broadcast's bit_arr)
+        blk = F.array(*[F.lit(w) for w in sorted(set(blocklist))]).cast("array<string>")
         counted = base.select(
             "doc_id",
             F.size("_w").cast("long").alias("n_words"),

@@ -463,6 +463,27 @@ def test_cli_corpus_round7_commands(spark, capsys, tmp_path):
     assert len(dec) == n_docs and dec[0] is False
     assert sum(0 if k else 1 for k in dec.values()) < n_docs / 2
 
+    # decontaminate with COLLIDING doc_ids (ADVICE r7): independent corpora
+    # both numbered from 0 must not cross-label — a test doc reusing train
+    # id 0 with UNRELATED text leaves train doc 0 kept, while a test doc
+    # whose text replays train doc 1 drops train doc 1 regardless of ids.
+    tr_rows = [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+               (1, "one two three four five six seven eight nine"),
+               (2, "totally different content nothing shared here at all")]
+    te_rows = [(0, "unrelated benchmark text with fresh vocabulary words"),
+               (1, "one two three four five six seven eight nine")]
+    ctr = str(tmp_path / "coll_train")
+    cte = str(tmp_path / "coll_test")
+    spark.createDataFrame(tr_rows, "doc_id long, text string").write.parquet(ctr)
+    spark.createDataFrame(te_rows, "doc_id long, text string").write.parquet(cte)
+    cdest = str(tmp_path / "coll_decon")
+    assert main(["corpus", "decontaminate", ctr, "--test", cte,
+                 "--out", cdest, "--n", "5", "--min-common", "3"], spark=spark) == 0
+    crows = spark.read.parquet(cdest).collect()
+    cdec = {r["doc_id"]: r["kept"] for r in crows}
+    assert len(crows) == 3, "colliding ids must not duplicate decision rows"
+    assert cdec == {0: True, 1: False, 2: True}
+
     # embed: unit-norm vectors (or zero for empty docs), requested dim
     edest = str(tmp_path / "embedded")
     assert main(["corpus", "embed", docs, "--out", edest, "--dim", "16"], spark=spark) == 0

@@ -163,9 +163,12 @@ def main(names=None):
     # local gate always checks the FULL surface
     qs = {**entry.queries(), **entry.extra_queries()}
     oss = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
+    from klog_spark.cachereg import release_tracked
+
     selected = names or list(qs)
     failures = []
     for name in selected:
+        release_tracked()  # per-row storage hygiene (ADVICE r7)
         t0 = time.time()
         sdf = qs[name](spark, SF_DIR)
         slint = lint_spark_schema(sdf.schema)
