@@ -102,14 +102,14 @@ def main() -> None:
     input_desc = (
         f"synthetic near-dup document corpus sf={sf} "
         f"({results[n]['rows']:,} docs, exact copy planted every 10th)"
-        if mode == "dedup"
+        if mode.startswith("dedup")
         else f"seeded klog fixture sf={sf} ({results[n]['rows']:,} tokenized lines)"
     )
     sanity_desc = (
-        "near-dup pairs / flagged docs" if mode == "dedup"
+        "near-dup pairs / flagged docs" if mode.startswith("dedup")
         else "num_committed / num_aborted"
     )
-    unit = "docs/s" if mode == "dedup" else "sequences/s"
+    unit = "docs/s" if mode.startswith("dedup") else "sequences/s"
     proto = (
         f"{4*n} single-core 6-GiB executor JVMs vs {n} (local-cluster master: "
         "separate executor processes, per-executor heap/GC constant as N "

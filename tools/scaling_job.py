@@ -37,8 +37,12 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    if mode == "dedup":
-        run_dedup(spark, sf)
+    if mode in ("dedup", "dedup_words"):
+        # dedup_words = the allocation-light signature kernel (VERDICT r7
+        # #5): word-hash int64 shingle keys, no n-gram strings — same LSH /
+        # verify dataflow, same planted-pair answer
+        run_dedup(spark, sf,
+                  hash_fn="xxhash64_words" if mode == "dedup_words" else "xxhash64")
         return
     if mode == "paragraphs":
         run_paragraphs(spark, sf)
@@ -108,7 +112,8 @@ def main() -> None:
         spark.stop()
 
 
-def run_dedup(spark: SparkSession, sf: float) -> None:
+def run_dedup(spark: SparkSession, sf: float,
+              hash_fn: str = "xxhash64") -> None:
     """LLM-pipeline scaling mode (VERDICT r6 next #7): MinHash+LSH near-dup
     detection over a deterministic synthetic document corpus — the same
     N -> 4N two-parallelism protocol as parse_agg, so the dedup half of the
@@ -151,7 +156,7 @@ def run_dedup(spark: SparkSession, sf: float) -> None:
         t0 = time.time()
         n = docs.count()  # first timed action
         pairs = minhash_dedup(docs, num_hashes=64, bands=16, shingle_n=3,
-                              threshold=0.5)
+                              threshold=0.5, hash_fn=hash_fn)
         # one action for the whole dedup: 2*n_pairs exploded members ->
         # (pair count, distinct flagged docs) in a single aggregate
         row = (
@@ -164,7 +169,7 @@ def run_dedup(spark: SparkSession, sf: float) -> None:
         wall = time.time() - t0
         print(json.dumps({
             "master": spark.sparkContext.master,
-            "mode": "dedup",
+            "mode": "dedup" if hash_fn == "xxhash64" else "dedup_words",
             "rows": n,
             "wall_s": round(wall, 2),
             "rows_per_sec": round(n / wall, 1),
