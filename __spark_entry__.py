@@ -65,6 +65,12 @@ Four rows whose full SQL another driver row nests or whose semantics a
 driver row parity-pins rotated out (scored_quality_filter, bloom_screen,
 ann_ivfpq_topk, dedup_minhash_lsh — notes inline). hashed_embeddings
 reshaped to scalar (doc_id, dim, component_micro) rows (VERDICT r7 #1).
+
+Mid-round-8, the four operators BUILT this round took driver rows from
+birth (standing discipline): ngram_novelty, ann_sq8_topk,
+cross_source_dups, curriculum_order replaced klog_file_health,
+quality_rejection_sample, cluster_balanced_sample, corpus_shard_manifest
+(all four green in CORRECTNESS_r07, capability kept per the inline notes).
 """
 
 from __future__ import annotations
@@ -94,7 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_enrich_producer_team": eq.q_enrich_producer_team,  # J1 broadcast enrich
         "klog_coordinating_partition": eq.q_coordinating_partition,  # F5 Java hashCode routing
         "klog_cat_render": eq.q_cat_render,                # F6 ANSI display renderer (+ P8 projections, F1 instants)
-        "klog_file_health": eq.q_file_health,              # per-file corrupt-rate/gap dashboard (r6 rotation)
         # __consumer_offsets decode — BEYOND the reference surface (the
         # reference leaves it a TODO, Segment.java:28)
         "klog_group_offsets": eq.q_sink_group_offsets,
@@ -124,15 +129,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": eq.q_perplexity_buckets,     # CCNet head/middle/tail split
         "doc_chunks": eq.q_doc_chunks,                     # context-window chunking (zero-Exchange)
         "token_budget_mixture": eq.q_token_budget_mixture, # per-source token budgets + epoch repetition
-        "corpus_shard_manifest": eq.q_corpus_shard_manifest,  # deterministic shuffle -> shard audit manifest
         "corpus_diff": eq.q_corpus_diff,                   # snapshot diff for incremental curation (digest-only full-outer join; r7-built)
+        # round-8-built operators, driver rows from birth (standing
+        # rotation discipline; the four rotated-out rows — klog_file_health,
+        # quality_rejection_sample, cluster_balanced_sample,
+        # corpus_shard_manifest — are green in CORRECTNESS_r07 with
+        # subsumption notes in extra_queries())
+        "ngram_novelty": eq.q_ngram_novelty,               # n-gram freshness vs a reference corpus (inverse contamination; planted zero-novelty rows)
+        "ann_sq8_topk": eq.q_ann_sq8_topk,                 # asymmetric SQ8 scalar-quantized ANN (faiss QT_8bit; third compression point after Flat/PQ)
+        "cross_source_dups": eq.q_cross_source_dups,       # cross-source duplication matrix (digest-keyed; per-source dedup-budget audit)
+        "curriculum_order": eq.q_curriculum_order,         # curriculum manifest over PINNED margins: (bucket, shard, pos) — no global sort; oracle nests the scored-filter SQL
         # telemetry/event analytics (engine-robustness fixed in round 4:
         # NTZ timestamps, pinned NULL ordering, tie-free exact averages)
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
         # round-7-built operators, driver rows from birth (no stale round)
         "bloom_screen_packed": eq.q_bloom_screen_packed,   # packed-bitmap broadcast Bloom, Arrow-kernel probe (VERDICT r6 #2)
-        "quality_rejection_sample": eq.q_quality_rejection_sample,  # DCLM-style soft filter over the pinned margin
-        "cluster_balanced_sample": eq.q_cluster_balanced_sample,    # per-IVF-cell expected-cap downsampling (pinned quantizer)
         "hashed_embeddings": eq.q_hashed_embeddings,       # feature-hashing text->embedding bridge (r8: scalar (doc_id, dim, component_micro) rows — VERDICT r7 #1)
         "semdedup_prototypes": eq.q_semdedup_prototypes,   # D4-style keep=farthest prototype selection
         # round-8 rotation (VERDICT r7 #3/#4): the five r7-built operators
@@ -241,6 +252,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": eq.q_bloom_screen,                       # relational Bloom twin; bloom_screen_packed driver row keeps the semantics (parity pytest) at the scale shape
         "ann_ivfpq_topk": eq.q_ann_ivfpq,                        # full IVF-PQ SQL nested (k=40) inside the ann_ivfpq_rerank driver row
         "dedup_minhash_lsh": eq.q_dedup_minhash,                 # full MinHash-LSH pair SQL nested inside the minhash_recall_eval driver row
+        # rotated OUT mid-round-8 to give the round-8-built operators driver
+        # rows from birth (all four green in CORRECTNESS_r07)
+        "klog_file_health": eq.q_file_health,                    # W8/corrupt-rate capability kept by klog_txn_stats (num_offset_gaps) + klog_sink_corrupt driver rows
+        "quality_rejection_sample": eq.q_quality_rejection_sample,  # pinned-margin path hash-kept via quality_calibration's nested scored-filter SQL; integer accept test pytest-pinned
+        "cluster_balanced_sample": eq.q_cluster_balanced_sample,    # pinned-quantizer cell assign kept by semdedup + semdedup_prototypes driver rows; cap policy pytest-pinned
+        "corpus_shard_manifest": eq.q_corpus_shard_manifest,        # deterministic hash-shard machinery lives on inside the curriculum_order driver row (+ corpus_diff digests)
     }
 
 
@@ -262,7 +279,6 @@ def oracle_sql() -> dict[str, str]:
         "klog_enrich_producer_team": eq.SQL_ENRICH_PRODUCER_TEAM,
         "klog_coordinating_partition": eq.SQL_COORDINATING_PARTITION,
         "klog_cat_render": eq.SQL_CAT_RENDER,
-        "klog_file_health": eq.SQL_FILE_HEALTH,
         "klog_group_offsets": eq.SQL_SINK_GROUP_OFFSETS,
         "klog_group_offsets_read_committed": eq.SQL_GROUP_OFFSETS_READ_COMMITTED,
         "dedup_canonical": eq.SQL_DEDUP_CANONICAL,
@@ -287,12 +303,9 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": eq.SQL_PERPLEXITY_BUCKETS,
         "doc_chunks": eq.SQL_DOC_CHUNKS,
         "token_budget_mixture": eq.SQL_TOKEN_BUDGET_MIXTURE,
-        "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
         "corpus_diff": eq.SQL_CORPUS_DIFF,
         "event_sessions": eq.SQL_EVENT_SESSIONS,
         "bloom_screen_packed": eq.SQL_BLOOM_SCREEN_PACKED,
-        "quality_rejection_sample": eq.SQL_QUALITY_REJECTION_SAMPLE,
-        "cluster_balanced_sample": eq.SQL_CLUSTER_BALANCED_SAMPLE,
         "hashed_embeddings": eq.SQL_HASHED_EMBEDDINGS,
         "semdedup_prototypes": eq.SQL_SEMDEDUP_PROTOTYPES,
         # r8 rotation: every row in queries() has an oracle — 50/50 hashable
@@ -301,6 +314,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": eq.SQL_BM25_TOPK,
         "temperature_weights": eq.SQL_TEMPERATURE_WEIGHTS,
         "minhash_recall_eval": eq.SQL_MINHASH_RECALL_EVAL,
+        # r8-built operators
+        "ngram_novelty": eq.SQL_NGRAM_NOVELTY,
+        "ann_sq8_topk": eq.SQL_ANN_SQ8,
+        "cross_source_dups": eq.SQL_CROSS_SOURCE_DUPS,
+        "curriculum_order": eq.SQL_CURRICULUM_ORDER,
         "klog_batch_state_asof": eq.SQL_BATCH_STATE_ASOF,
         "interval_join_oversized": eq.SQL_INTERVAL_JOIN_OVERSIZED,
     }
@@ -383,4 +401,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "bloom_screen": eq.SQL_BLOOM_SCREEN,
         "ann_ivfpq_topk": eq.SQL_ANN_IVFPQ,
         "dedup_minhash_lsh": eq.SQL_DEDUP_MINHASH,
+        "klog_file_health": eq.SQL_FILE_HEALTH,
+        "quality_rejection_sample": eq.SQL_QUALITY_REJECTION_SAMPLE,
+        "cluster_balanced_sample": eq.SQL_CLUSTER_BALANCED_SAMPLE,
+        "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
     }

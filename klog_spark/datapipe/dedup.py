@@ -1170,3 +1170,98 @@ def bloom_screen_packed(incoming: DataFrame, bitmap, m: int, k: int,
             )
 
     return probes.mapInArrow(screen, out_schema)
+
+
+def ngram_novelty(docs: DataFrame, reference: DataFrame, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus — the inverse
+    of contamination: the fraction of a document's distinct word n-gram
+    shingles never seen in the reference set. High-novelty documents carry
+    new content; near-zero novelty means the doc is recombined boilerplate
+    (the Gopher/RefinedWeb "mostly-seen" prune signal, and the standard
+    freshness metric when growing an existing 100-TB corpus).
+
+    Returns (doc_id, n_shingles, n_novel, novelty_ppm) for every doc in
+    ``docs``; ``novelty_ppm = round(1e6 * n_novel / n_shingles)`` is an
+    exact integer on both engines (0 for shingle-less docs).
+
+    Scale shape: the reference collapses to its DISTINCT shingle set once
+    (map-side partial distinct), then one equi-join on the shingle key —
+    never a pairwise comparison; at 100 TB hash the shingle to int64
+    (xxhash64) and join on 8-byte keys, or route the reference set through
+    bloom_pack and screen with the packed bitmap instead of joining.
+    """
+    tgt = _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col),
+                         text_col, n)
+    ref = (
+        _word_shingles(reference.select(F.col(id_col).alias("doc_id"), text_col),
+                       text_col, n)
+        .select("shingle").distinct().withColumn("_seen", F.lit(1))
+    )
+    joined = tgt.join(ref, "shingle", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_novel",
+            F.round(F.col("n_novel") * F.lit(1_000_000.0) / F.col("n_shingles"))
+            .cast("long").alias("novelty_ppm"),
+        )
+    )
+
+
+def cross_source_dup_matrix(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            source_col: str = "source") -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair
+    (source_a <= source_b), how many exact-duplicate DOCUMENT PAIRS span
+    them and how many distinct shared texts are involved — the audit that
+    shows which sources mirror which (CommonCrawl dump overlap, wiki
+    mirrors) before dedup budgets are set per source.
+
+    Returns (source_a, source_b, n_dup_pairs, n_texts) with
+    source_a <= source_b; only pairs with n_dup_pairs > 0 appear.
+    Same-source rows count within-source duplicate pairs (n choose 2).
+
+    Scale shape: one sha256-digest aggregation to (digest, source, n)
+    — bounded by the distinct (text, source) count — then a digest-keyed
+    self-join whose fanout is the per-digest source multiplicity (tiny),
+    never a document-level pairwise join. All counts are exact integers.
+    """
+    per = (
+        docs.select(
+            F.sha2(F.col(text_col), 256).alias("digest"),
+            F.col(source_col).alias("source"),
+        )
+        .groupBy("digest", "source")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    a = per.select("digest", F.col("source").alias("source_a"),
+                   F.col("n").alias("na"))
+    b = per.select("digest", F.col("source").alias("source_b"),
+                   F.col("n").alias("nb"))
+    cross = (
+        a.join(b, "digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("n_dup_pairs"),
+            F.countDistinct("digest").cast("long").alias("n_texts"),
+        )
+    )
+    same = (
+        per.filter(F.col("n") >= 2)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")
+            .alias("n_dup_pairs"),
+            F.countDistinct("digest").cast("long").alias("n_texts"),
+        )
+        .select("source_a", F.col("source_a").alias("source_b"),
+                "n_dup_pairs", "n_texts")
+    )
+    return cross.unionByName(same).filter(F.col("n_dup_pairs") > 0)

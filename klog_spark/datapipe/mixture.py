@@ -417,3 +417,49 @@ def temperature_mixture_weights(docs: DataFrame, alpha: float = 0.5,
         F.round(F.col("_pm").cast("double") / F.lit(float(total_micro)) * 1000000)
         .cast("long").alias("weight_micro"),
     )
+
+
+def curriculum_order(scored: DataFrame, score_col: str = "margin_micro",
+                     thresholds: list[int] | None = None, n_shards: int = 8,
+                     salt: str = "curriculum", id_col: str = "doc_id") -> DataFrame:
+    """Curriculum training-order manifest: documents bucketed easy -> hard
+    by a PINNED integer difficulty score, deterministically shuffled within
+    each bucket, and laid out as (bucket, shard, pos_in_shard) — the
+    read order a curriculum-learning trainer consumes (easy buckets first,
+    hash-shuffled inside so each bucket is i.i.d.). Everything is integer /
+    hash-derived: any engine reproduces the exact same manifest.
+
+    ``thresholds`` (ascending) split the score range into len+1 buckets;
+    bucket 0 holds scores >= the top threshold (the easiest / highest-
+    quality docs train first). The intra-bucket order key is the java-u32
+    hash of ``salt:doc_id`` with doc_id as tiebreak.
+
+    Scale shape: NO global sort or global row_number — the classic
+    total-order trap. The manifest key is (bucket, shard, pos): shard =
+    hash % n_shards, pos = row_number inside the (bucket, shard) window.
+    n_shards scales with the corpus, so every window partition stays
+    bounded; readers concatenate shards in (bucket, shard) order.
+    corpus_shard_manifest's deterministic-shuffle machinery lives on here
+    with the difficulty dimension added."""
+    from ..javahash import java_hash_u32_expr
+
+    if thresholds is None:
+        thresholds = [0]
+    ts = sorted(int(t) for t in thresholds)
+    score = F.col(score_col)
+    level = sum((score >= F.lit(t)).cast("int") for t in ts)
+    u = java_hash_u32_expr(
+        F.sha2(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")), 256)
+    )
+    keyed = scored.select(
+        F.col(id_col).alias("doc_id"),
+        score.cast("long").alias("score"),
+        (F.lit(len(ts)) - level).cast("long").alias("bucket"),
+        u.cast("long").alias("u"),
+    ).withColumn("shard", F.pmod(F.col("u"), F.lit(int(n_shards))).cast("long"))
+    w = Window.partitionBy("bucket", "shard").orderBy(F.col("u").asc(),
+                                                      F.col("doc_id").asc())
+    return keyed.select(
+        "doc_id", "score", "bucket", "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

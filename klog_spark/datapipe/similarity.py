@@ -541,3 +541,63 @@ def hashed_doc_embeddings(docs: DataFrame, dim: int = 64,
             .otherwise(F.col("_raw")).alias("embedding"),
         )
     return joined.select("doc_id", vec.alias("embedding"))
+
+
+def sq8_train(emb: DataFrame, vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """Train the SQ8 scalar quantizer: per-dimension (min, max) over the
+    corpus — the faiss ScalarQuantizer QT_8bit recipe. One posexplode
+    aggregation to exactly ``dim`` rows; the collect is dimension-bounded
+    (64 doubles here), never corpus-scaled."""
+    stats = (
+        emb.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_dim = {r["dim"]: (float(r["mn"]), float(r["mx"])) for r in stats}
+    return [by_dim[i] for i in range(len(by_dim))]
+
+
+def sq8_decoded(emb: DataFrame, stats: list[tuple[float, float]],
+                vec_col: str = "embedding") -> DataFrame:
+    """Quantize to 8-bit codes and decode back — the reconstruction the
+    asymmetric SQ8 search actually scores against (1 byte/dim/vector at
+    rest, 8x smaller than float64).
+
+    Formula order is PINNED for cross-engine float identity (the DuckDB
+    oracle replays the identical IEEE operations):
+    ``code = round(((x - mn) * 255.0) / (mx - mn))`` and
+    ``decoded = mn + (code * (mx - mn)) / 255.0``; a degenerate dimension
+    (mx == mn) codes to 0 and decodes to mn. All JVM-side (two
+    index-aware ``transform``s over literal min/max arrays)."""
+    mins_c = F.array(*[F.lit(mn) for mn, _ in stats])
+    maxs_c = F.array(*[F.lit(mx) for _, mx in stats])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        vec,
+        lambda x, i: F.when(
+            F.get(maxs_c, i) > F.get(mins_c, i),
+            F.round(((x - F.get(mins_c, i)) * F.lit(255.0))
+                    / (F.get(maxs_c, i) - F.get(mins_c, i))).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    decoded = F.transform(
+        codes,
+        lambda c, i: F.get(mins_c, i)
+        + (c.cast("double") * (F.get(maxs_c, i) - F.get(mins_c, i)))
+        / F.lit(255.0),
+    )
+    return emb.withColumn("_sq8", decoded)
+
+
+def sq8_topk(emb: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric SQ8 ANN: exact float queries against the 8-bit-decoded
+    corpus (faiss IndexScalarQuantizer) — the third compression point next
+    to Flat (8 B/dim) and PQ (1 B/subvector). Re-uses the brute-force GEMM
+    kernel on the decoded vectors, so ranking semantics (cosine desc,
+    vec_id asc) and the per-batch partial top-k shuffle bound are identical
+    to brute_force_topk; only the memory footprint changes."""
+    stats = sq8_train(emb, vec_col)
+    dec = sq8_decoded(emb, stats, vec_col).select(id_col, F.col("_sq8").alias(vec_col))
+    return brute_force_topk(dec, queries, k=k, id_col=id_col, vec_col=vec_col)

@@ -5440,3 +5440,228 @@ FROM corpus c LEFT JOIN dup d USING (vec_id)
 
 
 SQL_SEMDEDUP_PROTOTYPES = _sql_semdedup_prototypes(_sql_semdedup_pinned_cent())
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators: novelty scoring, SQ8 ANN, cross-source dup matrix,
+# curriculum ordering
+# ---------------------------------------------------------------------------
+
+
+def _novelty_corpora(spark, sf_dir):
+    """Reference = documents with doc_id % 3 == 0; targets = the rest PLUS
+    exact re-publications of every 9th reference doc (ids offset by 5M) —
+    planted zero-novelty rows among naturally-varying ones."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    tgt = docs.filter(F.col("doc_id") % 3 != 0)
+    republished = ref.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    return tgt.unionByName(republished), ref
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty vs a reference corpus (dedup.ngram_novelty):
+    the freshness metric for growing an existing corpus — republished
+    reference docs land at novelty_ppm = 0, genuinely new text near 1e6.
+    One distinct-shingle equi-join, integer ppm output."""
+    from .datapipe.dedup import ngram_novelty
+
+    tgt, ref = _novelty_corpora(spark, sf_dir)
+    return ngram_novelty(tgt, ref, n=3)
+
+
+SQL_NGRAM_NOVELTY = """
+WITH ref_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+tgt_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text FROM ref_docs WHERE doc_id % 9 = 0
+),
+tw AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM tgt_docs
+),
+tsh AS (
+  SELECT doc_id, unnest(list_distinct([
+           array_to_string(list_slice(words, i + 1, i + 3), ' ')
+           for i in range(0, greatest(len(words) - 3, 0) + 1)
+         ])) AS shingle
+  FROM tw
+),
+rw AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM ref_docs
+),
+rsh AS (
+  SELECT DISTINCT unnest(list_distinct([
+           array_to_string(list_slice(words, i + 1, i + 3), ' ')
+           for i in range(0, greatest(len(words) - 3, 0) + 1)
+         ])) AS shingle
+  FROM rw
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(ROUND(SUM(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+                  * 1000000.0 / COUNT(*)) AS BIGINT) AS novelty_ppm
+FROM tsh t LEFT JOIN rsh r USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
+SQ8_DIM = 64
+
+
+def q_ann_sq8_topk(spark, sf_dir):
+    """Asymmetric SQ8 ANN (similarity.sq8_topk): per-dimension 8-bit affine
+    quantization (faiss QT_8bit), exact float queries scored against the
+    DECODED corpus — the third compression point after Flat and PQ. The
+    oracle retrains the quantizer (per-dim min/max), replays the PINNED
+    code/decode float formulas and re-ranks; ranks hash exactly."""
+    from .datapipe.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_topk(emb, _ann_query_set(emb), k=10).select("qid", "vec_id", "rank")
+
+
+SQL_ANN_SQ8 = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, u.i AS i, u.x AS x FROM (
+    SELECT vec_id,
+           unnest([{{'i': i, 'x': v[i + 1]}} for i in range(0, {SQ8_DIM})]) AS u
+    FROM e)
+),
+mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY i),
+dec AS (
+  SELECT ex.vec_id,
+         list(CASE WHEN mm.mx > mm.mn
+                   THEN mm.mn + (ROUND(((ex.x - mm.mn) * 255.0) / (mm.mx - mm.mn))
+                                 * (mm.mx - mm.mn)) / 255.0
+                   ELSE mm.mn END ORDER BY ex.i) AS dv
+  FROM ex JOIN mm USING (i)
+  GROUP BY ex.vec_id
+),
+q AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, d.vec_id,
+         list_cosine_similarity(q.qvec, d.dv) AS cosine
+  FROM q CROSS JOIN dec d
+),
+ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+def _mirror_corpus(spark, sf_dir):
+    """documents + cross-source mirrors: every 10th doc re-published under
+    'mirror_a', every 15th under 'mirror_b', every 40th duplicated WITHIN
+    its own source — known dup-pair counts across and inside sources."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    ma = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        F.lit("mirror_a").alias("source"))
+    mb = docs.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text",
+        F.lit("mirror_b").alias("source"))
+    same = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text", "source")
+    return docs.unionByName(ma).unionByName(mb).unionByName(same)
+
+
+def q_cross_source_dups(spark, sf_dir):
+    """Cross-source duplication matrix (dedup.cross_source_dup_matrix):
+    which sources mirror which, as exact-duplicate pair counts per
+    unordered source pair — the audit before per-source dedup budgets.
+    Digest-keyed, integer-exact."""
+    from .datapipe.dedup import cross_source_dup_matrix
+
+    return cross_source_dup_matrix(_mirror_corpus(spark, sf_dir))
+
+
+SQL_CROSS_SOURCE_DUPS = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'mirror_a' FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text, 'mirror_b' FROM documents WHERE doc_id % 15 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text, source FROM documents WHERE doc_id % 40 = 0
+),
+per AS (
+  SELECT sha256(text) AS digest, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM corpus GROUP BY 1, 2
+),
+cross_pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS n_dup_pairs,
+         CAST(COUNT(DISTINCT a.digest) AS BIGINT) AS n_texts
+  FROM per a JOIN per b USING (digest)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+),
+same_pairs AS (
+  SELECT source AS source_a, source AS source_b,
+         CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_dup_pairs,
+         CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_texts
+  FROM per WHERE n >= 2
+  GROUP BY 1, 2
+)
+SELECT * FROM cross_pairs WHERE n_dup_pairs > 0
+UNION ALL
+SELECT * FROM same_pairs WHERE n_dup_pairs > 0
+"""
+
+
+CURRICULUM_THRESHOLDS = [-2_000_000, 0, 2_000_000]
+CURRICULUM_SHARDS = 8
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum training-order manifest (mixture.curriculum_order) over
+    the PINNED quality margins: easy -> hard buckets on fixed integer
+    thresholds, deterministic hash shuffle within, (bucket, shard, pos)
+    layout — no global sort anywhere. The oracle nests the full
+    scored-filter SQL and replays bucket/shard/pos from scratch."""
+    from .datapipe.mixture import curriculum_order
+
+    scored = q_scored_quality_filter(spark, sf_dir)
+    return curriculum_order(scored, "margin_micro", CURRICULUM_THRESHOLDS,
+                            n_shards=CURRICULUM_SHARDS)
+
+
+def _sql_curriculum_order() -> str:
+    u = _sql_java_u32("sha256('curriculum:' || CAST(doc_id AS VARCHAR))")
+    level = " + ".join(
+        f"CASE WHEN margin_micro >= {t} THEN 1 ELSE 0 END"
+        for t in sorted(CURRICULUM_THRESHOLDS)
+    )
+    return f"""
+WITH s AS (SELECT * FROM ({SQL_SCORED_QUALITY_FILTER})),
+keyed AS (
+  SELECT doc_id, CAST(margin_micro AS BIGINT) AS score,
+         CAST({len(CURRICULUM_THRESHOLDS)} - ({level}) AS BIGINT) AS bucket,
+         CAST({u} AS BIGINT) AS u
+  FROM s
+),
+sharded AS (
+  SELECT doc_id, score, bucket, u,
+         CAST(u % {CURRICULUM_SHARDS} AS BIGINT) AS shard
+  FROM keyed
+)
+SELECT doc_id, score, bucket, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                               ORDER BY u ASC, doc_id ASC) AS BIGINT) AS pos
+FROM sharded
+"""
+
+
+SQL_CURRICULUM_ORDER = _sql_curriculum_order()

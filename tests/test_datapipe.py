@@ -2614,3 +2614,99 @@ def test_temperature_weights_semantics(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture_weights(df, alpha=0.0)
+
+
+def test_ngram_novelty_semantics(spark):
+    """Republished reference text scores 0 novelty; disjoint-vocab text
+    scores 1e6; partial overlap is exact integer arithmetic."""
+    from klog_spark.datapipe.dedup import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # exact republication
+         (11, "one two three four five six"),           # fully novel
+         (12, "alpha beta gamma one two three")],       # shingles: 4 total
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+           for r in ngram_novelty(tgt, ref, n=3).collect()}
+    assert out[10] == (4, 0, 0)
+    assert out[11] == (4, 4, 1_000_000)
+    # doc 12: 'alpha beta gamma' seen; 'beta gamma one', 'gamma one two',
+    # 'one two three' novel -> 3/4
+    assert out[12] == (4, 3, 750_000)
+
+
+def test_sq8_codes_and_recall(spark, emb):
+    """SQ8 invariants: decoded vectors stay inside the trained per-dim
+    [min, max] box, reconstruction error is within half a quantization
+    step, and recall@10 vs exact brute force stays >= 0.9 on the fixture
+    (8-bit per dim loses little at dim=64)."""
+    from klog_spark.datapipe.similarity import (brute_force_topk, sq8_decoded,
+                                                sq8_topk, sq8_train)
+    from klog_spark.entry_queries import _ann_query_set
+
+    stats = sq8_train(emb)
+    assert len(stats) == 64 and all(mx >= mn for mn, mx in stats)
+    dec = sq8_decoded(emb, stats).select("vec_id", "embedding", "_sq8").collect()
+    for r in dec:
+        for d, (x, y) in enumerate(zip(r["embedding"], r["_sq8"])):
+            mn, mx = stats[d]
+            assert mn - 1e-12 <= y <= mx + 1e-12
+            step = (mx - mn) / 255.0 if mx > mn else 0.0
+            assert abs(float(x) - y) <= step / 2 + 1e-12
+
+    queries = _ann_query_set(emb)
+    truth = brute_force_topk(emb, queries, k=10).collect()
+    approx = sq8_topk(emb, queries, k=10).collect()
+    t = {}
+    a = {}
+    for r in truth:
+        t.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in approx:
+        a.setdefault(r["qid"], set()).add(r["vec_id"])
+    recall = sum(len(t[q] & a[q]) for q in t) / sum(len(t[q]) for q in t)
+    assert recall >= 0.9, recall
+
+
+def test_cross_source_dup_matrix_counts(spark):
+    """Hand-computed duplicate-pair counts: 2x web + 1x wiki of text A,
+    2x wiki of text B, unique text C -> web-wiki 2 pairs (1 text),
+    web-web 1 pair, wiki-wiki 1 pair."""
+    from klog_spark.datapipe.dedup import cross_source_dup_matrix
+
+    rows = [(1, "text A", "web"), (2, "text A", "web"), (3, "text A", "wiki"),
+            (4, "text B", "wiki"), (5, "text B", "wiki"), (6, "text C", "web")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): (r["n_dup_pairs"], r["n_texts"])
+           for r in cross_source_dup_matrix(df).collect()}
+    assert out == {
+        ("web", "wiki"): (2, 1),
+        ("web", "web"): (1, 1),
+        ("wiki", "wiki"): (1, 1),
+    }
+
+
+def test_curriculum_order_layout(spark):
+    """Buckets follow the fixed thresholds (0 = easiest), pos is contiguous
+    1..n inside every (bucket, shard), shard = hash % n_shards, and the
+    manifest is bit-identical across reruns (no RNG anywhere)."""
+    from klog_spark.datapipe.mixture import curriculum_order
+
+    rows = [(i, (i - 50) * 100_000) for i in range(100)]
+    scored = spark.createDataFrame(rows, "doc_id long, margin_micro long")
+    ts = [-2_000_000, 0, 2_000_000]
+    out = curriculum_order(scored, "margin_micro", ts, n_shards=4).collect()
+    assert len(out) == 100
+    by = {}
+    for r in out:
+        s = r["score"]
+        want_bucket = len(ts) - sum(s >= t for t in ts)
+        assert r["bucket"] == want_bucket
+        assert 0 <= r["shard"] < 4
+        by.setdefault((r["bucket"], r["shard"]), []).append(r["pos"])
+    for poss in by.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    rerun = curriculum_order(scored, "margin_micro", ts, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
