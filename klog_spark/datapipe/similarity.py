@@ -552,7 +552,7 @@ def sq8_train(emb: DataFrame, vec_col: str = "embedding") -> list[tuple[float, f
         emb.select(F.posexplode(vec_col).alias("dim", "x"))
         .groupBy("dim")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .collect()
+        .limit(65536).collect()  # dim-bounded (one row per dimension)
     )
     by_dim = {r["dim"]: (float(r["mn"]), float(r["mx"])) for r in stats}
     return [by_dim[i] for i in range(len(by_dim))]

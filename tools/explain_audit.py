@@ -270,6 +270,29 @@ def main() -> None:
     twq = eq.q_temperature_weights(spark, SF_DIR)
     sections.append(("temperature source weights", plan_of(twq), ["HashAggregate"]))
 
+    # 8k. round-8 operators: novelty is one distinct-shingle equi-join (no
+    #     cartesian); SQ8 search is a per-row decode into the GEMM kernel
+    #     (no nested loop); the cross-source matrix is a digest-keyed
+    #     self-join; the curriculum manifest windows on (bucket, shard) —
+    #     never an Exchange SinglePartition global sort
+    nv = eq.q_ngram_novelty(spark, SF_DIR)
+    nv_plan = plan_of(nv, "simple")
+    sections.append(("n-gram novelty scan", plan_of(nv), ["Join", "HashAggregate"]))
+    assert "CartesianProduct" not in nv_plan and "BroadcastNestedLoopJoin" not in nv_plan
+    sq = eq.q_ann_sq8_topk(spark, SF_DIR)
+    sq_plan = plan_of(sq, "simple")
+    sections.append(("SQ8 scalar-quantized ANN", plan_of(sq), ["MapInPandas"]))
+    assert "CartesianProduct" not in sq_plan and "BroadcastNestedLoopJoin" not in sq_plan
+    xs = eq.q_cross_source_dups(spark, SF_DIR)
+    xs_plan = plan_of(xs, "simple")
+    sections.append(("cross-source dup matrix", plan_of(xs), ["HashAggregate", "Join"]))
+    assert "CartesianProduct" not in xs_plan and "BroadcastNestedLoopJoin" not in xs_plan
+    co = eq.q_curriculum_order(spark, SF_DIR)
+    co_plan = plan_of(co, "simple")
+    sections.append(("curriculum order manifest", plan_of(co), ["Window"]))
+    assert "Exchange SinglePartition" not in co_plan, \
+        "curriculum manifest must window per (bucket, shard), never globally"
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
