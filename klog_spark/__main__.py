@@ -762,6 +762,61 @@ def cmd_corpus_dsir(spark, args) -> int:
     return 0
 
 
+def cmd_corpus_novelty(spark, args) -> int:
+    """n-gram novelty of a corpus against a reference parquet
+    (dedup.ngram_novelty): writes (doc_id, n_shingles, n_novel,
+    novelty_ppm) and prints the corpus-level mean novelty."""
+    from .datapipe.dedup import ngram_novelty
+
+    docs = _corpus_df(spark, args.input)
+    ref = _corpus_df(spark, args.reference)
+    ngram_novelty(docs, ref, n=args.n).write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("novelty_ppm")).cast("long").alias("mean_novelty_ppm"),
+        )
+    )
+    print(f"novelty table written to {args.out}")
+    return 0
+
+
+def cmd_corpus_dup_matrix(spark, args) -> int:
+    """Cross-source duplication matrix (dedup.cross_source_dup_matrix):
+    prints every (source_a, source_b) pair with exact-duplicate pair and
+    shared-text counts — the per-source dedup-budget audit."""
+    from .datapipe.dedup import cross_source_dup_matrix
+
+    docs = _corpus_df(spark, args.input)
+    _print_rows(cross_source_dup_matrix(docs).orderBy("source_a", "source_b"))
+    return 0
+
+
+def cmd_corpus_order(spark, args) -> int:
+    """Curriculum training-order manifest (mixture.curriculum_order) over
+    the pinned quality margins: writes (doc_id, score, bucket, shard, pos)
+    and prints the per-bucket sizes (easy buckets first)."""
+    from . import entry_queries as eq
+    from .datapipe.mixture import curriculum_order
+    from .streaming import scored_filter_stream
+
+    docs = _corpus_df(spark, args.input)
+    scored = scored_filter_stream(
+        docs, eq.SCORED_FILTER_WEIGHTS, eq.SCORED_FILTER_STATS
+    ).select("doc_id", "margin_micro")
+    thresholds = [int(t) for t in args.thresholds.split(",")]
+    out = curriculum_order(scored, "margin_micro", thresholds,
+                           n_shards=args.n_shards)
+    out.write.mode("overwrite").parquet(args.out)
+    _print_rows(
+        spark.read.parquet(args.out).groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("bucket")
+    )
+    print(f"curriculum manifest written to {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="klog-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -900,6 +955,24 @@ def build_parser() -> argparse.ArgumentParser:
     cds.add_argument("--k", type=int, required=True)
     cds.add_argument("--out", required=True)
     cds.set_defaults(fn=cmd_corpus_dsir)
+
+    cnv = corp.add_parser("novelty")
+    cnv.add_argument("input", help="corpus parquet to score")
+    cnv.add_argument("--reference", required=True, help="reference corpus parquet")
+    cnv.add_argument("--n", type=int, default=3)
+    cnv.add_argument("--out", required=True)
+    cnv.set_defaults(fn=cmd_corpus_novelty)
+
+    cdm = corp.add_parser("dup-matrix")
+    cdm.add_argument("input", help="documents parquet with a source column")
+    cdm.set_defaults(fn=cmd_corpus_dup_matrix)
+
+    cor = corp.add_parser("order")
+    cor.add_argument("input", help="documents parquet")
+    cor.add_argument("--thresholds", default="-2000000,0,2000000")
+    cor.add_argument("--n-shards", type=int, default=8, dest="n_shards")
+    cor.add_argument("--out", required=True)
+    cor.set_defaults(fn=cmd_corpus_order)
     return ap
 
 

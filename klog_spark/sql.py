@@ -143,6 +143,21 @@ def register_corpus_views(spark: SparkSession, docs, prefix: str = "corpus") -> 
             docs, eq.SCORED_FILTER_WEIGHTS, eq.SCORED_FILTER_STATS,
             max_words=40, overlap=8),
     }
+    # round-8: cross-source dup matrix (needs a source column) and the
+    # curriculum manifest over the pinned margins
+    if "source" in docs.columns:
+        from .datapipe.dedup import cross_source_dup_matrix
+
+        views["dup_matrix"] = cross_source_dup_matrix(docs)
+    from .datapipe.mixture import curriculum_order
+    from .streaming import scored_filter_stream
+
+    views["curriculum"] = curriculum_order(
+        scored_filter_stream(docs, eq.SCORED_FILTER_WEIGHTS,
+                             eq.SCORED_FILTER_STATS)
+        .select("doc_id", "margin_micro"),
+        "margin_micro", [-2_000_000, 0, 2_000_000],
+    )
     names = []
     for view, df in views.items():
         name = f"{prefix}_{view}"

@@ -170,6 +170,52 @@ def test_sql_corpus_view_surface(spark):
     """).count()
     assert 0 < kept <= docs.count()
 
+    # round-8 views: the curriculum manifest is queryable (one pos=1 row per
+    # non-empty (bucket, shard)); dup_matrix registers when source exists
+    assert "c1_curriculum" in names and "c1_dup_matrix" in names
+    heads = spark.sql(
+        "SELECT bucket, shard, COUNT(*) n FROM c1_curriculum WHERE pos = 1 "
+        "GROUP BY bucket, shard"
+    ).collect()
+    assert heads and all(r["n"] == 1 for r in heads)
+
+
+def test_cli_corpus_round8_commands(spark, capsys, tmp_path):
+    """Round-8 corpus CLI faces: novelty matches the library on a planted
+    republication; dup-matrix prints the mirror counts; order writes a
+    manifest identical to the gated curriculum query."""
+    from klog_spark import entry_queries as eq
+    from klog_spark.__main__ import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+
+    # novelty: reference = the corpus itself -> every doc is 0-novel
+    ndest = str(tmp_path / "novelty")
+    assert main(["corpus", "novelty", docs, "--reference", docs,
+                 "--out", ndest], spark=spark) == 0
+    nov = spark.read.parquet(ndest)
+    assert nov.filter(F.col("novelty_ppm") != 0).count() == 0
+
+    # dup-matrix over a two-source mirror corpus
+    rows = [(1, "same text here", "web"), (2, "same text here", "wiki"),
+            (3, "unique content", "web")]
+    mpath = str(tmp_path / "mirror")
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        .write.parquet(mpath)
+    assert main(["corpus", "dup-matrix", mpath], spark=spark) == 0
+    assert "web" in capsys.readouterr().out
+
+    # order: CLI face == gated curriculum query row-exact
+    odest = str(tmp_path / "manifest")
+    assert main(["corpus", "order", docs, "--out", odest,
+                 "--thresholds",
+                 ",".join(str(t) for t in eq.CURRICULUM_THRESHOLDS)],
+                spark=spark) == 0
+    got = {tuple(r) for r in spark.read.parquet(odest).collect()}
+    want = {tuple(r)
+            for r in eq.q_curriculum_order(spark, "/root/testdata/sf0.001").collect()}
+    assert got == want
+
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
