@@ -207,10 +207,10 @@ def test_cli_corpus_round8_commands(spark, capsys, tmp_path):
 
     # order: CLI face == gated curriculum query row-exact
     odest = str(tmp_path / "manifest")
+    # leading-minus values must use the --flag=value form (argparse)
+    tvals = ",".join(str(t) for t in eq.CURRICULUM_THRESHOLDS)
     assert main(["corpus", "order", docs, "--out", odest,
-                 "--thresholds",
-                 ",".join(str(t) for t in eq.CURRICULUM_THRESHOLDS)],
-                spark=spark) == 0
+                 f"--thresholds={tvals}"], spark=spark) == 0
     got = {tuple(r) for r in spark.read.parquet(odest).collect()}
     want = {tuple(r)
             for r in eq.q_curriculum_order(spark, "/root/testdata/sf0.001").collect()}
