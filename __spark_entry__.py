@@ -258,6 +258,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rejection_sample": eq.q_quality_rejection_sample,  # pinned-margin path hash-kept via quality_calibration's nested scored-filter SQL; integer accept test pytest-pinned
         "cluster_balanced_sample": eq.q_cluster_balanced_sample,    # pinned-quantizer cell assign kept by semdedup + semdedup_prototypes driver rows; cap policy pytest-pinned
         "corpus_shard_manifest": eq.q_corpus_shard_manifest,        # deterministic hash-shard machinery lives on inside the curriculum_order driver row (+ corpus_diff digests)
+        # round-8 scale-path variant, locally gated from birth
+        "ngram_novelty_packed": eq.q_ngram_novelty_packed,       # zero-Exchange packed-Bloom novelty kernel; exact-join twin holds the ngram_novelty driver row
     }
 
 
@@ -405,4 +407,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "quality_rejection_sample": eq.SQL_QUALITY_REJECTION_SAMPLE,
         "cluster_balanced_sample": eq.SQL_CLUSTER_BALANCED_SAMPLE,
         "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
+        "ngram_novelty_packed": eq.SQL_NGRAM_NOVELTY_PACKED,
     }

@@ -1265,3 +1265,103 @@ def cross_source_dup_matrix(docs: DataFrame, text_col: str = "text",
                 "n_dup_pairs", "n_texts")
     )
     return cross.unionByName(same).filter(F.col("n_dup_pairs") > 0)
+
+
+def shingle_bloom_bits(reference: DataFrame, m: int, k: int, n: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Bloom bit table over a reference corpus's DISTINCT word n-gram
+    shingles (not whole-doc digests): the index :func:`ngram_novelty_packed`
+    screens against. Reuses :func:`bloom_bits`' exact key derivation with
+    the shingle string as the hashed text."""
+    sh = _word_shingles(reference.select(F.col(id_col).alias("doc_id"), text_col),
+                        text_col, n).select("shingle").distinct()
+    return bloom_bits(sh.withColumn("_sid", F.monotonically_increasing_id()),
+                      m=m, k=k, text_col="shingle", id_col="_sid")
+
+
+def ngram_novelty_packed(docs: DataFrame, bitmap, m: int, k: int, n: int = 3,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The 100-TB shape of :func:`ngram_novelty`: the reference corpus's
+    shingle set packed into an ``m``-bit Bloom bitmap (:func:`bloom_pack`
+    over :func:`shingle_bloom_bits`) and broadcast ONCE — each incoming
+    document is scored with k O(1) bit probes per distinct shingle inside
+    one Arrow kernel. No join against the reference, no shuffle at all:
+    the novelty screen becomes a stateless per-row kernel (streaming-append
+    safe by construction).
+
+    Bloom semantics: no false negatives, so ``n_seen >= exact seen`` and
+    ``novelty_ppm <= exact novelty_ppm`` — a conservative freshness
+    estimate whose error is the filter's FP rate (~(1-e^{-kN/m})^k);
+    parity with the exact join is pytest-pinned at large m. Probe
+    derivation matches :func:`bloom_bits` by construction (same JVM
+    expressions over the shingle string)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..javahash import java_hash_u32_expr
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    bm_bytes = np.ascontiguousarray(np.asarray(bitmap, dtype=np.uint8)).tobytes()
+    if len(bm_bytes) != (m + 7) // 8:
+        raise ValueError(f"bitmap has {len(bm_bytes)} bytes, expected {(m + 7) // 8} for m={m}")
+    bb = docs.sparkSession.sparkContext.broadcast(bm_bytes)
+
+    # ONE ROW PER DOC into the kernel: the distinct shingle array maps to a
+    # flat k*n_shingles probe array (list offsets carry the boundaries), so
+    # the per-doc novelty count happens inside the kernel and the whole
+    # operator is a stateless per-row projection — ZERO Exchange.
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    probe_bits = F.flatten(F.transform(
+        shingles,
+        lambda s: F.array(*[
+            F.pmod(java_hash_u32_expr(F.concat(F.sha2(s, 256), F.lit(f":{i}"))),
+                   F.lit(m)).cast("long")
+            for i in range(k)
+        ]),
+    ))
+    probes = docs.select(F.col(id_col).alias("doc_id"), probe_bits.alias("pbits"))
+    out_schema = StructType([
+        probes.schema["doc_id"],
+        StructField("n_shingles", LongType()),
+        StructField("n_novel", LongType()),
+        StructField("novelty_ppm", LongType()),
+    ])
+
+    def screen(it):
+        bm = np.frombuffer(bb.value, dtype=np.uint8)
+        for batch in it:
+            ids = batch.column(0)
+            if not len(ids):
+                continue
+            lst = batch.column(1)
+            if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
+                lst = lst.combine_chunks()
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = ((bm[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1)
+            n_sh = np.empty(len(ids), dtype=np.int64)
+            n_nov = np.empty(len(ids), dtype=np.int64)
+            for r in range(len(ids)):
+                row = hit[offs[r]:offs[r + 1]].reshape(-1, k)
+                n_sh[r] = row.shape[0]
+                n_nov[r] = int((row.sum(axis=1) < k).sum())
+            # HALF_UP like F.round (np.round is half-even)
+            ppm = np.where(n_sh > 0,
+                           np.floor(n_nov * 1_000_000.0 / np.maximum(n_sh, 1) + 0.5),
+                           0).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n_sh), pa.array(n_nov), pa.array(ppm)],
+                names=["doc_id", "n_shingles", "n_novel", "novelty_ppm"],
+            )
+
+    return probes.mapInArrow(screen, out_schema)

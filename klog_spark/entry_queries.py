@@ -5665,3 +5665,87 @@ FROM sharded
 
 
 SQL_CURRICULUM_ORDER = _sql_curriculum_order()
+
+
+NOVELTY_BLOOM_M = 1 << 20
+NOVELTY_BLOOM_K = 4
+
+
+def q_ngram_novelty_packed(spark, sf_dir):
+    """The zero-Exchange packed-Bloom novelty screen
+    (dedup.ngram_novelty_packed) on the same corpora as the exact driver
+    row: reference shingles -> bloom bitmap (built outside the gated plan),
+    per-doc probes + novelty count inside ONE Arrow kernel. At m = 2^20 the
+    FP rate is ~0 for this fixture, so the oracle — which recomputes every
+    bit and probe relationally — hashes exactly."""
+    from .datapipe.dedup import bloom_pack, ngram_novelty_packed, shingle_bloom_bits
+
+    tgt, ref = _novelty_corpora(spark, sf_dir)
+    bitmap = bloom_pack(
+        shingle_bloom_bits(ref, m=NOVELTY_BLOOM_M, k=NOVELTY_BLOOM_K, n=3),
+        m=NOVELTY_BLOOM_M,
+    )
+    return ngram_novelty_packed(tgt, bitmap, m=NOVELTY_BLOOM_M,
+                                k=NOVELTY_BLOOM_K, n=3)
+
+
+def _sql_ngram_novelty_packed(m: int = NOVELTY_BLOOM_M,
+                              k: int = NOVELTY_BLOOM_K) -> str:
+    bits = ", ".join(
+        _sql_java_u32(f"sha256(shingle) || ':{i}'") + f" % {m}"
+        for i in range(k)
+    )
+    return f"""
+WITH ref_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+tgt_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text FROM ref_docs WHERE doc_id % 9 = 0
+),
+rw AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS words FROM ref_docs
+),
+rsh AS (
+  SELECT DISTINCT unnest(list_distinct([
+           array_to_string(list_slice(words, i + 1, i + 3), ' ')
+           for i in range(0, greatest(len(words) - 3, 0) + 1)
+         ])) AS shingle
+  FROM rw
+),
+ref_bits AS (
+  SELECT DISTINCT CAST(u AS BIGINT) AS bit FROM (
+    SELECT unnest([{bits}]) AS u FROM rsh)
+),
+tw AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM tgt_docs
+),
+tsh AS (
+  SELECT doc_id, unnest(list_distinct([
+           array_to_string(list_slice(words, i + 1, i + 3), ' ')
+           for i in range(0, greatest(len(words) - 3, 0) + 1)
+         ])) AS shingle
+  FROM tw
+),
+pr AS (
+  SELECT doc_id, shingle, CAST(u AS BIGINT) AS pbit FROM (
+    SELECT doc_id, shingle, unnest([{bits}]) AS u FROM tsh)
+),
+hit AS (
+  SELECT p.doc_id, p.shingle, COUNT(b.bit) = {k} AS seen
+  FROM pr p LEFT JOIN ref_bits b ON p.pbit = b.bit
+  GROUP BY p.doc_id, p.shingle
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+       CAST(FLOOR(SUM(CASE WHEN seen THEN 0 ELSE 1 END)
+                  * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS novelty_ppm
+FROM hit
+GROUP BY doc_id
+"""
+
+
+SQL_NGRAM_NOVELTY_PACKED = _sql_ngram_novelty_packed()

@@ -2710,3 +2710,44 @@ def test_curriculum_order_layout(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1))
     rerun = curriculum_order(scored, "margin_micro", ts, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+
+def test_ngram_novelty_packed_matches_exact(spark):
+    """The packed-Bloom novelty screen (zero-Exchange kernel) equals the
+    exact reference-join operator at m = 2^20 (FP ~ 0 at this fill), and
+    is CONSERVATIVE by construction: n_novel <= exact n_novel row-by-row
+    at a deliberately tiny m where false positives do occur."""
+    from klog_spark.datapipe.dedup import (
+        bloom_pack, ngram_novelty, ngram_novelty_packed, shingle_bloom_bits,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, f"ref doc {i} alpha beta gamma {i} delta") for i in range(80)],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(100 + i, f"ref doc {i} alpha beta gamma {i} delta") for i in range(0, 80, 7)]
+        + [(500 + i, f"totally fresh words {i} qqq zzz www") for i in range(30)],
+        "doc_id long, text string")
+    exact = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+             for r in ngram_novelty(tgt, ref, n=3).collect()}
+
+    m, k = 1 << 20, 4
+    bitmap = bloom_pack(shingle_bloom_bits(ref, m=m, k=k, n=3), m=m)
+    packed = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+              for r in ngram_novelty_packed(tgt, bitmap, m=m, k=k, n=3).collect()}
+    assert packed == exact
+
+    # tiny filter: FPs shrink novelty but never invent it (no false negatives)
+    m2 = 256
+    bm2 = bloom_pack(shingle_bloom_bits(ref, m=m2, k=2, n=3), m=m2)
+    small = {r["doc_id"]: r["n_novel"]
+             for r in ngram_novelty_packed(tgt, bm2, m=m2, k=2, n=3).collect()}
+    assert all(small[d] <= exact[d][1] for d in exact)
+
+    # zero-Exchange plan: the screen must stay a stateless per-row kernel
+    plan_df = ngram_novelty_packed(tgt, bitmap, m=m, k=k, n=3)
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("simple")
+    assert "Exchange" not in buf.getvalue()

@@ -95,6 +95,15 @@ def main(sf: float = 0.1) -> int:
         "chunk_quality": (eq.q_chunk_quality, eq.SQL_CHUNK_QUALITY),
         "bm25_topk": (eq.q_bm25_topk, eq.SQL_BM25_TOPK),
         "temperature_weights": (eq.q_temperature_weights, eq.SQL_TEMPERATURE_WEIGHTS),
+        # round-8 operators at 10x the gate scale: the novelty shingle
+        # join, the SQ8 quantizer retrained on the 10x corpus (per-dim
+        # min/max change with scale — the float-identity pin is re-proven,
+        # not reused), the digest self-join matrix and the curriculum
+        # manifest windows
+        "ngram_novelty": (eq.q_ngram_novelty, eq.SQL_NGRAM_NOVELTY),
+        "ann_sq8_topk": (eq.q_ann_sq8_topk, eq.SQL_ANN_SQ8),
+        "cross_source_dups": (eq.q_cross_source_dups, eq.SQL_CROSS_SOURCE_DUPS),
+        "curriculum_order": (eq.q_curriculum_order, eq.SQL_CURRICULUM_ORDER),
     }
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
