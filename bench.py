@@ -161,6 +161,16 @@ def main() -> None:
             timed("bm25_topk", lambda: eq.q_bm25_topk(spark, sf_dir).count())
             timed("chunk_quality", lambda: eq.q_chunk_quality(spark, sf_dir)
                   .write.format("noop").mode("overwrite").save())
+            # round-8 operators: exact novelty join, its zero-Exchange
+            # packed-Bloom twin (bitmap build included — the realistic
+            # cost), SQ8 quantize+search, curriculum manifest
+            timed("ngram_novelty", lambda: eq.q_ngram_novelty(spark, sf_dir)
+                  .write.format("noop").mode("overwrite").save())
+            timed("ngram_novelty_packed", lambda: eq.q_ngram_novelty_packed(spark, sf_dir)
+                  .write.format("noop").mode("overwrite").save())
+            timed("ann_sq8_topk", lambda: eq.q_ann_sq8_topk(spark, sf_dir).count())
+            timed("curriculum_order", lambda: eq.q_curriculum_order(spark, sf_dir)
+                  .write.format("noop").mode("overwrite").save())
             all_runs.append(timings)
             shutil.rmtree(routed_dir, ignore_errors=True)
     finally:

@@ -534,3 +534,19 @@ def dsir_score_stream(docs: DataFrame, ratio_micro: dict[str, int],
             + F.coalesce(lut[w], F.lit(int(default_micro)).cast("long")),
         ).alias("weight_micro"),
     )
+
+
+def novelty_screen_stream(docs: DataFrame, bitmap, m: int, k: int, n: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Streaming novelty screen — the ingest face of
+    ``dedup.ngram_novelty_packed``: the reference corpus's shingle Bloom
+    bitmap broadcasts once and every arriving document scores its
+    (n_shingles, n_novel, novelty_ppm) inside one stateless Arrow kernel —
+    no join, no state, no watermark; append mode emits exactly the batch
+    decision per row (pytest-asserted). The shape for 'only ingest
+    documents novel vs the existing 100-TB corpus' admission control."""
+    from .datapipe.dedup import ngram_novelty_packed
+
+    return ngram_novelty_packed(docs, bitmap, m=m, k=k, n=n,
+                                text_col=text_col, id_col=id_col)

@@ -541,3 +541,47 @@ def test_dsir_score_stream_matches_batch_weights(spark, tmp_path_factory):
     got = {r["doc_id"]: (r["n_words"], r["weight_micro"])
            for r in spark.sql("select * from dsir_out").collect()}
     assert got == want
+
+
+def test_novelty_screen_stream_matches_batch(spark, tmp_path_factory):
+    """Stateless packed-Bloom novelty screen: streaming (append, no
+    watermark, maxFilesPerTrigger=1) emits exactly the batch operator's
+    (n_shingles, n_novel, novelty_ppm) per row across micro-batches."""
+    from klog_spark.datapipe.dedup import (
+        bloom_pack, ngram_novelty_packed, shingle_bloom_bits,
+    )
+    from klog_spark.streaming import novelty_screen_stream
+
+    ref = spark.createDataFrame(
+        [(i, f"reference doc {i} alpha beta {i} gamma") for i in range(50)],
+        "doc_id long, text string")
+    rows = [(100 + i, f"reference doc {i} alpha beta {i} gamma")
+            for i in range(0, 50, 6)]
+    rows += [(900 + i, f"fresh stream text {i} zz qq ww") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path_factory.mktemp("novelty_stream")
+    df.repartition(5).write.mode("overwrite").parquet(str(src))
+
+    m, k = 1 << 18, 3
+    bitmap = bloom_pack(shingle_bloom_bits(ref, m=m, k=k, n=3), m=m)
+    want = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+            for r in ngram_novelty_packed(df, bitmap, m=m, k=k, n=3).collect()}
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        novelty_screen_stream(stream, bitmap, m=m, k=k, n=3)
+        .writeStream.format("memory").queryName("nv_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+           for r in spark.sql("SELECT * FROM nv_out").collect()}
+    assert got == want and len(got) == len(rows)
+    # planted republications are 0-novel even through the stream
+    assert all(got[100 + i][2] == 0 for i in range(0, 50, 6))
