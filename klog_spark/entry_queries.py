@@ -5749,3 +5749,80 @@ GROUP BY doc_id
 
 
 SQL_NGRAM_NOVELTY_PACKED = _sql_ngram_novelty_packed()
+
+
+def q_ann_ivfsq8_topk(spark, sf_dir):
+    """IVF-SQ8 composite ANN (faiss 'IVF16,SQ8'): the corpus stored as
+    8-bit SQ codes (1 B/dim + one cell id per vector), coarse-quantized
+    into IVF cells over the DECODED vectors, exact float queries probing
+    n_probe cells and scoring asymmetric cosine against the decoded codes.
+    Pure composition of two gated operators (similarity.sq8_decoded ->
+    ivf_topk), so the oracle composes the pinned SQ8 decode CTEs with the
+    IVF assign/probe/rank SQL."""
+    from .datapipe.similarity import ivf_topk, sq8_decoded, sq8_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stats = sq8_train(emb)
+    dec = sq8_decoded(emb, stats).select("vec_id", F.col("_sq8").alias("embedding"))
+    return ivf_topk(dec, _ann_query_set(emb), k=10, n_centroids=16,
+                    n_probe=2).select("qid", "vec_id", "rank")
+
+
+def _sql_ann_ivfsq8(k: int = 10, n_centroids: int = 16, n_probe: int = 2) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, u.i AS i, u.x AS x FROM (
+    SELECT vec_id,
+           unnest([{{'i': i, 'x': v[i + 1]}} for i in range(0, {SQ8_DIM})]) AS u
+    FROM e)
+),
+mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY i),
+dec AS (
+  SELECT ex.vec_id,
+         list(CASE WHEN mm.mx > mm.mn
+                   THEN mm.mn + (ROUND(((ex.x - mm.mn) * 255.0) / (mm.mx - mm.mn))
+                                 * (mm.mx - mm.mn)) / 255.0
+                   ELSE mm.mn END ORDER BY ex.i) AS dv
+  FROM ex JOIN mm USING (i)
+  GROUP BY ex.vec_id
+),
+cent AS (
+  SELECT vec_id AS cell, dv AS cvec FROM dec ORDER BY vec_id LIMIT {n_centroids}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY list_distance(d.dv, c.cvec), c.cell) AS rn
+    FROM dec d CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT qid, cell FROM (
+    SELECT q.vec_id AS qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_distance(q.v, c.cvec), c.cell) AS rn
+    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT q.qid, a.vec_id FROM qprobe q JOIN assign a USING (cell)
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         list_cosine_similarity(qe.v, d.dv) AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.qid
+  JOIN dec d ON d.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVFSQ8 = _sql_ann_ivfsq8()

@@ -2751,3 +2751,33 @@ def test_ngram_novelty_packed_matches_exact(spark):
     with contextlib.redirect_stdout(buf):
         plan_df.explain("simple")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_ivfsq8_recall_close_to_ivf_flat(spark, emb):
+    """The IVF-SQ8 composite keeps recall@10 within 0.1 of IVF-Flat at the
+    same (n_centroids, n_probe) — 8-bit decode noise must not collapse the
+    probed-cell ranking — and both stay >= 0.5 vs exact ground truth."""
+    from klog_spark.datapipe.similarity import (
+        brute_force_topk, ivf_topk, sq8_decoded, sq8_train,
+    )
+    from klog_spark.entry_queries import _ann_query_set
+
+    queries = _ann_query_set(emb)
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=10).collect():
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / \
+            sum(len(truth[q]) for q in truth)
+
+    flat = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=2)
+    dec = sq8_decoded(emb, sq8_train(emb)).select(
+        "vec_id", F.col("_sq8").alias("embedding"))
+    sq8 = ivf_topk(dec, queries, k=10, n_centroids=16, n_probe=2)
+    r_flat, r_sq8 = recall(flat), recall(sq8)
+    assert r_flat >= 0.5 and r_sq8 >= 0.5
+    assert r_sq8 >= r_flat - 0.1, (r_flat, r_sq8)
