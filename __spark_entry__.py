@@ -261,6 +261,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 scale-path variant, locally gated from birth
         "ngram_novelty_packed": eq.q_ngram_novelty_packed,       # zero-Exchange packed-Bloom novelty kernel; exact-join twin holds the ngram_novelty driver row
         "ann_ivfsq8_topk": eq.q_ann_ivfsq8_topk,                 # faiss IVF16,SQ8 composite: cells bound the scan, SQ8 bounds the bytes; composition of two gated ops
+        "corpus_drift": eq.q_corpus_drift,                       # snapshot unigram-KL drift monitor: top-k drift-driving words, integer micro-nats
     }
 
 
@@ -410,4 +411,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
         "ngram_novelty_packed": eq.SQL_NGRAM_NOVELTY_PACKED,
         "ann_ivfsq8_topk": eq.SQL_ANN_IVFSQ8,
+        "corpus_drift": eq.SQL_CORPUS_DRIFT,
     }

@@ -675,3 +675,60 @@ def perplexity_bucket_thresholds(docs: DataFrame, n_buckets: int = 3,
             "or bucket a coarser source grouping"
         )
     return {r["source"]: [float(c) for c in r["cuts"]] for r in rows}
+
+
+def corpus_drift(old_docs: DataFrame, new_docs: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 top_k: int = 20) -> DataFrame:
+    """Distribution drift between two corpus snapshots: per-word
+    contribution to KL(new || old) over add-1-smoothed unigram LMs, the
+    monitor that catches a source mix shifting under a recurring ingest
+    (new crawl dump, changed filter) before a model trains on it.
+
+    Returns the ``top_k`` drift-driving words by |contribution|:
+    (word, c_old, c_new, contrib_micro_nats) where ``contrib =
+    p_new * ln(p_new / p_old)`` on the integer micro-nat grid — per-word
+    rounding BEFORE any cross-row arithmetic, so the total
+    ``SUM(contrib_micro_nats)`` is an order-independent exact integer on
+    any engine (the DSIR determinism pattern).
+
+    Scale shape: two vocabulary-sized word-count aggregations (map-side
+    partials; Heaps-law bounded), one full-outer join on the word key, one
+    TakeOrdered top-k — no corpus-sized shuffle, no driver-side counts.
+    """
+    def _counts(df, alias):
+        return (
+            df.select(
+                F.explode(
+                    F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                             lambda w: w != "")
+                ).alias("word")
+            )
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias(alias))
+        )
+
+    old_lm = _counts(old_docs, "c_old")
+    new_lm = _counts(new_docs, "c_new")
+    j = old_lm.join(new_lm, "word", "full_outer").select(
+        "word",
+        F.coalesce("c_old", F.lit(0)).cast("long").alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).cast("long").alias("c_new"),
+    )
+    # scalar totals over the vocab tables (bounded aggregations)
+    tot = j.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new"),
+        F.count("*").alias("v"),
+    ).first()
+    n_old, n_new, v = int(tot["n_old"]), int(tot["n_new"]), int(tot["v"])
+    p_new = (F.col("c_new") + 1) / F.lit(float(n_new + v))
+    p_old = (F.col("c_old") + 1) / F.lit(float(n_old + v))
+    contrib = F.round(p_new * (F.log(p_new) - F.log(p_old)) * 1_000_000.0, 0)
+    scored = j.select(
+        "word", "c_old", "c_new",
+        contrib.cast("long").alias("contrib_micro_nats"),
+    )
+    return (
+        scored.orderBy(F.abs(F.col("contrib_micro_nats")).desc(), F.col("word").asc())
+        .limit(int(top_k))
+    )

@@ -5826,3 +5826,57 @@ SELECT qid, vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 
 
 SQL_ANN_IVFSQ8 = _sql_ann_ivfsq8()
+
+
+def q_corpus_drift(spark, sf_dir):
+    """Snapshot-to-snapshot distribution drift (textstats.corpus_drift):
+    top-20 words by |contribution to KL(new || old)| between the full
+    corpus and a snapshot missing every third document — the ingest
+    monitor for silent source-mix shifts. Per-word micro-nat rounding
+    before the cross-row ordering (the DSIR determinism pattern); the
+    oracle rebuilds both LMs, the smoothing constants and every
+    contribution from scratch."""
+    from .datapipe.textstats import corpus_drift
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return corpus_drift(docs, docs.filter(F.col("doc_id") % 3 != 0), top_k=20)
+
+
+SQL_CORPUS_DRIFT = """
+WITH ow AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+nw AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents WHERE doc_id % 3 <> 0
+),
+oc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_old FROM ow GROUP BY word),
+nc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_new FROM nw GROUP BY word),
+j AS (
+  SELECT word,
+         CAST(coalesce(c_old, 0) AS BIGINT) AS c_old,
+         CAST(coalesce(c_new, 0) AS BIGINT) AS c_new
+  FROM oc FULL OUTER JOIN nc USING (word)
+),
+tot AS (
+  SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+         CAST(SUM(c_new) AS BIGINT) AS n_new,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM j
+),
+scored AS (
+  SELECT word, c_old, c_new,
+         CAST(ROUND(((c_new + 1) / CAST(n_new + v AS DOUBLE))
+                    * (ln((c_new + 1) / CAST(n_new + v AS DOUBLE))
+                       - ln((c_old + 1) / CAST(n_old + v AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS contrib_micro_nats
+  FROM j CROSS JOIN tot
+)
+SELECT word, c_old, c_new, contrib_micro_nats
+FROM scored
+ORDER BY abs(contrib_micro_nats) DESC, word ASC
+LIMIT 20
+"""

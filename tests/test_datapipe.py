@@ -2781,3 +2781,28 @@ def test_ivfsq8_recall_close_to_ivf_flat(spark, emb):
     r_flat, r_sq8 = recall(flat), recall(sq8)
     assert r_flat >= 0.5 and r_sq8 >= 0.5
     assert r_sq8 >= r_flat - 0.1, (r_flat, r_sq8)
+
+
+def test_corpus_drift_semantics(spark):
+    """Drift contributions: identical snapshots -> all zero; removing every
+    doc containing a marker word makes that word the top NEGATIVE
+    contributor (its new-LM mass collapses to smoothing); totals are
+    order-independent exact integers."""
+    from klog_spark.datapipe.textstats import corpus_drift
+
+    rows = [(i, "common words here " + ("marker " * 5 if i % 2 == 0 else ""))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    same = corpus_drift(docs, docs, top_k=50).collect()
+    assert all(r["contrib_micro_nats"] == 0 for r in same)
+
+    new = docs.filter(F.col("doc_id") % 2 == 1)  # all marker docs removed
+    out = {r["word"]: r for r in corpus_drift(docs, new, top_k=50).collect()}
+    # the vanished word keeps only smoothing mass in the new LM: its
+    # contribution is NEGATIVE (p_new ~ 0 down-weights it in KL(new||old));
+    # the surviving words gained relative mass: positive contributions
+    assert out["marker"]["c_new"] == 0
+    assert out["marker"]["contrib_micro_nats"] < 0
+    for w in ("common", "words", "here"):
+        assert out[w]["contrib_micro_nats"] > 0
