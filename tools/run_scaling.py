@@ -99,17 +99,23 @@ def main() -> None:
     # half AND the datapipe half side by side); the curated analysis
     # (variance, VM-limit falsification, write-path study) lives in
     # BENCH/BASELINE.md — update it by hand from these numbers, don't clobber
-    input_desc = (
-        f"synthetic near-dup document corpus sf={sf} "
-        f"({results[n]['rows']:,} docs, exact copy planted every 10th)"
-        if mode.startswith("dedup")
-        else f"seeded klog fixture sf={sf} ({results[n]['rows']:,} tokenized lines)"
-    )
-    sanity_desc = (
-        "near-dup pairs / flagged docs" if mode.startswith("dedup")
-        else "num_committed / num_aborted"
-    )
-    unit = "docs/s" if mode.startswith("dedup") else "sequences/s"
+    if mode == "novelty":
+        input_desc = (
+            f"synthetic document corpus sf={sf} ({results[n]['rows']:,} docs; "
+            "reference = every 10th doc, shingle Bloom bitmap (m=2^24) built "
+            "outside the timed window)"
+        )
+        sanity_desc = "sum(n_novel) / zero-novelty docs"
+    elif mode.startswith("dedup"):
+        input_desc = (
+            f"synthetic near-dup document corpus sf={sf} "
+            f"({results[n]['rows']:,} docs, exact copy planted every 10th)"
+        )
+        sanity_desc = "near-dup pairs / flagged docs"
+    else:
+        input_desc = f"seeded klog fixture sf={sf} ({results[n]['rows']:,} tokenized lines)"
+        sanity_desc = "num_committed / num_aborted"
+    unit = "docs/s" if mode.startswith("dedup") or mode == "novelty" else "sequences/s"
     proto = (
         f"{4*n} single-core 6-GiB executor JVMs vs {n} (local-cluster master: "
         "separate executor processes, per-executor heap/GC constant as N "
