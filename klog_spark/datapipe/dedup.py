@@ -1268,21 +1268,37 @@ def cross_source_dup_matrix(docs: DataFrame, text_col: str = "text",
 
 
 def shingle_bloom_bits(reference: DataFrame, m: int, k: int, n: int = 3,
-                       text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "java32") -> DataFrame:
     """Bloom bit table over a reference corpus's DISTINCT word n-gram
     shingles (not whole-doc digests): the index :func:`ngram_novelty_packed`
-    screens against. Reuses :func:`bloom_bits`' exact key derivation with
-    the shingle string as the hashed text."""
+    screens against.
+
+    ``hash_fn='java32'`` (default) reuses :func:`bloom_bits`' exact key
+    derivation (sha256 + salted java-hash — the oracle-replicable gate
+    path); ``'xxhash64'`` derives bit_i = xxhash64(shingle || ':i') mod m
+    entirely JVM-native — the throughput path: the java32 char-fold costs
+    O(64) expression steps per probe, and novelty probes per SHINGLE
+    (~n_words/doc), not per doc, so the fold dominates at bench scale."""
     sh = _word_shingles(reference.select(F.col(id_col).alias("doc_id"), text_col),
                         text_col, n).select("shingle").distinct()
+    if hash_fn == "xxhash64":
+        bits = F.array(*[
+            F.pmod(F.xxhash64(F.concat(F.col("shingle"), F.lit(f":{i}"))), F.lit(m))
+            for i in range(k)
+        ])
+        return (
+            sh.select(F.explode(bits).alias("bit"))
+            .distinct()
+            .select(F.col("bit").cast("long").alias("bit"))
+        )
     return bloom_bits(sh.withColumn("_sid", F.monotonically_increasing_id()),
                       m=m, k=k, text_col="shingle", id_col="_sid")
 
 
 def ngram_novelty_packed(docs: DataFrame, bitmap, m: int, k: int, n: int = 3,
-                         text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         text_col: str = "text", id_col: str = "doc_id",
+                         hash_fn: str = "java32") -> DataFrame:
     """The 100-TB shape of :func:`ngram_novelty`: the reference corpus's
     shingle set packed into an ``m``-bit Bloom bitmap (:func:`bloom_pack`
     over :func:`shingle_bloom_bits`) and broadcast ONCE — each incoming
@@ -1321,14 +1337,24 @@ def ngram_novelty_packed(docs: DataFrame, bitmap, m: int, k: int, n: int = 3,
             lambda i: F.array_join(F.slice(words, i + 1, n), " "),
         )
     )
-    probe_bits = F.flatten(F.transform(
-        shingles,
-        lambda s: F.array(*[
-            F.pmod(java_hash_u32_expr(F.concat(F.sha2(s, 256), F.lit(f":{i}"))),
-                   F.lit(m)).cast("long")
-            for i in range(k)
-        ]),
-    ))
+    if hash_fn == "xxhash64":
+        # JVM-native probes (must pair with a bitmap built by
+        # shingle_bloom_bits(hash_fn='xxhash64')) — the bench/throughput
+        # path; java32 stays the oracle-replicable default
+        def _probe(s):
+            return F.array(*[
+                F.pmod(F.xxhash64(F.concat(s, F.lit(f":{i}"))), F.lit(m))
+                .cast("long")
+                for i in range(k)
+            ])
+    else:
+        def _probe(s):
+            return F.array(*[
+                F.pmod(java_hash_u32_expr(F.concat(F.sha2(s, 256), F.lit(f":{i}"))),
+                       F.lit(m)).cast("long")
+                for i in range(k)
+            ])
+    probe_bits = F.flatten(F.transform(shingles, _probe))
     probes = docs.select(F.col(id_col).alias("doc_id"), probe_bits.alias("pbits"))
     out_schema = StructType([
         probes.schema["doc_id"],

@@ -537,8 +537,8 @@ def dsir_score_stream(docs: DataFrame, ratio_micro: dict[str, int],
 
 
 def novelty_screen_stream(docs: DataFrame, bitmap, m: int, k: int, n: int = 3,
-                          text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          text_col: str = "text", id_col: str = "doc_id",
+                          hash_fn: str = "java32") -> DataFrame:
     """Streaming novelty screen — the ingest face of
     ``dedup.ngram_novelty_packed``: the reference corpus's shingle Bloom
     bitmap broadcasts once and every arriving document scores its
@@ -549,4 +549,5 @@ def novelty_screen_stream(docs: DataFrame, bitmap, m: int, k: int, n: int = 3,
     from .datapipe.dedup import ngram_novelty_packed
 
     return ngram_novelty_packed(docs, bitmap, m=m, k=k, n=n,
-                                text_col=text_col, id_col=id_col)
+                                text_col=text_col, id_col=id_col,
+                                hash_fn=hash_fn)

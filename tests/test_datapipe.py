@@ -2806,3 +2806,28 @@ def test_corpus_drift_semantics(spark):
     assert out["marker"]["contrib_micro_nats"] < 0
     for w in ("common", "words", "here"):
         assert out[w]["contrib_micro_nats"] > 0
+
+
+def test_ngram_novelty_packed_xxhash_variant(spark):
+    """The xxhash64 throughput probes (paired with an xxhash64-built
+    bitmap) reproduce the exact operator's novelty at m = 2^20, like the
+    java32 gate path — the dedup_minhash_lsh bench/gate hash split."""
+    from klog_spark.datapipe.dedup import (
+        bloom_pack, ngram_novelty, ngram_novelty_packed, shingle_bloom_bits,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, f"ref doc {i} aa bb cc {i}") for i in range(60)],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(100 + i, f"ref doc {i} aa bb cc {i}") for i in range(0, 60, 5)]
+        + [(500 + i, f"new stuff {i} xx yy zz") for i in range(25)],
+        "doc_id long, text string")
+    exact = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+             for r in ngram_novelty(tgt, ref, n=3).collect()}
+    m, k = 1 << 20, 4
+    bm = bloom_pack(shingle_bloom_bits(ref, m=m, k=k, n=3, hash_fn="xxhash64"), m=m)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+           for r in ngram_novelty_packed(tgt, bm, m=m, k=k, n=3,
+                                         hash_fn="xxhash64").collect()}
+    assert got == exact

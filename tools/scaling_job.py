@@ -298,14 +298,15 @@ def run_novelty(spark: SparkSession, sf: float) -> None:
         # reference = every 10th doc; bitmap built OUTSIDE the timed window
         bitmap = bloom_pack(
             shingle_bloom_bits(docs.filter(F.col("doc_id") % 10 == 0),
-                               m=m, k=k, n=3),
+                               m=m, k=k, n=3, hash_fn="xxhash64"),
             m=m,
         )
         docs.limit(16).collect()  # pre-warm (session-init, excluded)
 
         t0 = time.time()
         n = docs.count()  # first timed action
-        scr = ngram_novelty_packed(docs, bitmap, m=m, k=k, n=3)
+        scr = ngram_novelty_packed(docs, bitmap, m=m, k=k, n=3,
+                                   hash_fn="xxhash64")
         row = scr.agg(
             F.sum("n_novel").cast("long").alias("nn"),
             F.sum((F.col("novelty_ppm") == 0).cast("int")).cast("long").alias("nz"),
