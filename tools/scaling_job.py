@@ -254,10 +254,6 @@ def spark_cores() -> int:
     return int(os.environ.get("SPARK_SCALING_CORES", "32"))
 
 
-if __name__ == "__main__":
-    main()
-
-
 def run_novelty(spark: SparkSession, sf: float) -> None:
     """Packed-Bloom novelty-screen scaling mode (round 8): the zero-Exchange
     admission-control kernel — reference shingles packed into a broadcast
@@ -325,3 +321,7 @@ def run_novelty(spark: SparkSession, sf: float) -> None:
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()
+
+
+if __name__ == "__main__":
+    main()
