@@ -71,6 +71,12 @@ birth (standing discipline): ngram_novelty, ann_sq8_topk,
 cross_source_dups, curriculum_order replaced klog_file_health,
 quality_rejection_sample, cluster_balanced_sample, corpus_shard_manifest
 (all four green in CORRECTNESS_r07, capability kept per the inline notes).
+Late-round-8, corpus_drift (the snapshot KL drift monitor) also took a
+driver row from birth, replacing ann_recall_eval (green r7; the
+recall-eval machinery keeps a driver row via minhash_recall_eval and the
+IVF codepath via ann_ivfpq_rerank). The two late-r8 VARIANTS
+(ngram_novelty_packed, ann_ivfsq8_topk) are locally-gated extras of
+driver-row operators, per the variant convention.
 """
 
 from __future__ import annotations
@@ -112,7 +118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_removal": eq.q_contamination_removal,  # decontaminated-corpus decision table (supersedes contamination_check row: same shingle join, train-side agg)
         "ann_lsh_topk": eq.q_ann_lsh,                      # hyperplane-LSH multiprobe
         "ann_ivfpq_rerank": eq.q_ann_ivfpq_rerank,         # two-stage refine: ADC candidates -> exact re-rank; oracle NESTS the full IVF-PQ SQL at k=40 (subsumes the ann_ivfpq_topk row)
-        "ann_recall_eval": eq.q_ann_recall_eval,           # recall@10 of IVF vs brute-force ground truth (subsumes knn_label_eval's eval role)
         "text_lang_id": eq.q_text_lang_id,
         "wordlist_filter": eq.q_wordlist_filter,           # blocked-wordlist (badwords) filter, integer ppm accept test (r7-built)
         "corpus_pack": eq.q_corpus_pack,                   # token-budget sequence packing
@@ -139,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": eq.q_ann_sq8_topk,                 # asymmetric SQ8 scalar-quantized ANN (faiss QT_8bit; third compression point after Flat/PQ)
         "cross_source_dups": eq.q_cross_source_dups,       # cross-source duplication matrix (digest-keyed; per-source dedup-budget audit)
         "curriculum_order": eq.q_curriculum_order,         # curriculum manifest over PINNED margins: (bucket, shard, pos) — no global sort; oracle nests the scored-filter SQL
+        "corpus_drift": eq.q_corpus_drift,                 # snapshot unigram-KL drift monitor (late-r8-built, driver row from birth; replaced ann_recall_eval — eval-class machinery kept by minhash_recall_eval, the IVF codepath by ann_ivfpq_rerank + its recall pytest)
         # telemetry/event analytics (engine-robustness fixed in round 4:
         # NTZ timestamps, pinned NULL ordering, tie-free exact averages)
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
@@ -261,7 +267,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 scale-path variant, locally gated from birth
         "ngram_novelty_packed": eq.q_ngram_novelty_packed,       # zero-Exchange packed-Bloom novelty kernel; exact-join twin holds the ngram_novelty driver row
         "ann_ivfsq8_topk": eq.q_ann_ivfsq8_topk,                 # faiss IVF16,SQ8 composite: cells bound the scan, SQ8 bounds the bytes; composition of two gated ops
-        "corpus_drift": eq.q_corpus_drift,                       # snapshot unigram-KL drift monitor: top-k drift-driving words, integer micro-nats
+        # rotated OUT late-round-8 for corpus_drift (green r7; recall-eval
+        # machinery kept by the minhash_recall_eval driver row, the IVF
+        # codepath by ann_ivfpq_rerank + the recall-floor pytests)
+        "ann_recall_eval": eq.q_ann_recall_eval,
     }
 
 
@@ -292,7 +301,6 @@ def oracle_sql() -> dict[str, str]:
         "contamination_removal": eq.SQL_CONTAMINATION_REMOVAL,
         "ann_lsh_topk": eq.SQL_ANN_LSH,
         "ann_ivfpq_rerank": eq.SQL_ANN_IVFPQ_RERANK,
-        "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
         "text_lang_id": eq.SQL_TEXT_LANG_ID,
         "wordlist_filter": eq.SQL_WORDLIST_FILTER,
         "corpus_pack": eq.SQL_CORPUS_PACK,
@@ -319,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_weights": eq.SQL_TEMPERATURE_WEIGHTS,
         "minhash_recall_eval": eq.SQL_MINHASH_RECALL_EVAL,
         # r8-built operators
+        "corpus_drift": eq.SQL_CORPUS_DRIFT,
         "ngram_novelty": eq.SQL_NGRAM_NOVELTY,
         "ann_sq8_topk": eq.SQL_ANN_SQ8,
         "cross_source_dups": eq.SQL_CROSS_SOURCE_DUPS,
@@ -411,5 +420,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_shard_manifest": eq.SQL_CORPUS_SHARD_MANIFEST,
         "ngram_novelty_packed": eq.SQL_NGRAM_NOVELTY_PACKED,
         "ann_ivfsq8_topk": eq.SQL_ANN_IVFSQ8,
-        "corpus_drift": eq.SQL_CORPUS_DRIFT,
+        "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
     }

@@ -187,6 +187,8 @@ def main() -> None:
             timed("ann_sq8_topk", lambda: eq.q_ann_sq8_topk(spark, sf_dir).count())
             timed("curriculum_order", lambda: eq.q_curriculum_order(spark, sf_dir)
                   .write.format("noop").mode("overwrite").save())
+            timed("ann_ivfsq8_topk", lambda: eq.q_ann_ivfsq8_topk(spark, sf_dir).count())
+            timed("corpus_drift", lambda: eq.q_corpus_drift(spark, sf_dir).count())
             all_runs.append(timings)
             shutil.rmtree(routed_dir, ignore_errors=True)
     finally:

@@ -104,6 +104,12 @@ def main(sf: float = 0.1) -> int:
         "ann_sq8_topk": (eq.q_ann_sq8_topk, eq.SQL_ANN_SQ8),
         "cross_source_dups": (eq.q_cross_source_dups, eq.SQL_CROSS_SOURCE_DUPS),
         "curriculum_order": (eq.q_curriculum_order, eq.SQL_CURRICULUM_ORDER),
+        # late-round-8: the drift monitor's smoothing constants, the packed
+        # novelty kernel's bit derivation and the IVF-SQ8 quantizer all
+        # re-derive from the 10x corpus — scale re-proves, never reuses
+        "corpus_drift": (eq.q_corpus_drift, eq.SQL_CORPUS_DRIFT),
+        "ngram_novelty_packed": (eq.q_ngram_novelty_packed, eq.SQL_NGRAM_NOVELTY_PACKED),
+        "ann_ivfsq8_topk": (eq.q_ann_ivfsq8_topk, eq.SQL_ANN_IVFSQ8),
     }
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "

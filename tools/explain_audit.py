@@ -293,6 +293,24 @@ def main() -> None:
     assert "Exchange SinglePartition" not in co_plan, \
         "curriculum manifest must window per (bucket, shard), never globally"
 
+    # 8l. late-round-8 operators: the drift monitor's top-k must compile to
+    #     TakeOrdered (partial per-partition top-k, never a single-partition
+    #     sort); the packed novelty screen is a stateless kernel (ZERO
+    #     Exchange); IVF-SQ8 keeps the broadcast probe shape with no nested
+    #     loop anywhere
+    dr = eq.q_corpus_drift(spark, SF_DIR)
+    dr_plan = plan_of(dr, "simple")
+    sections.append(("corpus drift monitor", plan_of(dr), ["TakeOrderedAndProject"]))
+    assert "TakeOrderedAndProject" in dr_plan and "CartesianProduct" not in dr_plan
+    nvp = eq.q_ngram_novelty_packed(spark, SF_DIR)
+    nvp_plan = plan_of(nvp, "simple")
+    sections.append(("packed-Bloom novelty screen", plan_of(nvp), ["MapInArrow"]))
+    assert "Exchange" not in nvp_plan, "packed novelty must not shuffle"
+    i8 = eq.q_ann_ivfsq8_topk(spark, SF_DIR)
+    i8_plan = plan_of(i8, "simple")
+    sections.append(("IVF-SQ8 composite ANN", plan_of(i8), ["BroadcastHashJoin"]))
+    assert "CartesianProduct" not in i8_plan and "BroadcastNestedLoopJoin" not in i8_plan
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
