@@ -1391,3 +1391,28 @@ def ngram_novelty_packed(docs: DataFrame, bitmap, m: int, k: int, n: int = 3,
             )
 
     return probes.mapInArrow(screen, out_schema)
+
+
+def soft_dedup_weights(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """SoftDeDup: instead of DROPPING duplicates, every copy of a text
+    keeps ``weight = 1 / n_copies`` (integer micro grid) so the duplicated
+    CONTENT contributes one document's worth of training mass in total —
+    the gentler alternative to exact dedup when near-boilerplate carries
+    signal. Composes directly with the A-ES weighted sampler and the
+    temperature mixture (their weight columns accept micro weights).
+
+    Returns (doc_id, n_copies, weight_micro) for EVERY doc. One sha256
+    digest aggregation + a broadcast-friendly count join back — the same
+    scale shape as exact_duplicates (32 B/row shuffle)."""
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.sha2(F.col(text_col), 256).alias("digest"))
+    counts = d.groupBy("digest").agg(F.count("*").cast("long").alias("n_copies"))
+    return (
+        d.join(counts, "digest")
+        .select(
+            "doc_id", "n_copies",
+            F.round(F.lit(1_000_000.0) / F.col("n_copies")).cast("long")
+            .alias("weight_micro"),
+        )
+    )

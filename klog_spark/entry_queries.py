@@ -5880,3 +5880,79 @@ FROM scored
 ORDER BY abs(contrib_micro_nats) DESC, word ASC
 LIMIT 20
 """
+
+
+def q_soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup over the planted-duplicate corpus (dedup.soft_dedup_weights):
+    every copy of a duplicated text carries weight 1/n_copies in integer
+    micro units, so duplicated CONTENT sums to ~one document of mass —
+    the down-weight alternative to dropping. Exact integers end to end."""
+    from .datapipe.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(_dup_corpus(spark, sf_dir))
+
+
+SQL_SOFT_DEDUP_WEIGHTS = f"""
+WITH {SQL_DUP_CORPUS},
+d AS (SELECT doc_id, sha256(text) AS digest FROM corpus),
+c AS (SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_copies FROM d GROUP BY digest)
+SELECT doc_id, n_copies,
+       CAST(ROUND(1000000.0 / n_copies) AS BIGINT) AS weight_micro
+FROM d JOIN c USING (digest)
+"""
+
+
+QUALITY_ENSEMBLE_BADWORDS = ["spam", "xxx", "clickbait"]
+
+
+def q_quality_ensemble(spark, sf_dir):
+    """FineWeb-Edu-style ensemble vote: three independent gated quality
+    signals — the pinned scored-filter margin, the Gopher-style heuristic
+    rules, and the badwords ppm screen — combined as an integer vote
+    (keep when >= 2 of 3 pass). Pure composition of driver-gated
+    operators; the oracle nests the scored-filter SQL and recomputes the
+    other two votes from scratch."""
+    from .datapipe.textstats import quality_scores, wordlist_filter
+
+    scored = q_scored_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("kept").cast("int").alias("v_model"))
+    heur = quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("passes_quality").cast("int").alias("v_heur"))
+    words = wordlist_filter(_docs(spark, sf_dir), QUALITY_ENSEMBLE_BADWORDS,
+                            max_ppm=10_000).select(
+        "doc_id", F.col("keep").cast("int").alias("v_words"))
+    j = scored.join(heur, "doc_id").join(words, "doc_id")
+    votes = (F.col("v_model") + F.col("v_heur") + F.col("v_words")).cast("long")
+    return j.select("doc_id", "v_model", "v_heur", "v_words",
+                    votes.alias("n_votes"), (votes >= 2).alias("keep"))
+
+
+def _sql_quality_ensemble() -> str:
+    blk = ", ".join(f"'{w}'" for w in sorted(QUALITY_ENSEMBLE_BADWORDS))
+    return f"""
+WITH s AS (SELECT doc_id, CAST(kept AS INT) AS v_model
+           FROM ({SQL_SCORED_QUALITY_FILTER})),
+q AS (SELECT doc_id, CAST(passes_quality AS INT) AS v_heur
+      FROM ({SQL_TEXT_QUALITY})),
+w AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS n_words,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> list_contains([{blk}], x))) AS n_blocked
+  FROM documents
+),
+wv AS (
+  SELECT doc_id,
+         CASE WHEN n_blocked * 1000000 <= 10000 * n_words THEN 1 ELSE 0 END
+           AS v_words
+  FROM w
+)
+SELECT s.doc_id, s.v_model, q.v_heur, wv.v_words,
+       CAST(s.v_model + q.v_heur + wv.v_words AS BIGINT) AS n_votes,
+       s.v_model + q.v_heur + wv.v_words >= 2 AS keep
+FROM s JOIN q USING (doc_id) JOIN wv USING (doc_id)
+"""
+
+
+SQL_QUALITY_ENSEMBLE = _sql_quality_ensemble()

@@ -2831,3 +2831,33 @@ def test_ngram_novelty_packed_xxhash_variant(spark):
            for r in ngram_novelty_packed(tgt, bm, m=m, k=k, n=3,
                                          hash_fn="xxhash64").collect()}
     assert got == exact
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """SoftDeDup: every copy of a duplicated text carries 1e6/n_copies
+    micro weight; per-text total mass stays ~1e6 (one doc's worth)."""
+    from klog_spark.datapipe.dedup import soft_dedup_weights
+
+    rows = [(1, "dup text"), (2, "dup text"), (3, "dup text"), (4, "unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_copies"], r["weight_micro"])
+           for r in soft_dedup_weights(df).collect()}
+    assert out == {1: (3, 333333), 2: (3, 333333), 3: (3, 333333),
+                   4: (1, 1_000_000)}
+
+
+def test_quality_ensemble_vote_arithmetic(spark):
+    """2-of-3 ensemble: n_votes is the exact sum of the three gated
+    signals and keep == (n_votes >= 2) row-for-row; the individual vote
+    columns match their source operators on the fixture."""
+    from klog_spark import entry_queries as eq
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = eq.q_quality_ensemble(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_votes"] == r["v_model"] + r["v_heur"] + r["v_words"]
+        assert r["keep"] == (r["n_votes"] >= 2)
+    model = {r["doc_id"]: int(r["kept"])
+             for r in eq.q_scored_quality_filter(spark, sf_dir).collect()}
+    assert all(r["v_model"] == model[r["doc_id"]] for r in out)
