@@ -732,3 +732,80 @@ def corpus_drift(old_docs: DataFrame, new_docs: DataFrame,
         scored.orderBy(F.abs(F.col("contrib_micro_nats")).desc(), F.col("word").asc())
         .limit(int(top_k))
     )
+
+
+def kneser_ney_doc_scores(docs: DataFrame, discount: float = 0.75,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Interpolated Kneser-Ney BIGRAM scoring — the smoothing real LM
+    filters (KenLM) actually use, one rung above the count-interpolated
+    bigram filter: position i >= 2 scores
+
+        P(w_i | w_{i-1}) = max(c(w_{i-1} w_i) - d, 0) / c(w_{i-1})
+                         + (d * r(w_{i-1}) / c(w_{i-1})) * (l(w_i) / B)
+
+    with r(w1) = distinct right-continuations of w1, l(w2) = distinct
+    left-contexts of w2 and B = distinct bigram count — the continuation
+    probability that makes KN robust to 'San Francisco' artifacts. Scored
+    self-corpus (every bigram seen at least once), so P > 0 everywhere.
+
+    Determinism contract (the LM-family pattern): each per-position nll is
+    a pure function of exact integer counts and the fixed discount,
+    rounded ONCE to integer micro-nats; documents integer-sum those.
+    Returns (doc_id, n_bigrams, sum_nll_micro, avg_nll_micro) for docs
+    with >= 2 words.
+
+    Scale shape: bigram-vocabulary-sized count tables (c12, c1, r, l —
+    Heaps-like) plus two scalar constants; the score joins back on the
+    (prev, w) key — never corpus x corpus."""
+    ws = F.filter(_WORDS(text_col), lambda w: w != "")
+    wsdf = docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws")) \
+        .filter(F.size("ws") >= 2)
+    pairs = wsdf.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ws")),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i - 1).alias("prev"),
+                    F.element_at(F.col("ws"), i).alias("w"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.prev").alias("prev"), F.col("t.w").alias("w"))
+
+    c12 = pairs.groupBy("prev", "w").agg(F.count("*").cast("long").alias("c12"))
+    c1 = c12.groupBy("prev").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("r1"),       # distinct right types
+    )
+    lc = c12.groupBy("w").agg(F.count("*").cast("long").alias("l2"))
+    n_bigram_types = c12.count()                      # scalar B (bounded agg)
+
+    d = float(discount)
+    p = (
+        F.greatest(F.col("c12").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (F.lit(d) * F.col("r1").cast("double") / F.col("c1").cast("double"))
+        * (F.col("l2").cast("double") / F.lit(float(n_bigram_types)))
+    )
+    scored_pairs = (
+        c12.join(c1, "prev").join(lc, "w")
+        .select(
+            "prev", "w",
+            F.round(-F.log(p) * 1000000, 0).cast("long").alias("nll_micro"),
+        )
+    )
+    return (
+        pairs.join(scored_pairs, ["prev", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("nll_micro").cast("long").alias("sum_nll_micro"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "sum_nll_micro",
+            F.round(F.col("sum_nll_micro").cast("double") / F.col("n_bigrams"))
+            .cast("long").alias("avg_nll_micro"),
+        )
+    )

@@ -5956,3 +5956,57 @@ FROM s JOIN q USING (doc_id) JOIN wv USING (doc_id)
 
 
 SQL_QUALITY_ENSEMBLE = _sql_quality_ensemble()
+
+
+def q_kneser_ney_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring
+    (textstats.kneser_ney_doc_scores, d=0.75) — KenLM's smoothing family,
+    one rung above the count-interpolated bigram row. Per-position
+    micro-nat rounding, integer doc sums; the oracle rebuilds the bigram,
+    left/right-continuation and type-count tables from scratch and
+    replays the identical float expression."""
+    from .datapipe.textstats import kneser_ney_doc_scores
+
+    return kneser_ney_doc_scores(_docs(spark, sf_dir))
+
+
+SQL_KNESER_NEY_SCORE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+w2 AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+pr AS (
+  SELECT doc_id, t.prev AS prev, t.w AS w FROM (
+    SELECT doc_id,
+           unnest([{'prev': ws[i - 1], 'w': ws[i]}
+                   for i in range(2, len(ws) + 1)]) AS t
+    FROM w2)
+),
+c12 AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c12 FROM pr GROUP BY 1, 2),
+c1 AS (
+  SELECT prev, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS r1
+  FROM c12 GROUP BY 1
+),
+lc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS l2 FROM c12 GROUP BY 1),
+bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c12),
+sp AS (
+  SELECT c12.prev, c12.w,
+         CAST(ROUND(-ln(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                          / CAST(c1 AS DOUBLE)
+                        + (0.75 * CAST(r1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                          * (CAST(l2 AS DOUBLE) / CAST(b AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS nll_micro
+  FROM c12 JOIN c1 USING (prev) JOIN lc USING (w) CROSS JOIN bt
+)
+SELECT pr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(sp.nll_micro) AS BIGINT) AS sum_nll_micro,
+       CAST(ROUND(CAST(SUM(sp.nll_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS avg_nll_micro
+FROM pr JOIN sp USING (prev, w)
+GROUP BY pr.doc_id
+"""

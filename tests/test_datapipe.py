@@ -2861,3 +2861,46 @@ def test_quality_ensemble_vote_arithmetic(spark):
     model = {r["doc_id"]: int(r["kept"])
              for r in eq.q_scored_quality_filter(spark, sf_dir).collect()}
     assert all(r["v_model"] == model[r["doc_id"]] for r in out)
+
+
+def test_kneser_ney_matches_sequential_oracle(spark):
+    """KN scores equal a sequential Python recomputation bigram-by-bigram,
+    and interpolated KN is a PROPER distribution: for every context,
+    P(w | context) summed over the full vocabulary equals exactly 1."""
+    import math
+    from collections import Counter, defaultdict
+
+    from klog_spark.datapipe.textstats import kneser_ney_doc_scores
+
+    rows = [(1, "a b a b c"), (2, "a b c d"), (3, "b c b c"), (4, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_bigrams"], r["sum_nll_micro"], r["avg_nll_micro"])
+           for r in kneser_ney_doc_scores(docs).collect()}
+    assert 4 not in out  # single-word doc has no bigram
+
+    # sequential oracle
+    c12, c1, r1, l2 = Counter(), Counter(), defaultdict(set), defaultdict(set)
+    seqs = {i: t.split() for i, t in rows if len(t.split()) >= 2}
+    for ws in seqs.values():
+        for p, w in zip(ws, ws[1:]):
+            c12[(p, w)] += 1
+            c1[p] += 1
+            r1[p].add(w)
+            l2[w].add(p)
+    B = len(c12)
+    d = 0.75
+
+    def prob(p, w):
+        return (max(c12[(p, w)] - d, 0.0) / c1[p]
+                + (d * len(r1[p]) / c1[p]) * (len(l2[w]) / B))
+
+    for doc_id, ws in seqs.items():
+        nll = [round(-math.log(prob(p, w)) * 1_000_000)
+               for p, w in zip(ws, ws[1:])]
+        want = (len(nll), sum(nll), round(sum(nll) / len(nll)))
+        assert out[doc_id] == want, (doc_id, out[doc_id], want)
+
+    vocab = set(l2) | set(c1)
+    for p in c1:
+        total = sum(prob(p, w) for w in vocab)
+        assert abs(total - 1.0) < 1e-12, (p, total)
