@@ -270,6 +270,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup_weights": eq.q_soft_dedup_weights,           # SoftDeDup: 1/n_copies micro weights instead of drops; composes with A-ES/temperature samplers
         "quality_ensemble": eq.q_quality_ensemble,               # FineWeb-Edu-style 2-of-3 vote over three gated quality signals
         "kneser_ney_score": eq.q_kneser_ney_score,               # interpolated Kneser-Ney bigram scoring (KenLM smoothing family; continuation-probability backoff)
+        "mixture_interleave": eq.q_mixture_interleave,           # stride-scheduled weighted source interleave: the deterministic data-loader reading order
         # rotated OUT late-round-8 for corpus_drift (green r7; recall-eval
         # machinery kept by the minhash_recall_eval driver row, the IVF
         # codepath by ann_ivfpq_rerank + the recall-floor pytests)
@@ -426,5 +427,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "soft_dedup_weights": eq.SQL_SOFT_DEDUP_WEIGHTS,
         "quality_ensemble": eq.SQL_QUALITY_ENSEMBLE,
         "kneser_ney_score": eq.SQL_KNESER_NEY_SCORE,
+        "mixture_interleave": eq.SQL_MIXTURE_INTERLEAVE,
         "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
     }

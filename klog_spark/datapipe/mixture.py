@@ -463,3 +463,47 @@ def curriculum_order(scored: DataFrame, score_col: str = "margin_micro",
         "doc_id", "score", "bucket", "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def mixture_interleave(docs: DataFrame, weights: dict[str, float],
+                       default_weight: float = 0.0,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted INTERLEAVING of sources — the data-loader
+    reading order that realizes mixture weights as arrival frequency
+    (stride scheduling, the classic proportional-share scheduler): source
+    ``s``'s i-th document (in content-hash order) occupies slot
+    ``i * stride_s`` with ``stride_s = 10^12 div weight_ppm(s)``, so a
+    source with twice the weight appears twice as often in slot order.
+    Consumers read ORDER BY (slot, source, doc_id) — all integers, every
+    engine and run produces the identical schedule.
+
+    Zero-weight sources are excluded (never scheduled). Returns
+    (doc_id, source, rank_in_source, slot).
+
+    Scale shape: one window per source partition (the natural shard, same
+    bound as mixture_sample) and pure integer arithmetic; the global sort
+    belongs to the CONSUMER (a range-partitioned write by slot), not this
+    operator — no Exchange SinglePartition here."""
+    from ..javahash import java_hash_u32_expr
+
+    ppm = {s: int(round(w * 1_000_000)) for s, w in weights.items()}
+    default_ppm = int(round(default_weight * 1_000_000))
+    ppm_map = F.create_map(
+        *[lit for s, p in sorted(ppm.items()) for lit in (F.lit(s), F.lit(p))]
+    )
+    w_ppm = F.coalesce(ppm_map[F.col("source")], F.lit(default_ppm))
+    h = F.pmod(java_hash_u32_expr(
+        F.sha2(F.concat(F.lit("il:"), F.col(id_col).cast("string")), 256)
+    ), F.lit(HASH_MOD))
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), "source",
+                    w_ppm.alias("_ppm"), h.alias("_h"))
+        .filter(F.col("_ppm") > 0)
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    stride = F.expr("1000000000000 div _ppm")
+    return base.select(
+        "doc_id", "source",
+        F.row_number().over(w).cast("long").alias("rank_in_source"),
+        (F.row_number().over(w).cast("long") * stride).alias("slot"),
+    )

@@ -6010,3 +6010,47 @@ SELECT pr.doc_id,
 FROM pr JOIN sp USING (prev, w)
 GROUP BY pr.doc_id
 """
+
+
+INTERLEAVE_WEIGHTS = {"web": 0.5, "books": 0.3, "code": 0.2}
+
+
+def q_mixture_interleave(spark, sf_dir):
+    """Stride-scheduled weighted source interleaving
+    (mixture.mixture_interleave): the deterministic data-loader order that
+    realizes mixture weights as arrival frequency. Sources outside the
+    weight map take the default 2% floor; all-integer slots. The oracle
+    replays the hash rank and the integer stride from scratch."""
+    from .datapipe.mixture import mixture_interleave
+
+    return mixture_interleave(_docs(spark, sf_dir), INTERLEAVE_WEIGHTS,
+                              default_weight=0.02)
+
+
+def _sql_mixture_interleave() -> str:
+    u = _sql_java_u32("sha256('il:' || CAST(doc_id AS VARCHAR))")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(w * 1_000_000))}"
+        for s, w in sorted(INTERLEAVE_WEIGHTS.items())
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE source {cases} ELSE 20000 END AS ppm,
+         {u} % 1000000000 AS h
+  FROM documents
+),
+nz AS (SELECT * FROM base WHERE ppm > 0),
+ranked AS (
+  SELECT doc_id, source, ppm,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+              AS BIGINT) AS rank_in_source
+  FROM nz
+)
+SELECT doc_id, source, rank_in_source,
+       CAST(rank_in_source * (1000000000000 // ppm) AS BIGINT) AS slot
+FROM ranked
+"""
+
+
+SQL_MIXTURE_INTERLEAVE = _sql_mixture_interleave()

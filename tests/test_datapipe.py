@@ -2904,3 +2904,26 @@ def test_kneser_ney_matches_sequential_oracle(spark):
     for p in c1:
         total = sum(prob(p, w) for w in vocab)
         assert abs(total - 1.0) < 1e-12, (p, total)
+
+
+def test_mixture_interleave_schedule_properties(spark):
+    """Stride scheduling realizes weights as arrival frequency: within any
+    slot-ordered prefix where no source is exhausted, a 2x-weight source
+    appears ~2x as often (exact up to one stride); zero-weight sources
+    never appear; the schedule is deterministic across reruns."""
+    from klog_spark.datapipe.mixture import mixture_interleave
+
+    rows = [(i, f"text {i}", ["a", "b", "z"][i % 3]) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixture_interleave(docs, {"a": 0.6, "b": 0.3, "z": 0.0}).collect()
+    assert all(r["source"] != "z" for r in out)
+    ordered = sorted(out, key=lambda r: (r["slot"], r["source"], r["doc_id"]))
+    prefix = [r["source"] for r in ordered[:60]]  # both sources unexhausted
+    na, nb = prefix.count("a"), prefix.count("b")
+    assert abs(na - 2 * nb) <= 2, (na, nb)
+    # slots are exactly rank * stride
+    for r in out:
+        stride = 10**12 // (600_000 if r["source"] == "a" else 300_000)
+        assert r["slot"] == r["rank_in_source"] * stride
+    rerun = mixture_interleave(docs, {"a": 0.6, "b": 0.3, "z": 0.0}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
