@@ -137,7 +137,12 @@ def main() -> None:
             timed("klog_state_machine",
                   lambda: checks.state_machine_violations(routed_as_parsed(staged, classes=["txn_state"])).count())
             timed("dedup_exact", lambda: eq.q_dedup_exact(spark, sf_dir).count())
-            # throughput path (xxhash64); the java32 oracle variant is gate-verified
+            # throughput path (xxhash64 strings); the java32 oracle variant is
+            # gate-verified. The r8 word-hash kernel is the SCALING-corpus
+            # winner (+50%, BENCH/SCALING_RUN.md) but measured SLOWER on this
+            # fixture's longer documents (in-session A/B 4.8s vs 5.7s at
+            # sf0.1, BENCH/BASELINE.md r8) — kernel choice is corpus-shape
+            # dependent, so the bench row keeps the comparable string path
             timed(
                 "dedup_minhash_lsh",
                 lambda: minhash_dedup(_dup_corpus(spark, sf_dir), num_hashes=64, bands=16,

@@ -311,6 +311,18 @@ def main() -> None:
     sections.append(("IVF-SQ8 composite ANN", plan_of(i8), ["BroadcastHashJoin"]))
     assert "CartesianProduct" not in i8_plan and "BroadcastNestedLoopJoin" not in i8_plan
 
+    # 8m. last round-8 operators: KN scoring is vocab-sized aggregations +
+    #     one (prev, w) join back; the interleave schedule windows per
+    #     source — never a single-partition global sort
+    kn = eq.q_kneser_ney_score(spark, SF_DIR)
+    kn_plan = plan_of(kn, "simple")
+    sections.append(("Kneser-Ney bigram scoring", plan_of(kn), ["HashAggregate", "Join"]))
+    assert "CartesianProduct" not in kn_plan and "BroadcastNestedLoopJoin" not in kn_plan
+    il = eq.q_mixture_interleave(spark, SF_DIR)
+    il_plan = plan_of(il, "simple")
+    sections.append(("weighted source interleave", plan_of(il), ["Window"]))
+    assert "Exchange SinglePartition" not in il_plan,         "interleave must window per source, never globally"
+
     # 9. no input-scaled driver collects: every `.collect()` in the query
     #    registry / datapipe must be bounded by a `.limit(...)` or a literal
     #    id filter — driver memory must never grow with the corpus
