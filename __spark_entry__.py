@@ -74,8 +74,12 @@ quality_rejection_sample, cluster_balanced_sample, corpus_shard_manifest
 Late-round-8, corpus_drift (the snapshot KL drift monitor) also took a
 driver row from birth, replacing ann_recall_eval (green r7; the
 recall-eval machinery keeps a driver row via minhash_recall_eval and the
-IVF codepath via ann_ivfpq_rerank). The two late-r8 VARIANTS
-(ngram_novelty_packed, ann_ivfsq8_topk) are locally-gated extras of
+IVF codepath via ann_ivfpq_rerank), as did kneser_ney_score (replacing
+bigram_lm_score — the count-interpolated path stays a gated extra) and
+mixture_interleave (replacing token_budget_mixture — budget/epoch
+machinery pytest-pinned, also a gated extra). The late-r8 VARIANTS and
+thin COMPOSITIONS (ngram_novelty_packed, ann_ivfsq8_topk,
+soft_dedup_weights, quality_ensemble) are locally-gated extras of
 driver-row operators, per the variant convention.
 """
 
@@ -130,10 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_stats": eq.q_bpe_encode_stats,         # BPE ENCODE path vs recursive-CTE re-encoder (consumes the trained merges)
         "corpus_curate": eq.q_corpus_curate,               # quality+PII+split+dedup+DECONTAMINATION composed pipeline (r7: 5 stages)
         # round-6 corpus-recipe classes, first driver rows (r7 rotation)
-        "bigram_lm_score": eq.q_bigram_lm_score,           # interpolated bigram-LM perplexity filter
         "perplexity_buckets": eq.q_perplexity_buckets,     # CCNet head/middle/tail split
         "doc_chunks": eq.q_doc_chunks,                     # context-window chunking (zero-Exchange)
-        "token_budget_mixture": eq.q_token_budget_mixture, # per-source token budgets + epoch repetition
         "corpus_diff": eq.q_corpus_diff,                   # snapshot diff for incremental curation (digest-only full-outer join; r7-built)
         # round-8-built operators, driver rows from birth (standing
         # rotation discipline; the four rotated-out rows — klog_file_health,
@@ -145,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": eq.q_cross_source_dups,       # cross-source duplication matrix (digest-keyed; per-source dedup-budget audit)
         "curriculum_order": eq.q_curriculum_order,         # curriculum manifest over PINNED margins: (bucket, shard, pos) — no global sort; oracle nests the scored-filter SQL
         "corpus_drift": eq.q_corpus_drift,                 # snapshot unigram-KL drift monitor (late-r8-built, driver row from birth; replaced ann_recall_eval — eval-class machinery kept by minhash_recall_eval, the IVF codepath by ann_ivfpq_rerank + its recall pytest)
+        "kneser_ney_score": eq.q_kneser_ney_score,         # interpolated Kneser-Ney bigram scoring (late-r8-built; replaced bigram_lm_score — green r6/r7, count-interpolated path stays a gated extra, perplexity_buckets keeps the LM-filter presence)
+        "mixture_interleave": eq.q_mixture_interleave,     # stride-scheduled weighted source interleave (late-r8-built; replaced token_budget_mixture — green r6/r7, greedy/epoch machinery pytest-pinned, mixture family keeps dsir + temperature rows)
         # telemetry/event analytics (engine-robustness fixed in round 4:
         # NTZ timestamps, pinned NULL ordering, tie-free exact averages)
         "event_sessions": eq.q_event_sessions,             # gap-based sessionization
@@ -269,8 +273,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfsq8_topk": eq.q_ann_ivfsq8_topk,                 # faiss IVF16,SQ8 composite: cells bound the scan, SQ8 bounds the bytes; composition of two gated ops
         "soft_dedup_weights": eq.q_soft_dedup_weights,           # SoftDeDup: 1/n_copies micro weights instead of drops; composes with A-ES/temperature samplers
         "quality_ensemble": eq.q_quality_ensemble,               # FineWeb-Edu-style 2-of-3 vote over three gated quality signals
-        "kneser_ney_score": eq.q_kneser_ney_score,               # interpolated Kneser-Ney bigram scoring (KenLM smoothing family; continuation-probability backoff)
-        "mixture_interleave": eq.q_mixture_interleave,           # stride-scheduled weighted source interleave: the deterministic data-loader reading order
+        "bigram_lm_score": eq.q_bigram_lm_score,                 # count-interpolated bigram path; the KN driver row carries the bigram-LM family, perplexity_buckets the filter shape
+        "token_budget_mixture": eq.q_token_budget_mixture,       # budget/epoch machinery pytest-pinned; mixture family keeps dsir + temperature + interleave driver rows
         # rotated OUT late-round-8 for corpus_drift (green r7; recall-eval
         # machinery kept by the minhash_recall_eval driver row, the IVF
         # codepath by ann_ivfpq_rerank + the recall-floor pytests)
@@ -315,10 +319,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts": eq.SQL_CMS_USER_COUNTS,
         "bpe_encode_stats": eq.SQL_BPE_ENCODE_STATS,
         "corpus_curate": eq.SQL_CORPUS_CURATE,
-        "bigram_lm_score": eq.SQL_BIGRAM_LM_SCORE,
         "perplexity_buckets": eq.SQL_PERPLEXITY_BUCKETS,
         "doc_chunks": eq.SQL_DOC_CHUNKS,
-        "token_budget_mixture": eq.SQL_TOKEN_BUDGET_MIXTURE,
         "corpus_diff": eq.SQL_CORPUS_DIFF,
         "event_sessions": eq.SQL_EVENT_SESSIONS,
         "bloom_screen_packed": eq.SQL_BLOOM_SCREEN_PACKED,
@@ -332,6 +334,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_recall_eval": eq.SQL_MINHASH_RECALL_EVAL,
         # r8-built operators
         "corpus_drift": eq.SQL_CORPUS_DRIFT,
+        "kneser_ney_score": eq.SQL_KNESER_NEY_SCORE,
+        "mixture_interleave": eq.SQL_MIXTURE_INTERLEAVE,
         "ngram_novelty": eq.SQL_NGRAM_NOVELTY,
         "ann_sq8_topk": eq.SQL_ANN_SQ8,
         "cross_source_dups": eq.SQL_CROSS_SOURCE_DUPS,
@@ -426,7 +430,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_ivfsq8_topk": eq.SQL_ANN_IVFSQ8,
         "soft_dedup_weights": eq.SQL_SOFT_DEDUP_WEIGHTS,
         "quality_ensemble": eq.SQL_QUALITY_ENSEMBLE,
-        "kneser_ney_score": eq.SQL_KNESER_NEY_SCORE,
-        "mixture_interleave": eq.SQL_MIXTURE_INTERLEAVE,
+        "bigram_lm_score": eq.SQL_BIGRAM_LM_SCORE,
+        "token_budget_mixture": eq.SQL_TOKEN_BUDGET_MIXTURE,
         "ann_recall_eval": eq.SQL_ANN_RECALL_EVAL,
     }
