@@ -1177,8 +1177,33 @@ SELECT arg_min(doc_id, ord) AS first_batch_doc_id, arg_max(doc_id, ord) AS last_
 # doc_id % 10 == 1 gets a near-dup with one appended token (+2000000).
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Unsplittable-input guard (optimization guide §2.5 "input skew").
+
+    The driver-provided tables are single-row-group parquet files; parquet
+    cannot split below a row group, so their scan — and with it the
+    expensive FIRST stage of every consumer (explode / shingle / LM /
+    matmul) — runs in ONE task regardless of split-size configs. A cheap
+    round-robin repartition right after the read unlocks the session's
+    full parallelism. No-op when the scan already has enough splits (real
+    multi-file tables at scale), so this never ADDS a shuffle where the
+    layout is healthy; row-order changes are immaterial — every consumer
+    is partition-order-independent by the repo's determinism contract
+    (integer micro rounding, hash keys, ordered limits), which the
+    query/oracle gate re-verifies."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target)
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dup_corpus(spark, sf_dir) -> DataFrame:
@@ -1787,7 +1812,7 @@ SQL_DEDUP_SIMHASH = _sql_dedup_simhash()
 def q_dedup_embedding(spark, sf_dir):
     from .datapipe.dedup import embedding_near_dups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     dup = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -1830,7 +1855,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     (2 tables), exact cosine within candidates — no O(n^2) stage."""
     from .datapipe.dedup import embedding_near_dups_lsh
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     dup = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -1884,7 +1909,7 @@ def _ann_query_set(emb):
 def q_ann_topk(spark, sf_dir):
     from .datapipe.similarity import brute_force_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return brute_force_topk(emb, _ann_query_set(emb), k=10).select("qid", "vec_id", "rank")
 
 
@@ -1909,7 +1934,7 @@ def q_ann_lsh(spark, sf_dir):
     exact within-candidate ranking."""
     from .datapipe.similarity import lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return lsh_topk(emb, _ann_query_set(emb), k=10, n_planes=8, seed=7, multiprobe=1).select(
         "qid", "vec_id", "rank"
     )
@@ -1953,7 +1978,7 @@ def q_ann_ivf(spark, sf_dir):
     cells per query, exact cosine within probed cells."""
     from .datapipe.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return ivf_topk(emb, _ann_query_set(emb), k=10, n_centroids=16, n_probe=2).select(
         "qid", "vec_id", "rank"
     )
@@ -2850,7 +2875,7 @@ def q_knn_label_eval(spark, sf_dir):
     by vec_id); driver memory is O(cap·dim) regardless of corpus size."""
     from .datapipe.similarity import brute_force_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries = [
         (r["vec_id"], list(r["embedding"]))
         for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(KNN_EVAL_CAP).collect()
@@ -3507,7 +3532,7 @@ def q_ann_ivfpq(spark, sf_dir):
     oracle-replicable first-N coarse cells and codebooks."""
     from .datapipe.similarity import ivfpq_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return ivfpq_topk(emb, _ann_query_set(emb), k=10, n_centroids=16, n_probe=2,
                       m=8, ksub=16)
 
@@ -3584,7 +3609,7 @@ def q_ann_ivfpq_rerank(spark, sf_dir):
     replays the exact re-rank from the raw embeddings."""
     from .datapipe.similarity import ivfpq_rerank_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return ivfpq_rerank_topk(emb, _ann_query_set(emb), k=10, refine=40,
                              n_centroids=16, n_probe=2, m=8, ksub=16
                              ).select("qid", "vec_id", "rank")
@@ -4701,7 +4726,7 @@ def q_ann_recall_eval(spark, sf_dir):
     (n_hits = |ivf top-10 ∩ exact top-10|, recall = n_hits/10)."""
     from .datapipe.similarity import brute_force_topk, ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     qs = _ann_query_set(emb)
     exact = brute_force_topk(emb, qs, k=10).select("qid", "vec_id")
     approx = (
@@ -4735,7 +4760,7 @@ def q_semdedup_first_n(spark, sf_dir):
     neighbor at >= 0.95 dropped with its canonical id."""
     from .datapipe.dedup import semdedup_embedding
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     dup = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -4829,7 +4854,7 @@ def q_semdedup(spark, sf_dir):
     and recomputes the prune from scratch."""
     from .datapipe.dedup import semdedup_embedding
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     dup = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -5272,7 +5297,7 @@ def q_cluster_balanced_sample(spark, sf_dir):
     cell sizes, uniforms and the comparison from scratch."""
     from .datapipe.mixture import cluster_balanced_sample
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     return cluster_balanced_sample(emb, cap=CBS_CAP, centroids=SEMDEDUP_CENTROIDS)
 
 
@@ -5382,7 +5407,7 @@ def q_semdedup_prototypes(spark, sf_dir):
     two rows pin both keep policies end-to-end."""
     from .datapipe.dedup import semdedup_embedding
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     dup = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -5523,7 +5548,7 @@ def q_ann_sq8_topk(spark, sf_dir):
     code/decode float formulas and re-ranks; ranks hash exactly."""
     from .datapipe.similarity import sq8_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return sq8_topk(emb, _ann_query_set(emb), k=10).select("qid", "vec_id", "rank")
 
 
@@ -5761,7 +5786,7 @@ def q_ann_ivfsq8_topk(spark, sf_dir):
     IVF assign/probe/rank SQL."""
     from .datapipe.similarity import ivf_topk, sq8_decoded, sq8_train
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     stats = sq8_train(emb)
     dec = sq8_decoded(emb, stats).select("vec_id", F.col("_sq8").alias("embedding"))
     return ivf_topk(dec, _ann_query_set(emb), k=10, n_centroids=16,

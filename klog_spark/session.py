@@ -38,9 +38,19 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # Arrow on every Python boundary; batch size tuned for wide parse rows.
+        # Arrow on every Python boundary. Batch size: the r9 IPC study
+        # (OPTIMIZATION_r09.md) measured the JVM<->Python boundary cost as
+        # per-BATCH overhead, not bytes — a 6.6M-row echo dropped 18.9s ->
+        # 6.6s going 20k -> 100k rows/batch. maxBytesPerBatch (Spark 4
+        # default 64 MiB) stays as the memory guard for wide rows, so the
+        # record cap is safe to raise: whichever limit hits first ends the
+        # batch.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        # Socket buffer for the Python-worker IPC stream (default 64 KiB):
+        # fewer, larger writes — measured 18.9s -> 14.1s alone on the echo
+        # probe; composes with the batch-size raise.
+        "spark.buffer.size": "1048576",
         # klog renders timestamps as java.time.Instant (UTC).
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or int(cpus)),
