@@ -502,6 +502,29 @@ def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95, dim: int = 
     )
 
 
+def _capped_split_shingles(docs: DataFrame, split: DataFrame, n: int,
+                           max_df: int | None, text_col: str,
+                           id_col: str) -> DataFrame:
+    """Shared shingle base of the contamination scan/removal pair: the
+    per-doc distinct word n-gram shingles joined with the split labels,
+    hot shingles capped at ``max_df`` — PERSISTED (cachereg-tracked).
+
+    Without the persist the exploded shingle table appears in up to four
+    plan branches (df_counts, test side, train side) and the corpus-sized
+    explode re-runs in each (guide §5: reuse > recompute when the reused
+    frame is bounded — this one is ~total-words-sized, far below the join
+    fanout it feeds). Released at the caller's invocation boundary."""
+    from ..cachereg import track
+
+    sh = _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col),
+                        text_col, n).join(split, "doc_id")
+    if max_df is not None:
+        sh = track(sh.persist())
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle").drop("_df")
+    return track(sh.persist())
+
+
 def contamination_report(docs: DataFrame, split: DataFrame, n: int = 5,
                          min_common: int = 3, max_df: int | None = None,
                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -520,12 +543,7 @@ def contamination_report(docs: DataFrame, split: DataFrame, n: int = 5,
     ``shingle_candidates`` — never an all-pairs comparison; the aggregate is
     map-side combinable on (test doc, shingle)/(test doc, train doc).
     """
-    sh = _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, n).join(
-        split, "doc_id"
-    )
-    if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sh = sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle").drop("_df")
+    sh = _capped_split_shingles(docs, split, n, max_df, text_col, id_col)
     test_sh = sh.filter(F.col("split") == "test").select(F.col("doc_id").alias("test_doc"), "shingle")
     train_sh = sh.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "shingle"
@@ -562,12 +580,7 @@ def decontaminate(docs: DataFrame, split: DataFrame, n: int = 5,
     boilerplate shingles capped via ``max_df``), aggregated on the TRAIN
     side instead of the test side — never all-pairs, and the test side of
     the join is the (small) eval corpus."""
-    sh = _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col), text_col, n).join(
-        split, "doc_id"
-    )
-    if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sh = sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle").drop("_df")
+    sh = _capped_split_shingles(docs, split, n, max_df, text_col, id_col)
     train_sh = sh.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "shingle"
     )
@@ -1372,15 +1385,22 @@ def ngram_novelty_packed(docs: DataFrame, bitmap, m: int, k: int, n: int = 3,
             lst = batch.column(1)
             if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
                 lst = lst.combine_chunks()
+            # rebase offsets: a sliced ListArray carries absolute offsets
+            # while flatten() returns only the covered values (ADVICE r8)
             offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
             flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             hit = ((bm[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1)
-            n_sh = np.empty(len(ids), dtype=np.int64)
-            n_nov = np.empty(len(ids), dtype=np.int64)
-            for r in range(len(ids)):
-                row = hit[offs[r]:offs[r + 1]].reshape(-1, k)
-                n_sh[r] = row.shape[0]
-                n_nov[r] = int((row.sum(axis=1) < k).sum())
+            # fully vectorized per-doc fold (no Python row loop): every
+            # shingle contributes exactly k consecutive probes, so the
+            # per-shingle "seen" test is a reshape; per-doc novel counts
+            # are prefix-sum differences over the shingle boundaries
+            sh_novel = (hit.reshape(-1, k).sum(axis=1) < k) if len(hit) \
+                else np.zeros(0, dtype=bool)
+            s_off = offs // k
+            csum = np.concatenate(([0], np.cumsum(sh_novel, dtype=np.int64)))
+            n_sh = s_off[1:] - s_off[:-1]
+            n_nov = csum[s_off[1:]] - csum[s_off[:-1]]
             # HALF_UP like F.round (np.round is half-even)
             ppm = np.where(n_sh > 0,
                            np.floor(n_nov * 1_000_000.0 / np.maximum(n_sh, 1) + 0.5),

@@ -42,13 +42,34 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float], total_chars: int,
         budget_map[F.col("source")], F.lit(int(default_weight * total_chars))
     )
     h = F.pmod(java_hash_u32_expr(F.sha2(F.col(text_col), 256)), F.lit(HASH_MOD))
-    w = Window.partitionBy("source").orderBy("_h", id_col)
-    prior = F.coalesce(
-        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    # sharded prefix sum (same scale fix as mixture_interleave): range-shard
+    # on the hash order key, local running sum per (source, shard), add the
+    # broadcast per-(source, shard) prefix totals — no per-source
+    # single-task sort at scale, identical output for any shard count
+    base = docs.withColumn("_h", h)
+    sc = base.sparkSession.sparkContext
+    n_shards = max(int(sc.defaultParallelism), 1)
+    width = -(-HASH_MOD // n_shards)
+    sharded = base.withColumn("_shard", F.expr(f"_h div {width}"))
+    sums = sharded.groupBy("source", "_shard").agg(
+        F.sum(size_col).cast("long").alias("_sum"))
+    w_off = (
+        Window.partitionBy("source").orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        "source", "_shard",
+        F.coalesce(F.sum("_sum").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_loc = Window.partitionBy("source", "_shard").orderBy("_h", id_col)
+    local_prior = F.coalesce(
+        F.sum(size_col).over(w_loc.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
     )
     return (
-        docs.withColumn("_h", h)
-        .withColumn("_prior", prior)
+        sharded.withColumn("_lp", local_prior)
+        .join(F.broadcast(offsets), ["source", "_shard"])
+        .withColumn("_prior", F.col("_off") + F.col("_lp"))
         .filter(F.col("_prior") < budget)
         .select(F.col(id_col).alias("doc_id"), "source",
                 F.col(size_col).cast("long").alias(size_col))
@@ -88,11 +109,28 @@ def weighted_sample(docs: DataFrame, k: int, weight_col: str,
             .limit(k)
             .drop("_es_key")
         )
-    w = Window.partitionBy(*by).orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+    # two-phase per-stratum top-k (same scale fix as mixture_interleave's
+    # sharded rank): a one-partition-per-stratum window sorts the WHOLE
+    # stratum in one task; instead take the local top-k per (stratum,
+    # hash-shard) — a row outside its shard's top-k cannot be in the
+    # stratum's top-k — then rank only the <= k * n_shards survivors per
+    # stratum. Identical output, bounded window partitions.
+    sc = sampled.sparkSession.sparkContext
+    n_shards = max(int(sc.defaultParallelism), 1)
+    sharded = sampled.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    )
+    w1 = Window.partitionBy(*by, "_shard").orderBy(
+        F.col("_es_key").desc(), F.col(id_col).asc())
+    cand = (
+        sharded.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+    )
+    w2 = Window.partitionBy(*by).orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
     return (
-        sampled.withColumn("_rn", F.row_number().over(w))
+        cand.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
-        .drop("_es_key", "_rn")
+        .drop("_es_key", "_rn", "_rn1", "_shard")
     )
 
 
@@ -351,11 +389,14 @@ def dsir_importance_sample(docs: DataFrame, target: DataFrame, k: int,
     u = (java_hash_u32_expr(
             F.sha2(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")), 256)
          ).cast("double") + 0.5) / float(1 << 32)
-    keyed = weights.withColumn(
+    # keyed is doc-count-sized (4 integer cols/row) and feeds BOTH the
+    # winners top-k and the final decision table — without the persist the
+    # whole explode -> ratio-join -> per-doc agg pipeline runs twice
+    keyed = track(weights.withColumn(
         "key_micro",
         (F.col("weight_micro")
          + F.round(-F.log(-F.log(u)) * 1000000, 0).cast("long")),
-    )
+    ).persist())
     winners = (
         keyed.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
         .limit(int(k))
@@ -500,10 +541,52 @@ def mixture_interleave(docs: DataFrame, weights: dict[str, float],
                     w_ppm.alias("_ppm"), h.alias("_h"))
         .filter(F.col("_ppm") > 0)
     )
-    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    # Scale shape (VERDICT r8 #1): a plain Window.partitionBy("source")
+    # row_number puts an ENTIRE source in one window partition — a
+    # single-task multi-TB sort at 100 TB. Instead RANGE-shard on the hash
+    # order key (shard boundaries align with the sort order, so shard s's
+    # rows all precede shard s+1's), rank within (source, shard), and
+    # compose the global rank from broadcast per-(source, shard) prefix
+    # counts — n_sources x n_shards rows, the pack_sequences pattern.
+    # Output is IDENTICAL to the per-source window for any n_shards.
+    rank = _sharded_rank_in_group(base, "source", "_h", "doc_id")
     stride = F.expr("1000000000000 div _ppm")
-    return base.select(
+    return rank.select(
         "doc_id", "source",
-        F.row_number().over(w).cast("long").alias("rank_in_source"),
-        (F.row_number().over(w).cast("long") * stride).alias("slot"),
+        F.col("_rank").alias("rank_in_source"),
+        (F.col("_rank") * stride).alias("slot"),
+    )
+
+
+def _sharded_rank_in_group(base: DataFrame, group_col: str, hash_col: str,
+                           tiebreak_col: str, n_shards: int | None = None,
+                           hash_mod: int = HASH_MOD) -> DataFrame:
+    """``row_number() over (partition by group order by hash, tiebreak)``
+    WITHOUT a one-partition-per-group window.
+
+    ``hash_col`` must be an integer column in ``[0, hash_mod)``. Rows are
+    range-sharded on it (``shard = hash div width``) so shard order equals
+    sort order; the window runs per (group, shard) — every partition
+    bounded by corpus/n_shards — and the global rank is composed by adding
+    broadcast per-(group, shard) prefix counts. Deterministic and
+    n_shards-independent by construction. Adds ``_rank`` (long)."""
+    if n_shards is None:
+        n_shards = max(int(base.sparkSession.sparkContext.defaultParallelism), 1)
+    width = -(-hash_mod // n_shards)  # ceil
+    sharded = base.withColumn("_shard", F.expr(f"{hash_col} div {width}"))
+    counts = sharded.groupBy(group_col, "_shard").agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(group_col).orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        group_col, "_shard",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_loc = Window.partitionBy(group_col, "_shard").orderBy(hash_col, tiebreak_col)
+    return (
+        sharded.withColumn("_lr", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), [group_col, "_shard"])
+        .withColumn("_rank", (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_shard", "_lr", "_off")
     )

@@ -55,10 +55,15 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
     )
     n_docs = lengths.count()
     avgdl = lengths.agg(F.avg("dl")).first()[0]
-    postings = (
+    # postings feed BOTH the document-frequency aggregate and the query
+    # join; persisting them (vocab x doc postings — the inverted index, the
+    # thing a retrieval system materializes anyway) keeps the corpus
+    # explode + (w, doc) aggregation to ONE run instead of two
+    postings = track(
         base.select("doc_id", F.explode("_w").alias("w"))
         .groupBy("w", "doc_id")
         .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
     )
     dfreq = postings.groupBy("w").agg(F.count("*").cast("long").alias("df"))
 

@@ -122,6 +122,28 @@ def _re2_compatible() -> dict[str, str]:
 _RE2_KEYS = _re2_compatible()
 _DOC_ID_PATTERN = r"^(?P<file>.*):(?P<line_no>[0-9]+)$"
 
+
+def _re2_match_pattern(key: str) -> str | None:
+    """Anchored MATCH-ONLY form of a wide grammar for RE2's DFA.
+
+    The r8 finding stands: RE2's *capture* path (bitstate) loses to pandas
+    on the wide grammars — but pure matching stays on the DFA, which is
+    fast at any width. The r9 batch fast path therefore VALIDATES with one
+    `match_substring_regex` and then extracts positionally with C++
+    `split_pattern`/`list_element` (every batch value is space-free by
+    grammar construction), never touching RE2 captures. Returns None if
+    the pattern does not compile under RE2 (callers fall back to pandas).
+    """
+    pat = _unnamed_to_noncapturing(_ANCHORED[key].pattern)
+    try:
+        pc.match_substring_regex(pa.array(["x"], type=pa.string()), pattern=pat)
+        return pat
+    except pa.lib.ArrowException:  # pragma: no cover - RE2 always has these
+        return None
+
+
+_BATCH_MATCH_RE2 = _re2_match_pattern("batch")
+
 _INT_TYPES: dict[str, tuple] = {
     "base_offset": (np.int64, pa.int64()), "last_offset": (np.int64, pa.int64()),
     "count": (np.int32, pa.int32()), "base_sequence": (np.int32, pa.int32()),
@@ -179,12 +201,26 @@ class _Cols:
             try:
                 out[good] = values[good].to_numpy(dtype=object).astype(np.int64)
             except (ValueError, TypeError, OverflowError):
-                coerced = pd.to_numeric(values, errors="coerce")
-                nan = coerced.isna().to_numpy(dtype=bool)
+                # rare batch with a non-numeric or >int64 digit string:
+                # per-value exact conversion, out-of-range -> NULL (the
+                # float round-trip pandas fallback used here before both
+                # LOST precision above 2^53 and still raised on >int64 —
+                # at 10^12 rows such a line WILL exist; corrupt-not-crash)
+                def _i64(v):
+                    try:
+                        iv = int(v)
+                    except (TypeError, ValueError):
+                        return None
+                    return iv if -(1 << 63) <= iv < (1 << 63) else None
+
+                conv = [_i64(v) for v in values[good]]
+                sub_nan = np.array([c is None for c in conv], dtype=bool)
+                sub_out = np.array([0 if c is None else c for c in conv],
+                                   dtype=np.int64)
+                nan = nan.copy()
+                nan[good] = sub_nan
+                out[good] = sub_out
                 good = ~nan
-                out = np.zeros(len(values), dtype=np.int64)
-                if good.any():
-                    out[good] = pd.to_numeric(values[good]).to_numpy(dtype=np.int64)
         self.int_data[col][rows] = out.astype(self.int_data[col].dtype)
         self.int_mask[col][rows] = nan
 
@@ -252,9 +288,6 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     def _starts(prefix: str) -> np.ndarray:
         return pc.starts_with(arr, pattern=prefix).to_numpy(zero_copy_only=False)
 
-    def _has(sub: str) -> np.ndarray:
-        return pc.match_substring(arr, pattern=sub).to_numpy(zero_copy_only=False)
-
     is_hdr1 = _starts("Dumping ")
     # hdr2 can only be a line-2 row: run the regex on those rows only (one
     # or two per file, vs every row — ~25% of the kernel before this)
@@ -269,9 +302,21 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     is_batch = not_hdr & _starts("baseOffset: ")
     is_msg = not_hdr & _starts("| ")
     is_snap = not_hdr & _starts("producerId: ")
-    is_txn_msg = is_msg & _has(" key: transaction_metadata::transactionalId=")
-    is_oc_msg = is_msg & ~is_txn_msg & _has(" key: offset_commit::group=")
-    is_gm_msg = is_msg & ~is_txn_msg & ~is_oc_msg & _has(" key: group_metadata::group=")
+    # record-type substring tests only ever apply to "| " record lines —
+    # run them on that subset, not the whole batch (~60% of rows skipped)
+    msg_idx = np.flatnonzero(is_msg)
+    msg_arr = arr.take(pa.array(msg_idx)) if len(msg_idx) else None
+
+    def _has(sub: str) -> np.ndarray:
+        out = np.zeros(n, dtype=bool)
+        if msg_arr is not None:
+            out[msg_idx] = pc.match_substring(
+                msg_arr, pattern=sub).to_numpy(zero_copy_only=False)
+        return out
+
+    is_txn_msg = _has(" key: transaction_metadata::transactionalId=")
+    is_oc_msg = ~is_txn_msg & _has(" key: offset_commit::group=")
+    is_gm_msg = ~is_txn_msg & ~is_oc_msg & _has(" key: group_metadata::group=")
     is_ctl_msg = is_msg & ~is_txn_msg & ~is_oc_msg & ~is_gm_msg & _has(" endTxnMarker: ")
     is_data_msg = is_msg & ~is_txn_msg & ~is_oc_msg & ~is_gm_msg & ~is_ctl_msg
 
@@ -303,9 +348,10 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         return good, ext[ok]
 
     # --- batch headers -----------------------------------------------------
-    if is_batch.any():
-        good, ge = extract(is_batch, "batch", "base_offset")
-        bad = is_batch & ~good
+    def _batch_pandas(mask: np.ndarray) -> None:
+        """Reference extraction path (pandas re.search per row)."""
+        good, ge = extract(mask, "batch", "base_offset")
+        bad = mask & ~good
         cls[good] = "batch"
         reason[bad] = "batch_regex_mismatch"
         for c in ("base_offset", "last_offset", "count", "base_sequence", "last_sequence",
@@ -317,6 +363,88 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         cols.set_str("compress_codec", good, ge["compress_codec"].to_numpy(dtype=object))
         for c in ("is_transactional", "is_control", "is_valid"):
             cols.set_bool(c, good, (ge[c] == "true").to_numpy(dtype=bool))
+
+    def _batch_split(mask: np.ndarray) -> None:
+        """Fast path: one RE2 DFA full-match validation, then positional
+        C++ split extraction. Extraction-equivalent to `_batch_pandas`:
+        the anchored grammar guarantees single-space-separated, space-free
+        values, so token position i is group i; the two layouts (with /
+        without the optional `deleteHorizonMs`) split on token count
+        (exactly 36 vs 34 for a matched line). Int parsing happens in
+        Arrow (`cast` string->int64), never in Python."""
+        bidx = np.flatnonzero(mask)
+        sub = arr.take(pa.array(bidx))
+        okb = pc.match_substring_regex(
+            sub, pattern=_BATCH_MATCH_RE2).to_numpy(zero_copy_only=False)
+        good = mask.copy()
+        good[mask] = okb
+        cls[good] = "batch"
+        reason[mask & ~good] = "batch_regex_mismatch"
+        if not okb.any():
+            return
+        toks = pc.split_pattern(sub.filter(pa.array(okb)), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        gidx = bidx[okb]
+        for has_dhm in (False, True):
+            m = lens == (36 if has_dhm else 34)
+            if not m.any():
+                continue
+            rows = np.zeros(n, dtype=bool)
+            rows[gidx[m]] = True
+            t = toks.filter(pa.array(m))
+
+            def el(i: int):
+                return pc.list_element(t, i)
+
+            def put_int(cname: str, s) -> None:
+                a = pc.cast(s, pa.int64())
+                nullm = pc.is_null(a).to_numpy(zero_copy_only=False)
+                vals = pc.fill_null(a, 0).to_numpy(zero_copy_only=False)
+                cols.int_data[cname][rows] = vals.astype(cols.int_data[cname].dtype)
+                cols.int_mask[cname][rows] = nullm
+
+            for cname, i in (("base_offset", 1), ("last_offset", 3), ("count", 5),
+                             ("base_sequence", 7), ("last_sequence", 9),
+                             ("producer_id", 11), ("producer_epoch", 13),
+                             ("partition_leader_epoch", 15)):
+                put_int(cname, el(i))
+            t0 = 23 if has_dhm else 21
+            for cname, off in (("position", 0), ("create_time_ms", 2), ("size", 4),
+                               ("magic", 6), ("crc", 10)):
+                put_int(cname, el(t0 + off))
+            if has_dhm:
+                dh = el(21)
+                put_int("delete_horizon_ms",
+                        pc.if_else(pc.equal(dh, "OptionalLong.empty"),
+                                   pa.scalar(None, pa.string()), dh))
+            cols.set_str("compress_codec", rows,
+                         el(t0 + 8).to_numpy(zero_copy_only=False))
+            cols.set_bool("is_transactional", rows,
+                          pc.equal(el(17), "true").to_numpy(zero_copy_only=False))
+            cols.set_bool("is_control", rows,
+                          pc.equal(el(19), "true").to_numpy(zero_copy_only=False))
+            cols.set_bool("is_valid", rows,
+                          pc.equal(el(t0 + 12), "true").to_numpy(zero_copy_only=False))
+
+    if is_batch.any():
+        if _BATCH_MATCH_RE2 is not None:
+            try:
+                _batch_split(is_batch)
+            except (pa.lib.ArrowException, ValueError, OverflowError):
+                # pathological batch (e.g. >int64 digit runs): reset every
+                # partially-written cell for the mask, then redo on the
+                # reference path — corrupt-not-crash
+                cls[is_batch] = "corrupt"
+                reason[is_batch] = None
+                for c in cols.int_mask:
+                    cols.int_mask[c][is_batch] = True
+                for c in cols.bool_mask:
+                    cols.bool_mask[c][is_batch] = True
+                for c in cols.str_data:
+                    cols.str_data[c][is_batch] = None
+                _batch_pandas(is_batch)
+        else:  # pragma: no cover - RE2 ships with Arrow
+            _batch_pandas(is_batch)
 
     # --- record lines ------------------------------------------------------
     def base_msg_fields(good: np.ndarray, ge: pd.DataFrame) -> None:

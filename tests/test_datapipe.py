@@ -2927,3 +2927,80 @@ def test_mixture_interleave_schedule_properties(spark):
         assert r["slot"] == r["rank_in_source"] * stride
     rerun = mixture_interleave(docs, {"a": 0.6, "b": 0.3, "z": 0.0}).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+
+def test_sharded_rank_equals_per_source_window(spark):
+    """The r9 scale-shape fix (VERDICT r8 #1): mixture_interleave's sharded
+    rank composition and mixture_sample's sharded prefix sum must produce
+    EXACTLY the per-source-window outputs, for any input partitioning and
+    any shard count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from klog_spark.datapipe.mixture import (HASH_MOD, _sharded_rank_in_group,
+                                             mixture_interleave,
+                                             mixture_sample, weighted_sample)
+    from klog_spark.javahash import java_hash_u32_expr
+
+    rows = [(i, f"doc text {i} {'x' * (i % 17)}", ["a", "b", "c"][i % 3])
+            for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # interleave: sharded vs naive single-window reference
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}
+    out = mixture_interleave(docs, weights).collect()
+    h = F.pmod(java_hash_u32_expr(
+        F.sha2(F.concat(F.lit("il:"), F.col("doc_id").cast("string")), 256)
+    ), F.lit(HASH_MOD))
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    ppm_map = F.create_map(*[x for s, p in sorted(
+        {s: int(w_ * 1_000_000) for s, w_ in weights.items()}.items())
+        for x in (F.lit(s), F.lit(p))])
+    naive = (
+        docs.select("doc_id", "source", ppm_map[F.col("source")].alias("_ppm"),
+                    h.alias("_h"))
+        .withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        .withColumn("slot", F.col("rank_in_source") * F.expr("1000000000000 div _ppm"))
+        .select("doc_id", "source", "rank_in_source", "slot")
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, naive))
+
+    # partition invariance + shard-count invariance of the rank helper
+    base = docs.select("doc_id", "source", h.alias("_h"))
+    r1 = _sharded_rank_in_group(base, "source", "_h", "doc_id", n_shards=1).collect()
+    r7 = _sharded_rank_in_group(base.repartition(13), "source", "_h", "doc_id",
+                                n_shards=7).collect()
+    key = lambda r: (r["source"], r["doc_id"])  # noqa: E731
+    assert sorted(((r["source"], r["doc_id"], r["_rank"]) for r in r1)) == \
+        sorted(((r["source"], r["doc_id"], r["_rank"]) for r in r7))
+
+    # mixture_sample: sharded prefix sum vs the naive per-source window
+    sized = docs.withColumn("n_chars", F.length("text"))
+    got = mixture_sample(sized, {"a": 0.4, "b": 0.2}, total_chars=4000).collect()
+    hh = F.pmod(java_hash_u32_expr(F.sha2(F.col("text"), 256)), F.lit(HASH_MOD))
+    wn = Window.partitionBy("source").orderBy("_h", "doc_id")
+    budget = F.create_map(F.lit("a"), F.lit(1600), F.lit("b"), F.lit(800))[
+        F.col("source")]
+    naive_ms = (
+        sized.withColumn("_h", hh)
+        .withColumn("_prior", F.coalesce(
+            F.sum("n_chars").over(wn.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+        .filter(F.col("_prior") < F.coalesce(budget, F.lit(0)))
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive_ms))
+
+    # weighted_sample strata path: two-phase top-k vs single-window top-k
+    wdf = docs.withColumn("w", (F.col("doc_id") % 7 + 1).cast("double"))
+    got_ws = weighted_sample(wdf, k=9, weight_col="w", by=["source"]).collect()
+    u = (java_hash_u32_expr(F.sha2(F.col("doc_id").cast("string"), 256))
+         .cast("double") + 0.5) / float(1 << 32)
+    wk = Window.partitionBy("source").orderBy(
+        F.pow(u, 1.0 / F.col("w")).desc(), F.col("doc_id").asc())
+    naive_ws = (
+        wdf.filter(F.col("w") > 0)
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= 9).drop("_rn")
+    ).collect()
+    assert sorted(map(tuple, got_ws)) == sorted(map(tuple, naive_ws))
