@@ -40,8 +40,12 @@ from pyspark.sql.types import StructType
 from .. import grammar as g
 from ..schemas import PARSED_FIELDS, PARSED_SCHEMA
 
-# Columns produced JVM-side after the UDF (pure regexp_extract on `source`).
-_JVM_COLS = ("segment_type", "topic", "partition")
+# Columns produced JVM-side after the UDF: segment_type/topic/partition are
+# pure regexp_extract on `source`; file/line_no are pure regexp_extract on
+# `doc_id` (moved out of the UDF in r9 — they cost ~55 B/row of Arrow
+# output for values the JVM can re-derive; the kernel still derives
+# line_no internally for the header-line-2 rule).
+_JVM_COLS = ("segment_type", "topic", "partition", "file", "line_no")
 UDF_SCHEMA = StructType([f for f in PARSED_SCHEMA.fields if f.name not in _JVM_COLS])
 
 _ANCHORED = {
@@ -143,6 +147,7 @@ def _re2_match_pattern(key: str) -> str | None:
 
 
 _BATCH_MATCH_RE2 = _re2_match_pattern("batch")
+_DATA_MATCH_RE2 = _re2_match_pattern("data")
 
 _INT_TYPES: dict[str, tuple] = {
     "base_offset": (np.int64, pa.int64()), "last_offset": (np.int64, pa.int64()),
@@ -275,8 +280,9 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     arr = pa.array(lines_list, type=pa.string())  # one UTF-8 encode, reused
     # by every C++ classify/extract kernel below
 
+    # line_no is only needed kernel-side for the header-line-2 rule; the
+    # file/line_no OUTPUT columns are derived JVM-side (parse_sequences)
     doc_ext = pc.extract_regex(pc.cast(doc_id, pa.string()), pattern=_DOC_ID_PATTERN)
-    file_arr = doc_ext.field(0).to_numpy(zero_copy_only=False)
     line_no = pc.fill_null(
         pc.cast(doc_ext.field(1), pa.int32()), 0
     ).to_numpy(zero_copy_only=False)
@@ -452,11 +458,66 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             cols.set_int(c, good, ge[c])
         cols.set_str("header_keys", good, ge["header_keys"].to_numpy(dtype=object))
 
-    if is_data_msg.any():
-        good, ge = extract(is_data_msg, "data", "offset")
-        reason[is_data_msg & ~good] = "data_regex_mismatch"
+    def _data_pandas(mask: np.ndarray) -> None:
+        good, ge = extract(mask, "data", "offset")
+        reason[mask & ~good] = "data_regex_mismatch"
         cls[good] = "data_msg"
         base_msg_fields(good, ge)
+
+    def _data_split(mask: np.ndarray) -> None:
+        """Fast path for the dominant record class: RE2 DFA validation +
+        positional split of the fixed numeric prefix. header_keys follows
+        the grammar's exact greedy semantics — `\\[(?P<hk>.*)\\]( payload:.*)?`
+        takes hk to the LAST ']' when the line ends with ']', else to the
+        last '] payload:' occurrence (the remainder must then be the
+        payload tail); RE2 validation guarantees one of the two holds."""
+        bidx = np.flatnonzero(mask)
+        sub = arr.take(pa.array(bidx))
+        ok = pc.match_substring_regex(
+            sub, pattern=_DATA_MATCH_RE2).to_numpy(zero_copy_only=False)
+        good = mask.copy()
+        good[mask] = ok
+        cls[good] = "data_msg"
+        reason[mask & ~good] = "data_regex_mismatch"
+        if not ok.any():
+            return
+        oksub = sub.filter(pa.array(ok))
+        toks = pc.split_pattern(oksub, pattern=" ", max_splits=12)
+        rows = np.zeros(n, dtype=bool)
+        rows[bidx[ok]] = True
+
+        def put_int(cname: str, s) -> None:
+            a = pc.cast(s, pa.int64())
+            vals = pc.fill_null(a, 0).to_numpy(zero_copy_only=False)
+            cols.int_data[cname][rows] = vals.astype(cols.int_data[cname].dtype)
+            cols.int_mask[cname][rows] = pc.is_null(a).to_numpy(zero_copy_only=False)
+
+        for cname, i in (("offset", 2), ("msg_create_time_ms", 4), ("key_size", 6),
+                         ("value_size", 8), ("sequence", 10)):
+            put_int(cname, pc.list_element(toks, i))
+        rest = pc.list_element(toks, 12).to_numpy(zero_copy_only=False)
+        hk = np.empty(len(rest), dtype=object)
+        for i, r in enumerate(rest):
+            if r.endswith("]"):
+                hk[i] = r[1:-1]
+            else:
+                hk[i] = r[1:r.rfind("] payload:")]
+        cols.set_str("header_keys", rows, hk)
+
+    if is_data_msg.any():
+        if _DATA_MATCH_RE2 is not None:
+            try:
+                _data_split(is_data_msg)
+            except (pa.lib.ArrowException, ValueError, OverflowError):
+                cls[is_data_msg] = "corrupt"
+                reason[is_data_msg] = None
+                for c in cols.int_mask:
+                    cols.int_mask[c][is_data_msg] = True
+                for c in cols.str_data:
+                    cols.str_data[c][is_data_msg] = None
+                _data_pandas(is_data_msg)
+        else:  # pragma: no cover - RE2 ships with Arrow
+            _data_pandas(is_data_msg)
 
     if is_ctl_msg.any():
         good, ge = extract(is_ctl_msg, "control", "offset")
@@ -581,8 +642,6 @@ def _parse_arrow_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
 
     arrays = {
         "doc_id": doc_id,
-        "file": pa.array(file_arr, type=pa.string()),
-        "line_no": pa.array(line_no, type=pa.int32()),
         "source": source,
         "n_tok": pa.array(n_tok, type=pa.int32()),
         "record_class": pa.array(cls, type=pa.string()),
@@ -617,8 +676,24 @@ def parse_sequences(df: DataFrame) -> DataFrame:
                 yield _parse_arrow_batch(batch)
 
     parsed = df.mapInArrow(gen, schema=UDF_SCHEMA)
+    # file/line_no re-derived JVM-side from doc_id (r9: ~55 B/row less
+    # Arrow output). Semantics pinned to the kernel's extract_regex:
+    # unmatched doc_id -> file NULL, line_no 0 (JVM regexp_extract alone
+    # would yield ''/NULL there).
+    doc_matched = F.col("doc_id").rlike(r"^.*:[0-9]+$")
     parsed = (
         parsed.withColumn(
+            "file",
+            F.when(doc_matched,
+                   F.regexp_extract(F.col("doc_id"), r"^(.*):([0-9]+)$", 1)),
+        )
+        .withColumn(
+            "line_no",
+            F.when(doc_matched,
+                   F.regexp_extract(F.col("doc_id"), r"^(.*):([0-9]+)$", 2)
+                   .cast("int")).otherwise(F.lit(0)),
+        )
+        .withColumn(
             "segment_type",
             F.when(F.col("source").rlike(r"/__transaction_state-[0-9]+/[^/]+$"), F.lit("txn_state"))
             .when(F.col("source").rlike(r"/__consumer_offsets-[0-9]+/[^/]+$"), F.lit("consumer_offsets"))

@@ -254,3 +254,52 @@ def test_poison_tokens_route_to_corrupt(spark):
     assert by_id["f.dump.txt:1"] == "batch"
     assert by_id["f.dump.txt:3"] == "batch"
     assert by_id["f.dump.txt:2"] == "corrupt"
+
+
+def test_fast_path_header_keys_greedy_semantics():
+    """r9 split-based record extraction must reproduce the grammar's exact
+    greedy `\\[(?P<hk>.*)\\]( payload:.*)?` semantics — including payloads
+    containing ']' and '] payload:' — and the RE2-validated batch fast
+    path must parse both deleteHorizonMs layouts."""
+    import re
+
+    import pyarrow as pa
+
+    from klog_spark import grammar as g
+    from klog_spark.operators.parse import _parse_arrow_batch
+
+    cases = [
+        "| offset: 1 CreateTime: 2 keySize: 3 valueSize: 4 sequence: 5 headerKeys: [a,b]",
+        "| offset: 1 CreateTime: 2 keySize: 3 valueSize: 4 sequence: 5 headerKeys: [a b c]",
+        "| offset: 1 CreateTime: 2 keySize: 3 valueSize: 4 sequence: 5 headerKeys: [] payload: hello world",
+        "| offset: 1 CreateTime: 2 keySize: 3 valueSize: 4 sequence: 5 headerKeys: [a] payload: x[1]",
+        "| offset: 1 CreateTime: 2 keySize: 3 valueSize: 4 sequence: 5 headerKeys: [a] payload: x] payload: y",
+        "| offset: 1 createTime: 2 keysize: -1 valuesize: -1 sequence: -1 headerkeys: [x]]",
+        "baseOffset: 1 lastOffset: 2 count: 1 baseSequence: -1 lastSequence: -1"
+        " producerId: -1 producerEpoch: -1 partitionLeaderEpoch: 0 isTransactional: false"
+        " isControl: false deleteHorizonMs: OptionalLong.empty position: 0 CreateTime: 123"
+        " size: 70 magic: 2 compresscodec: none crc: 111 isvalid: true",
+        "baseOffset: 99999999999999999999 lastOffset: 2 count: 1 baseSequence: -1"
+        " lastSequence: -1 producerId: -1 producerEpoch: -1 partitionLeaderEpoch: 0"
+        " isTransactional: false isControl: false position: 0 CreateTime: 123 size: 70"
+        " magic: 2 compresscodec: none crc: 111 isvalid: true",
+    ]
+    rows = [(f"f.dump.txt:{i + 3}", [ord(c) for c in ln], len(ln),
+             "/tmp/kafka-logs/t-0/0.log") for i, ln in enumerate(cases)]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([r[0] for r in rows]),
+         pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+         pa.array([r[2] for r in rows], type=pa.int32()),
+         pa.array([r[3] for r in rows])],
+        names=["doc_id", "tokens", "n_tok", "source"])
+    d = _parse_arrow_batch(batch).to_pydict()
+    pat = re.compile(r"^(?:%s)$" % g.DATA_RECORD_PATTERN.pattern)
+    for i, ln in enumerate(cases[:6]):
+        m = pat.match(ln)
+        assert d["record_class"][i] == "data_msg"
+        assert d["header_keys"][i] == m.group("header_keys")
+    # dhm layout parses; the empty sentinel maps to NULL
+    assert d["record_class"][6] == "batch" and d["delete_horizon_ms"][6] is None
+    # >int64 digit run: still a batch row, field NULL (corrupt-not-crash)
+    assert d["record_class"][7] == "batch" and d["base_offset"][7] is None
+    assert d["last_offset"][7] == 2
