@@ -516,13 +516,22 @@ def _capped_split_shingles(docs: DataFrame, split: DataFrame, n: int,
     fanout it feeds). Released at the caller's invocation boundary."""
     from ..cachereg import track
 
-    sh = _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col),
-                        text_col, n).join(split, "doc_id")
+    sh = track(
+        _word_shingles(docs.select(F.col(id_col).alias("doc_id"), text_col),
+                       text_col, n).join(split, "doc_id").persist()
+    )
     if max_df is not None:
-        sh = track(sh.persist())
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sh = sh.join(df_counts.filter(F.col("_df") <= max_df), "shingle").drop("_df")
-    return track(sh.persist())
+        # cap via LEFT ANTI against the HOT shingles (df > max_df) — a
+        # boilerplate-sized set AQE turns into a broadcast join, so the
+        # corpus-sized shingle table is never shuffled for the cap (the
+        # old inner-join-on-survivors form shuffled it twice); identical
+        # surviving rows by construction
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df).select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    return sh
 
 
 def contamination_report(docs: DataFrame, split: DataFrame, n: int = 5,
@@ -1294,8 +1303,13 @@ def shingle_bloom_bits(reference: DataFrame, m: int, k: int, n: int = 3,
     O(64) expression steps per probe, and novelty probes per SHINGLE
     (~n_words/doc), not per doc, so the fold dominates at bench scale."""
     sh = _word_shingles(reference.select(F.col(id_col).alias("doc_id"), text_col),
-                        text_col, n).select("shingle").distinct()
+                        text_col, n).select("shingle")
     if hash_fn == "xxhash64":
+        # no corpus-level distinct on the SHINGLE STRINGS: the bit-level
+        # distinct below already dedups, is bounded by m (not by the
+        # shingle vocabulary), and skipping the string distinct removes a
+        # full corpus-sized string shuffle — cross-doc duplicate shingles
+        # just re-derive the same k bits map-side (r9; bit set identical)
         bits = F.array(*[
             F.pmod(F.xxhash64(F.concat(F.col("shingle"), F.lit(f":{i}"))), F.lit(m))
             for i in range(k)
@@ -1305,7 +1319,7 @@ def shingle_bloom_bits(reference: DataFrame, m: int, k: int, n: int = 3,
             .distinct()
             .select(F.col("bit").cast("long").alias("bit"))
         )
-    return bloom_bits(sh.withColumn("_sid", F.monotonically_increasing_id()),
+    return bloom_bits(sh.distinct().withColumn("_sid", F.monotonically_increasing_id()),
                       m=m, k=k, text_col="shingle", id_col="_sid")
 
 
