@@ -1279,7 +1279,9 @@ def cross_source_dup_matrix(docs: DataFrame, text_col: str = "text",
         per.filter(F.col("n") >= 2)
         .groupBy(F.col("source").alias("source_a"))
         .agg(
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")
+            # integer n*(n-1) DIV 2, not double division: exactness held
+            # only below 2^53 through the float path (ADVICE r8)
+            F.sum(F.expr("n * (n - 1) DIV 2")).cast("long")
             .alias("n_dup_pairs"),
             F.countDistinct("digest").cast("long").alias("n_texts"),
         )
@@ -1382,7 +1384,11 @@ def ngram_novelty_packed(docs: DataFrame, bitmap, m: int, k: int, n: int = 3,
                 for i in range(k)
             ])
     probe_bits = F.flatten(F.transform(shingles, _probe))
-    probes = docs.select(F.col(id_col).alias("doc_id"), probe_bits.alias("pbits"))
+    # NULL-text docs are DROPPED, exactly like the exact-join twin (whose
+    # shingle explode drops them) — the twins previously diverged here
+    # (ADVICE r8: packed emitted a (0, 0, 0) row for null text)
+    probes = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), probe_bits.alias("pbits"))
     out_schema = StructType([
         probes.schema["doc_id"],
         StructField("n_shingles", LongType()),

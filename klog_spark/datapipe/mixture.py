@@ -551,10 +551,24 @@ def mixture_interleave(docs: DataFrame, weights: dict[str, float],
     # Output is IDENTICAL to the per-source window for any n_shards.
     rank = _sharded_rank_in_group(base, "source", "_h", "doc_id")
     stride = F.expr("1000000000000 div _ppm")
+    # fail-loud slot overflow guard (ADVICE r8): rank * stride can pass
+    # int64 for tiny weights (stride up to 1e12 at ppm=1) on large
+    # sources; Spark would wrap silently where DuckDB errors — make both
+    # engines fail together instead of diverging
+    ok = F.col("_rank") <= F.expr(
+        "9223372036854775807 div (1000000000000 div _ppm)")
+    slot = F.when(ok, F.col("_rank") * stride).otherwise(
+        F.assert_true(
+            ok,
+            F.concat(F.lit("mixture_interleave: slot overflows int64 for "
+                           "source "), F.col("source"),
+                     F.lit(" at rank "), F.col("_rank").cast("string")),
+        ).cast("long")
+    )
     return rank.select(
         "doc_id", "source",
         F.col("_rank").alias("rank_in_source"),
-        (F.col("_rank") * stride).alias("slot"),
+        slot.alias("slot"),
     )
 
 

@@ -555,6 +555,15 @@ def sq8_train(emb: DataFrame, vec_col: str = "embedding") -> list[tuple[float, f
         .limit(65536).collect()  # dim-bounded (one row per dimension)
     )
     by_dim = {r["dim"]: (float(r["mn"]), float(r["mx"])) for r in stats}
+    # ragged/short embedding arrays produce missing dimension indices —
+    # fail with a clear message instead of a bare KeyError far from the
+    # cause (ADVICE r8)
+    missing = [i for i in range(len(by_dim)) if i not in by_dim]
+    if missing:
+        raise ValueError(
+            f"sq8_train: embedding dimensions are not contiguous — missing "
+            f"dim indices {missing[:8]}{'...' if len(missing) > 8 else ''} "
+            f"(ragged or short {vec_col!r} arrays?)")
     return [by_dim[i] for i in range(len(by_dim))]
 
 
