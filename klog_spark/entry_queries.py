@@ -13,6 +13,7 @@ value hashes); doubles are explicitly rounded on both sides.
 
 from __future__ import annotations
 
+import os
 import re
 from pathlib import Path
 
@@ -1177,7 +1178,15 @@ SELECT arg_min(doc_id, ord) AS first_batch_doc_id, arg_max(doc_id, ord) AS last_
 # doc_id % 10 == 1 gets a near-dup with one appended token (+2000000).
 # ---------------------------------------------------------------------------
 
-def _spread(df: DataFrame) -> DataFrame:
+#: Below this on-disk size a single-task first stage is cheaper than the
+#: repartition shuffle that would parallelize it (~0.3-0.6 s fixed cost
+#: per extra stage on this VM; measured at sf0.1 where spreading the
+#: 0.6 MiB tables regressed small queries 1.5-2x while at sf1 the
+#: 5.9 MiB tables gain 2-5x from it). ~2 MiB compressed ~ 10 MiB raw.
+_SPREAD_MIN_BYTES = 2 * 1024 * 1024
+
+
+def _spread(df: DataFrame, path: str | None = None) -> DataFrame:
     """Unsplittable-input guard (optimization guide §2.5 "input skew").
 
     The driver-provided tables are single-row-group parquet files; parquet
@@ -1185,12 +1194,19 @@ def _spread(df: DataFrame) -> DataFrame:
     expensive FIRST stage of every consumer (explode / shingle / LM /
     matmul) — runs in ONE task regardless of split-size configs. A cheap
     round-robin repartition right after the read unlocks the session's
-    full parallelism. No-op when the scan already has enough splits (real
+    full parallelism. No-op when the input is tiny (a one-task stage then
+    beats the shuffle) or when the scan already has enough splits (real
     multi-file tables at scale), so this never ADDS a shuffle where the
     layout is healthy; row-order changes are immaterial — every consumer
     is partition-order-independent by the repo's determinism contract
     (integer micro rounding, hash keys, ordered limits), which the
     query/oracle gate re-verifies."""
+    if path is not None:
+        try:
+            if os.path.getsize(path) < _SPREAD_MIN_BYTES:
+                return df
+        except OSError:
+            pass
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() * 2 >= target:
@@ -1199,11 +1215,13 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _docs(spark, sf_dir):
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    path = f"{sf_dir}/documents.parquet"
+    return _spread(spark.read.parquet(path), path)
 
 
 def _emb(spark, sf_dir):
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    path = f"{sf_dir}/embeddings.parquet"
+    return _spread(spark.read.parquet(path), path)
 
 
 def _dup_corpus(spark, sf_dir) -> DataFrame:
