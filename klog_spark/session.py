@@ -58,6 +58,12 @@ def get_spark(
         # keep them explicit so a misconfigured cluster can't regress them.
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.enableVectorizedReader": "true",
+        # Output codec: zstd halves the staged-table bytes vs snappy
+        # (99 vs 183 MB at sf1) at statistically equal write AND read-back
+        # time (r9 warm A/B: snappy 8.6s / lz4 7.6s / zstd 8.2s /
+        # uncompressed 8.2s writes; scans 0.15-0.19s all) — the guide §6
+        # recommendation, and strictly better on real storage at scale.
+        "spark.sql.parquet.compression.codec": "zstd",
         # Broadcast threshold: dimension tables (topic/producer meta) are tiny.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # Local-mode split sizing: fixture files are tens of MB; the default
